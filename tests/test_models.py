@@ -1,0 +1,196 @@
+"""Model-level tests: CamCalib regressor, HMR head parity vs an independent
+torch construction, and the composite HMR forward contract."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import jax
+import jax.numpy as jnp
+
+from spec_tpu.core import smpl as S
+from spec_tpu.core import geometry as G
+from spec_tpu.models import (
+    CameraRegressorNetwork,
+    convert_torch_camcalib_params,
+    HMR,
+)
+from spec_tpu.models.heads import (
+    HMRHead,
+    convert_torch_hmr_head_params,
+    default_init_params,
+)
+from tests.test_backbones import TorchResNet, TorchBasic
+
+
+# ---------------------------------------------------------------------------
+# CamCalib
+# ---------------------------------------------------------------------------
+
+
+class TorchCamCalib(nn.Module):
+    """Independent torch construction mirroring the reference
+    CameraRegressorNetwork graph (backbone + avgpool + 3 single FC heads)."""
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = TorchResNet(TorchBasic, (2, 2, 2, 2))
+        self.fc_vfov = nn.Linear(512, 256)
+        self.fc_pitch = nn.Linear(512, 256)
+        self.fc_roll = nn.Linear(512, 256)
+
+    def forward(self, x):
+        f = self.backbone(x)
+        v = f.mean(dim=(2, 3))
+        return self.fc_vfov(v), self.fc_pitch(v), self.fc_roll(v)
+
+
+def test_camcalib_parity_resnet18(rng):
+    tm = TorchCamCalib().eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_torch_camcalib_params(sd, backbone='resnet18')
+    model = CameraRegressorNetwork(backbone='resnet18')
+
+    x = rng.randn(2, 3, 96, 128).astype(np.float32)
+    with torch.no_grad():
+        ref = [t.numpy() for t in tm(torch.from_numpy(x))]
+    out = model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    for o, r in zip(out, ref):
+        assert o.shape == (2, 256)
+        np.testing.assert_allclose(np.asarray(o), r, atol=5e-4)
+
+
+def test_camcalib_multi_layer_head_shapes(rng):
+    model = CameraRegressorNetwork(
+        backbone='resnet18', num_fc_layers=3, num_fc_channels=512)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert all(o.shape == (1, 256) for o in out)
+
+
+# ---------------------------------------------------------------------------
+# HMR head
+# ---------------------------------------------------------------------------
+
+
+class TorchHMRHead(nn.Module):
+    """Independent torch iterative regressor (SPIN semantics + optional
+    cam-feature conditioning appended to the iteration input)."""
+
+    def __init__(self, nfeat=2048, use_cam_feats=False):
+        super().__init__()
+        npose = 24 * 6
+        extra = 10 if use_cam_feats else 0
+        self.use_cam_feats = use_cam_feats
+        self.fc1 = nn.Linear(nfeat + npose + 13 + extra, 1024)
+        self.fc2 = nn.Linear(1024, 1024)
+        self.decpose = nn.Linear(1024, npose)
+        self.decshape = nn.Linear(1024, 10)
+        self.deccam = nn.Linear(1024, 3)
+        init = default_init_params()
+        self.register_buffer('init_pose', torch.from_numpy(init['init_pose']))
+        self.register_buffer('init_shape',
+                             torch.from_numpy(init['init_shape']))
+        self.register_buffer('init_cam', torch.from_numpy(init['init_cam']))
+
+    def forward(self, xf, cam_rotmat=None, cam_vfov=None, n_iter=3):
+        B = xf.shape[0]
+        pose = self.init_pose.expand(B, -1)
+        shape = self.init_shape.expand(B, -1)
+        cam = self.init_cam.expand(B, -1)
+        for _ in range(n_iter):
+            xc = torch.cat([xf, pose, shape, cam], 1)
+            if self.use_cam_feats:
+                xc = torch.cat(
+                    [xc, cam_rotmat.reshape(B, 9), cam_vfov.reshape(B, 1)], 1)
+            h = self.fc2(self.fc1(xc))
+            pose = self.decpose(h) + pose
+            shape = self.decshape(h) + shape
+            cam = self.deccam(h) + cam
+        return pose, shape, cam
+
+
+@pytest.mark.parametrize('use_cam_feats', [False, True])
+def test_hmr_head_parity(rng, use_cam_feats):
+    tm = TorchHMRHead(nfeat=512, use_cam_feats=use_cam_feats).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_torch_hmr_head_params(sd)
+    head = HMRHead(num_input_features=512, use_cam_feats=use_cam_feats)
+
+    xf = rng.randn(4, 512).astype(np.float32)
+    rotmat = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
+    vfov = rng.rand(4).astype(np.float32) + 0.5
+
+    with torch.no_grad():
+        pose_t, shape_t, cam_t = tm(
+            torch.from_numpy(xf),
+            cam_rotmat=torch.from_numpy(rotmat) if use_cam_feats else None,
+            cam_vfov=torch.from_numpy(vfov) if use_cam_feats else None)
+
+    kwargs = {}
+    if use_cam_feats:
+        kwargs = dict(cam_rotmat=jnp.asarray(rotmat),
+                      cam_vfov=jnp.asarray(vfov))
+    out = head.apply({'params': params}, jnp.asarray(xf), **kwargs)
+
+    np.testing.assert_allclose(
+        np.asarray(out['pred_pose_6d']), pose_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out['pred_shape']), shape_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out['pred_cam']), cam_t.numpy(), atol=2e-4)
+    # rot6d decode consistency
+    R = np.asarray(out['pred_pose'])
+    eye = np.einsum('bjik,bjlk->bjil', R, R)
+    np.testing.assert_allclose(
+        eye, np.tile(np.eye(3), (4, 24, 1, 1)), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Composite HMR
+# ---------------------------------------------------------------------------
+
+
+def test_hmr_forward_contract(rng):
+    assets = S.create_test_assets(num_vertices=512)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=True)
+    B = 2
+    images = jnp.asarray(rng.randn(B, 64, 64, 3).astype(np.float32))
+    pitch = jnp.asarray(rng.randn(B).astype(np.float32) * 0.1)
+    roll = jnp.asarray(rng.randn(B).astype(np.float32) * 0.05)
+    cam_rotmat = G.euler_to_rotmat(
+        jnp.stack([pitch, jnp.zeros_like(pitch), roll], -1))
+    img_w = jnp.full((B,), 1920.0)
+    img_h = jnp.full((B,), 1080.0)
+    K = G.build_cam_intrinsics(jnp.full((B,), 1500.0), img_w, img_h)
+    bbox_center = jnp.asarray(
+        rng.rand(B, 2).astype(np.float32) * 1000 + 200)
+    bbox_scale = jnp.asarray(rng.rand(B).astype(np.float32) + 1.0)
+
+    variables = model.init(
+        jax.random.PRNGKey(0), assets, images, cam_rotmat, K,
+        bbox_scale, bbox_center, img_w, img_h)
+    out = jax.jit(
+        lambda v, a, im: model.apply(
+            v, a, im, cam_rotmat, K, bbox_scale, bbox_center, img_w, img_h)
+    )(variables, assets, images)
+
+    assert out['pred_pose'].shape == (B, 24, 3, 3)
+    assert out['pred_shape'].shape == (B, 10)
+    assert out['pred_cam'].shape == (B, 3)
+    assert out['smpl_vertices'].shape == (B, 512, 3)
+    assert out['smpl_joints3d'].shape == (B, 49, 3)
+    assert out['smpl_joints2d'].shape == (B, 49, 2)
+    assert out['pred_cam_t'].shape == (B, 3)
+    assert np.isfinite(np.asarray(out['smpl_joints2d'])).all()
+
+
+def test_hmr_non_cam_path(rng):
+    assets = S.create_test_assets(num_vertices=512)
+    model = HMR(backbone='resnet18', use_cam=False)
+    images = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), assets, images)
+    out = model.apply(variables, assets, images)
+    # normalized crop-frame joints2d
+    assert out['smpl_joints2d'].shape == (1, 49, 2)
