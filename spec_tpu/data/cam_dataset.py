@@ -1,0 +1,372 @@
+"""Camera-annotated human-crop dataset (the SPEC workhorse).
+
+Rebuild of reference ``spec/dataset/cam_dataset.py:41-660`` as a
+struct-of-arrays annotation store + a host ``__getitem__`` that does only
+IO-bound work (decode, crop). Everything the reference does per-sample on
+the host that is compute-bound — GT SMPL forwards (reference :417-478!),
+ImageNet normalization, eval-tensor pelvis centering — moves into the
+batched on-device eval/train steps.
+
+npz contract (verified against the reference loader :86-164):
+  imgname, scale, center; pose / pose_0yaw_inverseyz (preferred for 3dpw,
+  :94-97), shape, has_smpl; S (3D pose, 24x4); part (24x3) + openpose
+  (25x3) -> 49 keypoints; gender ('m'/'f'); focal_length, cam_rotmat,
+  cam_pitch, cam_roll, cam_ext, cam_int; camcalib_{pitch,roll,vfov,f_pix}
+  (stage-1 predictions baked in, :136-146).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from os.path import join
+from typing import Optional
+
+import numpy as np
+
+from spec_tpu.core import constants as C
+from spec_tpu.data import transforms as T
+from spec_tpu.data.occlusion import occlude_with_objects
+
+
+@dataclasses.dataclass
+class AugmentationConfig:
+    """Reference defaults: spec/config.py:77-113 (flip/rot disabled for cam
+    training, reference cam_dataset.py:61-63)."""
+
+    flip_prob: float = 0.0
+    noise_factor: float = 0.4
+    rot_factor: float = 0.0
+    scale_factor: float = 0.25
+    crop_prob: float = 0.0
+    crop_factor: float = 0.0
+    use_occlusion: bool = False
+    use_motion_blur: bool = True
+
+
+class CamDataset:
+    """Map-style dataset over one annotation npz.
+
+    Args:
+      annot_file: npz path.
+      img_dir: image root the npz imgnames are relative to.
+      dataset: dataset name tag ('3dpw-test-cam', 'spec-syn', ...).
+      is_train: enables augmentation and drops eval-only fields.
+      img_res: crop resolution (224).
+      baseline_cam_rot / baseline_cam_f / baseline_cam_c: ablation toggles
+        mirroring DATASET.BASELINE_CAM_* (reference config 100-104).
+      normalize: ImageNet-normalize on host. Keep False to normalize on
+        device (fused, preferred); True matches reference layout.
+    """
+
+    def __init__(
+        self,
+        annot_file: str,
+        img_dir: str,
+        dataset: str,
+        is_train: bool = False,
+        img_res: int = 224,
+        aug: Optional[AugmentationConfig] = None,
+        occluders=None,
+        ignore_3d: bool = False,
+        use_gt_cam: bool = False,
+        baseline_cam_rot: bool = False,
+        baseline_cam_f: bool = False,
+        baseline_cam_c: bool = False,
+        normalize: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.img_dir = img_dir
+        self.is_train = is_train
+        self.img_res = img_res
+        self.aug = aug or AugmentationConfig()
+        self.occluders = occluders
+        self.use_gt_cam = use_gt_cam
+        self.baseline_cam_rot = baseline_cam_rot
+        self.baseline_cam_f = baseline_cam_f
+        self.baseline_cam_c = baseline_cam_c
+        self.normalize = normalize
+        self.rng = np.random.RandomState(seed)
+
+        data = np.load(annot_file, allow_pickle=True)
+        self.files = set(data.files)
+        self.imgname = data['imgname']
+        self.scale = data['scale'].astype(np.float32)
+        self.center = data['center'].astype(np.float32)
+        n = len(self.imgname)
+
+        # SMPL params (prefer the yaw-normalized world pose for 3dpw).
+        pose_key = ('pose_0yaw_inverseyz'
+                    if 'pose_0yaw_inverseyz' in self.files else 'pose')
+        if pose_key in self.files and 'shape' in self.files:
+            self.pose = data[pose_key].astype(np.float32)
+            self.betas = data['shape'].astype(np.float32)
+            self.has_smpl = (data['has_smpl'].astype(np.float32)
+                             if 'has_smpl' in self.files
+                             else np.ones(n, np.float32))
+        else:
+            self.pose = np.zeros((n, 72), np.float32)
+            self.betas = np.zeros((n, 10), np.float32)
+            self.has_smpl = np.zeros(n, np.float32)
+        if ignore_3d:
+            self.has_smpl = np.zeros(n, np.float32)
+
+        if 'S' in self.files and not ignore_3d:
+            self.pose_3d = data['S'].astype(np.float32)
+            self.has_pose_3d = 1
+        else:
+            self.pose_3d = None
+            self.has_pose_3d = 0
+
+        kp_gt = (data['part'].astype(np.float32) if 'part' in self.files
+                 else np.zeros((n, 24, 3), np.float32))
+        kp_op = (data['openpose'].astype(np.float32)
+                 if 'openpose' in self.files
+                 else np.zeros((n, 25, 3), np.float32))
+        self.keypoints = np.concatenate([kp_op, kp_gt], axis=1)
+
+        if 'gender' in self.files:
+            self.gender = np.array(
+                [0 if str(g) == 'm' else 1 for g in data['gender']],
+                np.int32)
+        else:
+            self.gender = -np.ones(n, np.int32)
+
+        for k in ('focal_length', 'cam_rotmat', 'cam_pitch', 'cam_roll',
+                  'cam_ext', 'cam_int', 'camcalib_pitch', 'camcalib_roll',
+                  'camcalib_vfov', 'camcalib_f_pix'):
+            setattr(self, k, data[k] if k in self.files else None)
+
+    def __len__(self):
+        return len(self.imgname)
+
+    # -- camera assembly ----------------------------------------------------
+
+    def _gt_focal(self, index, orig_shape):
+        """Reference fallback chain (cam_dataset.py:502-526)."""
+        if self.baseline_cam_f:
+            return 5000.0, 5000.0
+        if self.focal_length is not None:
+            f = self.focal_length[index]
+            f = np.atleast_1d(np.asarray(f, np.float64))
+            return (float(f[0]), float(f[1])) if f.size > 1 else \
+                (float(f[0]), float(f[0]))
+        if self.dataset == 'h36m':
+            return 1150.0, 1150.0
+        if self.dataset == 'mpi-inf-3dhp':
+            return 1500.0, 1500.0
+        if self.cam_int is not None:
+            K = self.cam_int[index]
+            return float(K[0, 0]), float(K[1, 1])
+        return 5000.0, 5000.0
+
+    def _build_K(self, fx, fy, center, orig_shape):
+        cx, cy = ((float(center[0]), float(center[1]))
+                  if self.baseline_cam_c
+                  else (orig_shape[1] / 2.0, orig_shape[0] / 2.0))
+        K = np.zeros((3, 3), np.float32)
+        K[0, 0], K[1, 1] = fx, fy
+        K[0, 2], K[1, 2] = cx, cy
+        return K
+
+    def _pred_cam(self, index, center, orig_shape):
+        """Predicted (CamCalib) camera columns -> rotmat + intrinsics
+        (reference cam_dataset.py:617-653)."""
+        pitch = 0.0 if self.baseline_cam_rot else (
+            float(self.camcalib_pitch[index])
+            if self.camcalib_pitch is not None else 0.0)
+        roll = 0.0 if self.baseline_cam_rot else (
+            float(self.camcalib_roll[index])
+            if self.camcalib_roll is not None else 0.0)
+        f = 5000.0 if self.baseline_cam_f else (
+            float(self.camcalib_f_pix[index])
+            if self.camcalib_f_pix is not None else 5000.0)
+        vfov = (float(self.camcalib_vfov[index])
+                if self.camcalib_vfov is not None else 0.0)
+        rotmat = _euler_pitch_roll(pitch, roll)
+        K = self._build_K(f, f, center, orig_shape)
+        return pitch, roll, vfov, f, rotmat, K
+
+    # -- item ---------------------------------------------------------------
+
+    def __getitem__(self, index: int) -> dict:
+        item = {}
+        scale = float(self.scale[index])
+        center = self.center[index].copy()
+        keypoints = self.keypoints[index].copy()
+        keypoints_orig = self.keypoints[index].copy()
+
+        flip, pn, rot, sc = self._augm_params()
+        if self.is_train and self.aug.crop_factor > 0 \
+                and self.rng.rand() < self.aug.crop_prob:
+            center, scale = T.random_crop(
+                center, scale, 1 - self.aug.crop_factor, axis='y',
+                rng=self.rng)
+
+        t0 = time.perf_counter()
+        imgname = join(self.img_dir, str(self.imgname[index]))
+        cv_img = T.read_img(imgname)
+        orig_shape = np.array(cv_img.shape[:2], np.float32)
+        load_time = time.perf_counter() - t0
+
+        pose = (self.pose[index].copy() if self.has_smpl[index]
+                else np.zeros(72, np.float32))
+        betas = (self.betas[index].copy() if self.has_smpl[index]
+                 else np.zeros(10, np.float32))
+
+        keypoints = self._j2d(keypoints, center, sc * scale, rot, flip)
+
+        t1 = time.perf_counter()
+        img = self._rgb(cv_img, center, sc * scale, rot, flip, pn, keypoints)
+        proc_time = time.perf_counter() - t1
+
+        item['img'] = img
+        item['pose'] = self._pose(pose, rot, flip)
+        item['betas'] = betas
+        item['imgname'] = imgname
+        item['pose_conf'] = np.ones(24, np.float32)
+
+        if self.has_pose_3d:
+            S = self.pose_3d[index].copy()
+            if (self.cam_rotmat is not None and self.baseline_cam_rot
+                    and self.is_train):
+                S[:, :3] = (self.cam_rotmat[index] @ S[:, :3].T).T
+            item['pose_3d'] = self._j3d(S, rot, flip)
+        else:
+            item['pose_3d'] = np.zeros((24, 4), np.float32)
+
+        item['keypoints_orig'] = keypoints_orig.astype(np.float32)
+        item['keypoints'] = keypoints.astype(np.float32)
+        item['has_smpl'] = np.float32(self.has_smpl[index])
+        item['has_pose_3d'] = np.float32(self.has_pose_3d)
+        item['scale'] = np.float32(sc * scale)
+        item['center'] = center.astype(np.float32)
+        item['orig_shape'] = orig_shape
+        item['is_flipped'] = np.float32(flip)
+        item['rot_angle'] = np.float32(rot)
+        item['gender'] = self.gender[index]
+        item['sample_index'] = index
+        item['dataset_name'] = self.dataset
+
+        # GT camera (teacher during training; eval when USE_GT_CAM).
+        fx, fy = self._gt_focal(index, orig_shape)
+        item['focal_length'] = np.array([fx, fy], np.float32)
+        if self.cam_rotmat is not None and not self.baseline_cam_rot:
+            item['cam_rotmat'] = self.cam_rotmat[index].astype(np.float32)
+        else:
+            item['cam_rotmat'] = np.eye(3, dtype=np.float32)
+            if (self.cam_rotmat is not None and self.baseline_cam_rot
+                    and self.is_train):
+                item['pose'][:3] = _rotate_global_aa(
+                    self.cam_rotmat[index], item['pose'][:3])
+        item['cam_pitch'] = np.float32(
+            self.cam_pitch[index] if self.cam_pitch is not None
+            and not self.baseline_cam_rot else 0.0)
+        item['cam_roll'] = np.float32(
+            self.cam_roll[index] if self.cam_roll is not None
+            and not self.baseline_cam_rot else 0.0)
+        if self.cam_ext is not None:
+            item['cam_ext'] = self.cam_ext[index].astype(np.float32)
+        if self.cam_int is not None and not self.baseline_cam_f:
+            item['cam_int'] = self.cam_int[index].astype(np.float32)
+        else:
+            item['cam_int'] = self._build_K(fx, fy, center, orig_shape)
+
+        if not self.is_train:
+            (item['pred_cam_pitch'], item['pred_cam_roll'],
+             item['pred_cam_vfov'], item['pred_cam_focal_length'],
+             item['pred_cam_rotmat'], item['pred_cam_int']) = \
+                [np.float32(v) if np.isscalar(v) else v.astype(np.float32)
+                 for v in self._pred_cam(index, center, orig_shape)]
+
+        item['load_time'] = np.float32(load_time)
+        item['proc_time'] = np.float32(proc_time)
+        return item
+
+    # -- processing helpers ---------------------------------------------
+
+    def _augm_params(self):
+        """Reference augm_params (cam_dataset.py:223-250)."""
+        flip, pn, rot, sc = 0, np.ones(3), 0.0, 1.0
+        if self.is_train:
+            a = self.aug
+            if self.rng.uniform() <= a.flip_prob:
+                flip = 1
+            pn = self.rng.uniform(1 - a.noise_factor, 1 + a.noise_factor, 3)
+            rot = float(np.clip(self.rng.randn() * a.rot_factor,
+                                -2 * a.rot_factor, 2 * a.rot_factor))
+            sc = float(np.clip(self.rng.randn() * a.scale_factor + 1,
+                               1 - a.scale_factor, 1 + a.scale_factor))
+            if self.rng.uniform() <= 0.6:
+                rot = 0.0
+        return flip, pn, rot, sc
+
+    def _rgb(self, img, center, scale, rot, flip, pn, kp2d):
+        out = T.crop(img, center, scale, [self.img_res, self.img_res],
+                     rot=rot)
+        if flip:
+            out = T.flip_img(out)
+        if self.occluders is not None and self.aug.use_occlusion:
+            out = occlude_with_objects(
+                out, self.occluders, rng=self.rng, kp2d=kp2d,
+                img_size=self.img_res)
+        if self.is_train and self.aug.use_motion_blur:
+            out = T.motion_blur(out, self.rng)
+        out = np.clip(out * pn[None, None, :], 0, 255)
+        out = out.astype(np.float32) / 255.0
+        if self.normalize:
+            out = T.normalize_img(out)
+        return out  # HWC (NHWC batches; the reference emits CHW)
+
+    def _j2d(self, kp, center, scale, rot, flip):
+        res = [self.img_res, self.img_res]
+        t = T.get_transform(center, scale, res, rot=rot)
+        # SPIN semantics (j2d_processing + transform): input kp+1, the
+        # transform subtracts 1, applies t, truncates to int, adds 1.
+        pts = np.concatenate(
+            [kp[:, :2], np.ones((kp.shape[0], 1))], axis=1)
+        mapped = (t @ pts.T).T[:, :2]
+        kp = kp.copy()
+        kp[:, :2] = mapped.astype(int) + 1
+        kp[:, :-1] = 2.0 * kp[:, :-1] / self.img_res - 1.0
+        if flip:
+            kp = T.flip_kp(kp)
+        return kp.astype(np.float32)
+
+    def _j3d(self, S, rot, flip):
+        if rot != 0:
+            rot_rad = -rot * np.pi / 180
+            sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+            R = np.eye(3)
+            R[0, :2] = [cs, -sn]
+            R[1, :2] = [sn, cs]
+            S[:, :3] = np.einsum('ij,kj->ki', R, S[:, :3])
+        if flip:
+            S = T.flip_kp(S)
+        return S.astype(np.float32)
+
+    def _pose(self, pose, rot, flip):
+        pose = pose.copy()
+        pose[:3] = T.rot_aa(pose[:3], rot)
+        if flip:
+            pose = T.flip_pose(pose)
+        return pose.astype(np.float32)
+
+
+def _euler_pitch_roll(pitch, roll):
+    """R = Rz(roll) @ Rx(pitch) — the reference's pred-cam rotation
+    (cam_dataset.py:637-639 via batch_euler2matrix([pitch, 0, roll]))."""
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
+    return (Rz @ Rx).astype(np.float32)
+
+
+def _rotate_global_aa(rotmat, aa):
+    import cv2
+    R0, _ = cv2.Rodrigues(aa.astype(np.float64))
+    out, _ = cv2.Rodrigues(rotmat.astype(np.float64) @ R0)
+    return out.reshape(3).astype(np.float32)

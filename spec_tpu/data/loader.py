@@ -1,0 +1,143 @@
+"""Host data pipeline: parallel fetch + batch collate + device prefetch.
+
+Replaces torch ``DataLoader(num_workers=8, pin_memory=True)`` (reference
+``spec/config.py:86-87``, trainer dataloaders ``spec/trainer.py:611-653``).
+Decode+crop are GIL-releasing cv2 calls, so a thread pool gets full
+parallelism without worker-process pickling; batches are stacked into
+contiguous numpy and transferred with ``jax.device_put`` one batch ahead
+(double buffering) so host IO overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import itertools
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+_NON_TENSOR_KEYS = ('imgname', 'dataset_name', 'maskname', 'partname')
+
+
+def collate(items) -> dict:
+    """Stack a list of item dicts into a batch dict (numpy), keeping
+    string fields as lists."""
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if k in _NON_TENSOR_KEYS or isinstance(vals[0], str):
+            out[k] = vals
+        else:
+            out[k] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    """Iterable over collated batches with threaded fetch + prefetch.
+
+    Args:
+      dataset: map-style dataset (``__len__`` + ``__getitem__``).
+      batch_size: static batch size. The final partial batch is padded by
+        repeating the last sample (XLA static shapes); the true count is in
+        ``batch['_valid_count']``.
+      shuffle: reshuffle indices each epoch.
+      num_workers: fetch threads.
+      prefetch: batches resident in the queue.
+      drop_last: drop the final partial batch instead of padding.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 num_workers: int = 8, prefetch: int = 2,
+                 drop_last: bool = False, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self._seed + self._epoch)
+            rng.shuffle(idx)
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_last:
+                return
+            yield chunk
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk in self._index_batches():
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, chunk))
+                    valid = len(items)
+                    while len(items) < self.batch_size:
+                        items.append(items[-1])
+                    batch = collate(items)
+                    batch['_valid_count'] = valid
+                    q.put(batch)
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def device_prefetch(iterator, sharding=None, tensor_keys=None):
+    """Move batches to device one step ahead of consumption.
+
+    Args:
+      iterator: yields numpy batch dicts.
+      sharding: optional jax Sharding for tensors (batch-sharded on a mesh).
+      tensor_keys: keys to transfer (default: every ndarray value).
+    """
+    import jax
+
+    def put(batch):
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, np.ndarray) and (
+                    tensor_keys is None or k in tensor_keys):
+                out[k] = jax.device_put(v, sharding) if sharding is not None \
+                    else jax.device_put(v)
+            else:
+                out[k] = v
+        return out
+
+    it = iter(iterator)
+    try:
+        ahead = put(next(it))
+    except StopIteration:
+        return
+    for batch in it:
+        nxt = put(batch)  # enqueue H2D before the consumer blocks
+        yield ahead
+        ahead = nxt
+    yield ahead

@@ -1,0 +1,188 @@
+"""Host-side image/keypoint transforms (SPIN center-scale-crop semantics).
+
+Re-derivation of the external ``pare.utils.image_utils`` functions the
+reference datasets use (``crop``, ``transform``, ``flip_img/kp/pose``,
+``rot_aa``, ``random_crop``; import sites reference
+``spec/dataset/cam_dataset.py:30-32``). The semantics are the classic
+Stacked-Hourglass/SPIN pipeline: a bbox is (center, scale) with side =
+scale * 200 px; the crop warps that box (optionally rotated about its
+center) to a res x res image.
+
+These run on the host in dataloader workers (decode + crop are IO-bound);
+everything downstream (normalize, flip-noise, model) is on-device. The
+implementation uses a single cv2.warpAffine with the closed-form affine
+instead of the reference's pad-slice-rotate-resize chain — same map,
+one pass, ~5x faster on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from spec_tpu.core import constants as C
+
+BBOX_SIDE = 200.0  # SPIN convention: bbox pixel side = scale * 200
+
+
+def get_transform(center, scale, res, rot=0):
+    """3x3 matrix mapping original-image points into the res x res crop
+    (the SPIN ``get_transform``): scale*200 box -> res, then rotation about
+    the crop center."""
+    h = BBOX_SIDE * scale
+    t = np.zeros((3, 3), dtype=np.float64)
+    t[0, 0] = res[1] / h
+    t[1, 1] = res[0] / h
+    t[0, 2] = res[1] * (-center[0] / h + 0.5)
+    t[1, 2] = res[0] * (-center[1] / h + 0.5)
+    t[2, 2] = 1.0
+    if rot != 0:
+        rot_rad = -rot * np.pi / 180.0  # counter-clockwise in image coords
+        sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+        rot_mat = np.eye(3)
+        rot_mat[0, :2] = [cs, -sn]
+        rot_mat[1, :2] = [sn, cs]
+        # rotate about the crop center
+        t_mat = np.eye(3)
+        t_mat[0, 2] = -res[1] / 2
+        t_mat[1, 2] = -res[0] / 2
+        t_inv = t_mat.copy()
+        t_inv[:2, 2] *= -1
+        t = t_inv @ rot_mat @ t_mat @ t
+    return t
+
+
+def transform_point(pt, center, scale, res, invert=0, rot=0):
+    """Map a (2,) point image<->crop (SPIN ``transform``). Uses the SPIN
+    1-based convention: callers pass pt+1 and the result is 1-based."""
+    t = get_transform(center, scale, res, rot=rot)
+    if invert:
+        t = np.linalg.inv(t)
+    new_pt = np.array([pt[0] - 1, pt[1] - 1, 1.0])
+    new_pt = t @ new_pt
+    return new_pt[:2].astype(int) + 1
+
+
+def crop(img, center, scale, res, rot=0):
+    """Crop (and optionally rotate) around (center, scale) to ``res``.
+
+    rot == 0 (the eval path): bit-faithful to the SPIN crop — integer
+    ul/br corners from the inverse point transform, zero-padded slice,
+    one bilinear resize. Preprocessing parity is a hard requirement for
+    the metric budget (SURVEY.md §7.4 item 3).
+
+    rot != 0 (train-only augmentation): a single warpAffine with the
+    composite map — one resampling instead of the reference's
+    pad/rotate/slice/resize chain; the augmentation is stochastic, so
+    subpixel convention drift is irrelevant there.
+    """
+    if rot == 0:
+        ul = transform_point([1, 1], center, scale, res, invert=1) - 1
+        br = transform_point([res[0] + 1, res[1] + 1], center, scale, res,
+                             invert=1) - 1
+        new_shape = [br[1] - ul[1], br[0] - ul[0]]
+        if img.ndim > 2:
+            new_shape += [img.shape[2]]
+        new_img = np.zeros(new_shape, dtype=np.float32)
+        new_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
+        new_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
+        old_x = max(0, ul[0]), min(img.shape[1], br[0])
+        old_y = max(0, ul[1]), min(img.shape[0], br[1])
+        if new_x[1] > new_x[0] and new_y[1] > new_y[0]:
+            new_img[new_y[0]:new_y[1], new_x[0]:new_x[1]] = \
+                img[old_y[0]:old_y[1], old_x[0]:old_x[1]]
+        return cv2.resize(new_img, (int(res[1]), int(res[0])),
+                          interpolation=cv2.INTER_LINEAR)
+
+    t = get_transform(center, scale, res, rot=rot)
+    M = t[:2, :].astype(np.float32)
+    return cv2.warpAffine(
+        img.astype(np.float32), M, (int(res[1]), int(res[0])),
+        flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+        borderValue=0)
+
+
+def flip_img(img):
+    """Horizontal flip (reference ``flip_img``)."""
+    return np.ascontiguousarray(img[:, ::-1])
+
+
+def flip_kp(kp):
+    """Flip 2D/3D keypoints in the 49-joint layout: negate x and permute
+    left/right (reference ``flip_kp`` + spec/constants.py J49 perm)."""
+    kp = kp[C.J49_FLIP_PERM] if kp.shape[0] == 49 else kp[C.J24_FLIP_PERM]
+    kp[:, 0] = -kp[:, 0]
+    return kp
+
+
+def flip_pose(pose):
+    """Flip SMPL axis-angle pose (72,): permute joints L<->R and negate the
+    y/z rotation components (reference ``flip_pose``)."""
+    pose = pose[C.SMPL_POSE_FLIP_PERM]
+    pose[1::3] = -pose[1::3]
+    pose[2::3] = -pose[2::3]
+    return pose
+
+
+def rot_aa(aa, rot):
+    """Rotate the global orientation axis-angle by an in-plane rotation of
+    ``rot`` degrees (reference ``rot_aa``)."""
+    if rot == 0:
+        return aa
+    import cv2 as _cv2
+    rot_rad = -rot * np.pi / 180.0
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    R = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]], dtype=np.float64)
+    per_rdg, _ = _cv2.Rodrigues(aa.astype(np.float64))
+    res_rot, _ = _cv2.Rodrigues(R @ per_rdg)
+    return res_rot.reshape(3).astype(aa.dtype)
+
+
+def random_crop(center, scale, crop_scale_factor, axis='all', rng=None):
+    """Shrink the bbox to a random sub-crop (reference ``random_crop``):
+    new side = side * crop_scale_factor, center jittered so the sub-box
+    stays inside the original box. ``axis`` limits the jitter direction."""
+    rng = rng or np.random
+    h = BBOX_SIDE * scale
+    new_h = h * crop_scale_factor
+    space = (h - new_h) / 2.0
+    new_center = np.asarray(center, np.float64).copy()
+    if axis in ('all', 'x'):
+        new_center[0] += rng.uniform(-space, space)
+    if axis in ('all', 'y'):
+        new_center[1] += rng.uniform(-space, space)
+    return new_center, new_h / BBOX_SIDE
+
+
+def read_img(path):
+    """RGB float image load (reference ``read_img``: cv2 BGR->RGB)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+def motion_blur(img, rng, p=0.5, kernel_range=(3, 7)):
+    """Albumentations-MotionBlur equivalent (reference
+    spec/dataset/cam_dataset.py:267-272): random-direction line kernel."""
+    if rng.rand() >= p:
+        return img
+    k = int(rng.randint(kernel_range[0], kernel_range[1] + 1)) | 1
+    kernel = np.zeros((k, k), np.float32)
+    x1, y1 = rng.randint(0, k), rng.randint(0, k)
+    x2, y2 = rng.randint(0, k), rng.randint(0, k)
+    cv2.line(kernel, (x1, y1), (x2, y2), 1.0, thickness=1)
+    s = kernel.sum()
+    if s == 0:
+        return img
+    return cv2.filter2D(img, -1, kernel / s)
+
+
+def normalize_img(img_hwc: np.ndarray) -> np.ndarray:
+    """[0,1] float HWC -> ImageNet-normalized float32 HWC (NHWC for TPU;
+    the reference normalizes CHW tensors)."""
+    return ((img_hwc - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)

@@ -1,0 +1,49 @@
+"""Train state: params + BN stats + optax optimizer, as a pytree.
+
+Replaces the reference's PyTorch-Lightning module state (``spec/trainer.py``,
+``camcalib/trainer.py``) with an explicit functional state that pjit can
+shard/replicate and orbax can checkpoint directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import optax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: Any          # scalar int32
+    params: Any        # model parameters pytree
+    batch_stats: Any   # BatchNorm running stats pytree
+    opt_state: Any     # optax state
+
+    def variables(self) -> dict:
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+
+def adam(learning_rate: float = 1e-4, weight_decay: float = 0.0):
+    """The reference optimizer: plain Adam, optional (off-by-default) weight
+    decay (reference ``spec/trainer.py:564-569``, LR default
+    ``spec/config.py:118``)."""
+    if weight_decay:
+        return optax.adamw(learning_rate, weight_decay=weight_decay)
+    return optax.adam(learning_rate)
+
+
+def create_train_state(
+    variables: dict, tx: optax.GradientTransformation
+) -> TrainState:
+    import jax.numpy as jnp
+
+    params = variables['params']
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(params),
+    )

@@ -1,0 +1,190 @@
+"""Data layer tests: SPIN crop/transform parity against an independent
+pad-slice-resize implementation, dataset contract on a synthetic npz,
+mixed-ratio sampling, and the threaded loader."""
+
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from spec_tpu.core import constants as C
+from spec_tpu.data import (
+    AugmentationConfig,
+    CamDataset,
+    DataLoader,
+    MixedCamDataset,
+    collate,
+    parse_datasets_ratios,
+)
+from spec_tpu.data import transforms as T
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def reference_style_crop(img, center, scale, res):
+    """Independent reimplementation of the classic SPIN crop (no rotation):
+    compute ul/br via the inverse point transform, pad-slice, resize."""
+    ul = T.transform_point([1, 1], center, scale, res, invert=1) - 1
+    br = T.transform_point([res[0] + 1, res[1] + 1], center, scale, res,
+                           invert=1) - 1
+    new_shape = [br[1] - ul[1], br[0] - ul[0]]
+    if len(img.shape) > 2:
+        new_shape += [img.shape[2]]
+    new_img = np.zeros(new_shape, dtype=np.float32)
+    new_x = max(0, -ul[0]), min(br[0], img.shape[1]) - ul[0]
+    new_y = max(0, -ul[1]), min(br[1], img.shape[0]) - ul[1]
+    old_x = max(0, ul[0]), min(img.shape[1], br[0])
+    old_y = max(0, ul[1]), min(img.shape[0], br[1])
+    new_img[new_y[0]:new_y[1], new_x[0]:new_x[1]] = \
+        img[old_y[0]:old_y[1], old_x[0]:old_x[1]]
+    return cv2.resize(new_img, (res[1], res[0]),
+                      interpolation=cv2.INTER_LINEAR)
+
+
+def test_crop_matches_reference_style(rng):
+    img = (rng.rand(300, 400, 3) * 255).astype(np.float32)
+    center = np.array([210.0, 160.0])
+    scale = 0.9
+    res = [224, 224]
+    mine = T.crop(img, center, scale, res)
+    ref = reference_style_crop(img, center, scale, res)
+    np.testing.assert_allclose(mine, ref, atol=1e-4)  # exact path
+
+
+def test_crop_shapes_and_range(rng):
+    img = (rng.rand(123, 77, 3) * 255).astype(np.float32)
+    out = T.crop(img, [38.0, 61.0], 0.4, [224, 224], rot=15.0)
+    assert out.shape == (224, 224, 3)
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_flip_pose_involution(rng):
+    pose = rng.randn(72).astype(np.float32)
+    np.testing.assert_allclose(T.flip_pose(T.flip_pose(pose.copy())), pose)
+
+
+def test_flip_kp_involution(rng):
+    kp = rng.randn(49, 3).astype(np.float32)
+    np.testing.assert_allclose(T.flip_kp(T.flip_kp(kp.copy())), kp)
+
+
+def test_rot_aa_matches_manual(rng):
+    aa = rng.randn(3).astype(np.float32) * 0.5
+    out = T.rot_aa(aa.copy(), 30.0)
+    R0, _ = cv2.Rodrigues(aa.astype(np.float64))
+    rot_rad = -30.0 * np.pi / 180
+    sn, cs = np.sin(rot_rad), np.cos(rot_rad)
+    Rz = np.array([[cs, -sn, 0], [sn, cs, 0], [0, 0, 1]])
+    expect, _ = cv2.Rodrigues(Rz @ R0)
+    np.testing.assert_allclose(out, expect.reshape(3), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# dataset
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def synthetic_dataset(tmp_path, rng):
+    n = 12
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    names = []
+    for i in range(n):
+        name = f'im_{i:03d}.jpg'
+        img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / name), img)
+        names.append(name)
+
+    annot = dict(
+        imgname=np.array(names),
+        scale=(rng.rand(n) * 0.5 + 0.8).astype('f4'),
+        center=np.stack([rng.rand(n) * 100 + 110,
+                         rng.rand(n) * 80 + 80], 1).astype('f4'),
+        pose=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        has_smpl=np.ones(n, 'f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 200,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        openpose=np.zeros((n, 25, 3), 'f4'),
+        gender=np.array(['m', 'f'] * (n // 2)),
+        cam_rotmat=np.tile(np.eye(3, dtype='f4'), (n, 1, 1)),
+        cam_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        cam_roll=(rng.randn(n) * 0.05).astype('f4'),
+        cam_int=np.tile(np.array(
+            [[1000, 0, 160], [0, 1000, 120], [0, 0, 1]], 'f4'), (n, 1, 1)),
+        focal_length=np.full(n, 1000.0, 'f4'),
+        camcalib_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        camcalib_roll=(rng.randn(n) * 0.05).astype('f4'),
+        camcalib_vfov=(rng.rand(n) * 0.5 + 0.6).astype('f4'),
+        camcalib_f_pix=(rng.rand(n) * 500 + 800).astype('f4'),
+    )
+    annot_file = tmp_path / 'annots.npz'
+    np.savez(annot_file, **annot)
+    return str(annot_file), str(img_dir), annot
+
+
+def test_cam_dataset_eval_item(synthetic_dataset):
+    annot_file, img_dir, annot = synthetic_dataset
+    ds = CamDataset(annot_file, img_dir, dataset='3dpw-test-cam',
+                    is_train=False)
+    assert len(ds) == 12
+    item = ds[3]
+    assert item['img'].shape == (224, 224, 3)
+    assert item['img'].dtype == np.float32
+    assert 0.0 <= item['img'].min() and item['img'].max() <= 1.0
+    assert item['pose'].shape == (72,)
+    assert item['keypoints'].shape == (49, 3)
+    assert item['keypoints_orig'].shape == (49, 3)
+    assert item['pose_3d'].shape == (24, 4)
+    assert item['cam_int'].shape == (3, 3)
+    assert item['pred_cam_rotmat'].shape == (3, 3)
+    assert item['pred_cam_int'][0, 0] == annot['camcalib_f_pix'][3]
+    # pred rotmat is a rotation
+    R = item['pred_cam_rotmat']
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert item['gender'] in (0, 1)
+
+
+def test_cam_dataset_train_item_augs(synthetic_dataset):
+    annot_file, img_dir, _ = synthetic_dataset
+    aug = AugmentationConfig(flip_prob=1.0, rot_factor=30.0)
+    ds = CamDataset(annot_file, img_dir, dataset='spec-syn', is_train=True,
+                    aug=aug)
+    item = ds[0]
+    assert item['is_flipped'] == 1.0
+    assert 'pred_cam_rotmat' not in item  # eval-only field
+    assert item['img'].shape == (224, 224, 3)
+
+
+def test_mixed_dataset_ratio(synthetic_dataset):
+    annot_file, img_dir, _ = synthetic_dataset
+    d1 = CamDataset(annot_file, img_dir, dataset='a', is_train=True)
+    d2 = CamDataset(annot_file, img_dir, dataset='b', is_train=True)
+    names, ratios = parse_datasets_ratios('a_b_0.2_0.8')
+    assert names == ['a', 'b'] and ratios == [0.2, 0.8]
+    mix = MixedCamDataset([d1, d2], ratios, seed=1)
+    counts = {'a': 0, 'b': 0}
+    for i in range(200):
+        counts[mix[i]['dataset_name']] += 1
+    assert counts['b'] > counts['a'] * 2
+
+
+def test_loader_batches_and_padding(synthetic_dataset):
+    annot_file, img_dir, _ = synthetic_dataset
+    ds = CamDataset(annot_file, img_dir, dataset='3dpw-test-cam',
+                    is_train=False)
+    loader = DataLoader(ds, batch_size=8, num_workers=4)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]['img'].shape == (8, 224, 224, 3)
+    assert batches[0]['_valid_count'] == 8
+    assert batches[1]['img'].shape == (8, 224, 224, 3)  # padded
+    assert batches[1]['_valid_count'] == 4
+    assert len(batches[0]['imgname']) == 8
+    assert isinstance(batches[0]['imgname'][0], str)
