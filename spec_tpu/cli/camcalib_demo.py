@@ -1,0 +1,120 @@
+"""CamCalib inference CLI.
+
+Mirror of reference ``scripts/camcalib_demo.py`` (flags, pickle fields
+``{vfov, f_pix, pitch, roll}`` per image, horizon-line overlay PNGs) —
+but batched + jitted per shape bucket on device instead of the
+reference's per-image batch-1 python loop (:95-100).
+
+Usage:
+  python -m spec_tpu.cli.camcalib_demo --img_folder in/ --out_folder out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import joblib
+import numpy as np
+
+from spec_tpu.core import bins
+from spec_tpu.data.image_folder import ImageFolder, list_images
+from spec_tpu.utils import paths
+from spec_tpu.utils.vis import draw_horizon_line
+
+
+def run_camcalib_on_folder(
+    img_folder: str,
+    out_folder: str,
+    ckpt: str = '',
+    loss_type: str = 'softargmax_l2',
+    backbone: str = 'resnet50',
+    batch_size: int = 16,
+    save_images: bool = True,
+    min_size: int = 600,
+):
+    """Returns {imgname: {vfov, f_pix, pitch, roll}} and writes per-image
+    pickles (the stage-1 -> stage-2 ABI the reference keeps,
+    spec/utils/cam_params.py:24-49)."""
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.models import CameraRegressorNetwork
+    from spec_tpu.utils.checkpoints import load_camcalib_variables
+
+    ckpt = ckpt or paths.camcalib_checkpoint_path()
+    dataset = ImageFolder(list_images(img_folder), min_size=min_size)
+    os.makedirs(out_folder, exist_ok=True)
+
+    model = CameraRegressorNetwork(backbone=backbone, num_fc_layers=1)
+    if os.path.exists(ckpt):
+        variables = load_camcalib_variables(ckpt, backbone=backbone)
+    else:
+        print(f'[camcalib] WARNING: checkpoint {ckpt} not found; '
+              'using random init (angles will be meaningless)')
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, min_size, min_size, 3), jnp.float32))
+
+    @jax.jit
+    def infer(batch_img):
+        logits = model.apply(variables, batch_img)
+        return bins.convert_preds_to_angles(*logits, loss_type=loss_type)
+
+    results = {}
+    t0 = time.perf_counter()
+    n = 0
+    for (h, w), idxs in dataset.shape_buckets().items():
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s:s + batch_size]
+            items = [dataset[i] for i in chunk]
+            imgs = np.stack([it['img'] for it in items])
+            pad = batch_size - len(items) if len(chunk) == batch_size else 0
+            vfov, pitch, roll = infer(jnp.asarray(imgs))
+            vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
+                                 np.asarray(roll))
+            for k, it in enumerate(items):
+                orig_w, orig_h = it['orig_shape']
+                f_pix = orig_h / 2.0 / np.tan(vfov[k] / 2.0)
+                res = {
+                    'vfov': np.float32(vfov[k]),
+                    'f_pix': np.float32(f_pix),
+                    'pitch': np.float32(pitch[k]),
+                    'roll': np.float32(roll[k]),
+                }
+                base = os.path.basename(it['imgname'])
+                joblib.dump(res, os.path.join(out_folder, base + '.pkl'))
+                results[it['imgname']] = res
+                n += 1
+                if save_images:
+                    from PIL import Image
+                    pil = Image.open(it['imgname']).convert('RGB')
+                    vis = draw_horizon_line(
+                        np.asarray(pil), vfov[k], pitch[k], roll[k])
+                    Image.fromarray(vis).save(
+                        os.path.join(out_folder, base))
+    dt = time.perf_counter() - t0
+    print(f'[camcalib] {n} images in {dt:.2f}s ({n / max(dt, 1e-6):.1f} '
+          'img/s incl. IO)')
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description='CamCalib demo (TPU)')
+    parser.add_argument('--img_folder', type=str, required=True)
+    parser.add_argument('--out_folder', type=str, required=True)
+    parser.add_argument('--loss', type=str, default='softargmax_l2')
+    parser.add_argument('--ckpt', type=str, default='')
+    parser.add_argument('--backbone', type=str, default='resnet50')
+    parser.add_argument('--batch_size', type=int, default=16)
+    parser.add_argument('--no_save', action='store_true',
+                        help='do not save horizon-line images')
+    args = parser.parse_args()
+    run_camcalib_on_folder(
+        args.img_folder, args.out_folder, ckpt=args.ckpt,
+        loss_type=args.loss, backbone=args.backbone,
+        batch_size=args.batch_size, save_images=not args.no_save)
+
+
+if __name__ == '__main__':
+    main()

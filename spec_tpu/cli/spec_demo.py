@@ -1,0 +1,238 @@
+"""SPEC demo CLI: full two-stage pipeline on an image folder.
+
+Mirror of reference ``scripts/spec_demo.py`` + ``spec/tester.py:40-209``
+with the TPU-native restructuring (SURVEY.md §2.4):
+
+  * CamCalib runs **in-process** (one jitted batch per shape bucket) —
+    the reference forks ``python scripts/camcalib_demo.py`` and round-trips
+    through pickle files (spec/tester.py:86-88); the pickles are still
+    written for output compatibility.
+  * Detections come from a precomputed file (``--bbox_file``) or a
+    whole-image fallback (``--full_frame_bbox``) — the reference's YOLOv3
+    dependency is pluggable, not baked in.
+  * All person crops across all images run as fixed-size padded batches
+    through ONE compiled SPEC graph (the reference compiles per image with
+    a dynamic person count).
+
+Outputs per image: ``spec_results/<img>.pkl`` with the model output dict
+(smpl_vertices/joints3d/joints2d, pred_cam_t, pred_pose/shape/cam), and
+overlay renders when rendering is enabled.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import joblib
+import numpy as np
+
+from spec_tpu.data.detection import (
+    bbox_to_center_scale,
+    full_image_bboxes,
+    load_bboxes_file,
+)
+from spec_tpu.data.image_folder import list_images
+from spec_tpu.data.transforms import crop as spin_crop, normalize_img
+from spec_tpu.utils import paths
+from spec_tpu.utils.cam_params import read_cam_params
+
+
+def run_spec_on_folder(
+    image_folder: str,
+    output_folder: str,
+    spec_ckpt: str = '',
+    camcalib_ckpt: str = '',
+    bbox_file: str = '',
+    batch_size: int = 32,
+    img_res: int = 224,
+    save_results: bool = True,
+    render: bool = True,
+    smpl_model_dir: str = '',
+    detection_threshold: float = 0.7,
+):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.cli.camcalib_demo import run_camcalib_on_folder
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+    from spec_tpu.utils.checkpoints import load_spec_variables
+
+    os.makedirs(output_folder, exist_ok=True)
+    cam_out = os.path.join(output_folder, 'camcalib')
+    res_out = os.path.join(output_folder, 'spec_results')
+    img_out = os.path.join(output_folder, 'spec_images')
+    for d in (cam_out, res_out, img_out):
+        os.makedirs(d, exist_ok=True)
+
+    t_start = time.perf_counter()
+
+    # Stage 1: CamCalib, in-process.
+    run_camcalib_on_folder(
+        image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False)
+
+    # Detections.
+    image_names = list_images(image_folder)
+    shapes = {}
+    for name in image_names:
+        from PIL import Image
+        with Image.open(name) as im:
+            w, h = im.size
+        shapes[os.path.basename(name)] = (h, w)
+    if bbox_file:
+        dets = load_bboxes_file(bbox_file)
+    else:
+        print('[spec] no --bbox_file given; using full-frame boxes')
+        dets = full_image_bboxes(shapes)
+
+    # SMPL assets + model.
+    smpl_dir = smpl_model_dir or paths.smpl_model_dir()
+    if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
+        assets = S.load_smpl_assets(
+            smpl_dir, gender='neutral',
+            j_regressor_extra_path=paths.j_regressor_extra_path(),
+            j_regressor_h36m_path=paths.j_regressor_h36m_path())
+    else:
+        print(f'[spec] WARNING: SMPL assets not found at {smpl_dir}; '
+              'using synthetic test assets (meshes will be meaningless)')
+        assets = S.create_test_assets()
+
+    model = HMR(backbone='resnet50', use_cam=True, use_cam_feats=False)
+    spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
+    if os.path.exists(spec_ckpt):
+        variables = load_spec_variables(spec_ckpt)
+    else:
+        print(f'[spec] WARNING: checkpoint {spec_ckpt} not found; '
+              'using random init')
+        ex = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
+        eye = jnp.tile(jnp.eye(3), (1, 1, 1))
+        one = jnp.ones((1,))
+        variables = model.init(
+            jax.random.PRNGKey(0), assets, ex, eye, eye, one,
+            jnp.ones((1, 2)), one, one)
+
+    @jax.jit
+    def infer(images, cam_rotmat, K, scale, center, img_w, img_h):
+        return model.apply(variables, assets, images, cam_rotmat, K,
+                           scale, center, img_w, img_h)
+
+    # Flatten all detections into one work list.
+    work = []  # (imgname, det_idx, center, scale, cam_rotmat, K, w, h)
+    images_cache = {}
+    for name in image_names:
+        base = os.path.basename(name)
+        if base not in dets or len(dets[base]) == 0:
+            continue
+        h, w = shapes[base]
+        rotmat, K, *_ = read_cam_params(
+            os.path.join(cam_out, base + '.pkl'), w, h)
+        centers, scales = bbox_to_center_scale(dets[base])
+        for di in range(len(centers)):
+            work.append((name, di, centers[di], scales[di], rotmat, K, w, h))
+
+    n_model_time = 0.0
+    outputs_per_image: dict = {}
+    for s in range(0, len(work), batch_size):
+        chunk = work[s:s + batch_size]
+        n_valid = len(chunk)
+        while len(chunk) < batch_size:
+            chunk = chunk + [chunk[-1]]
+        crops, metas = [], []
+        for (name, di, center, scale, rotmat, K, w, h) in chunk:
+            if name not in images_cache:
+                img = cv2.cvtColor(cv2.imread(name), cv2.COLOR_BGR2RGB)
+                images_cache[name] = img.astype(np.float32)
+            c = spin_crop(images_cache[name], center, scale,
+                          [img_res, img_res])
+            crops.append(normalize_img(c / 255.0))
+            metas.append((name, di, center, scale, rotmat, K, w, h))
+
+        arr = jnp.asarray(np.stack(crops))
+        rot = jnp.asarray(np.stack([m[4] for m in metas]))
+        Ks = jnp.asarray(np.stack([m[5] for m in metas]))
+        scl = jnp.asarray(np.array([m[3] for m in metas], np.float32))
+        ctr = jnp.asarray(np.stack([m[2] for m in metas]).astype(np.float32))
+        ws = jnp.asarray(np.array([m[6] for m in metas], np.float32))
+        hs = jnp.asarray(np.array([m[7] for m in metas], np.float32))
+
+        t0 = time.perf_counter()
+        out = infer(arr, rot, Ks, scl, ctr, ws, hs)
+        jax.block_until_ready(out['smpl_vertices'])
+        n_model_time += time.perf_counter() - t0
+
+        out_np = {k: np.asarray(v) for k, v in out.items()}
+        for bi in range(n_valid):
+            name = metas[bi][0]
+            outputs_per_image.setdefault(name, []).append(
+                {k: v[bi] for k, v in out_np.items()})
+
+    # Dump per-image results (reference layout spec/tester.py:158-163).
+    for name, person_outs in outputs_per_image.items():
+        merged = {k: np.stack([p[k] for p in person_outs])
+                  for k in person_outs[0]}
+        base = os.path.basename(name)
+        stem = base.rsplit('.', 1)[0]
+        if save_results:
+            joblib.dump(merged, os.path.join(res_out, stem + '.pkl'))
+        if render:
+            _render_overlays(name, merged, cam_out, img_out, assets)
+
+    n_img = len(outputs_per_image)
+    total = time.perf_counter() - t_start
+    print(f'[spec] {n_img} images / {len(work)} crops; model time '
+          f'{n_model_time:.2f}s; e2e {total:.2f}s '
+          f'({n_img / max(total, 1e-6):.1f} img/s incl. IO)')
+    return outputs_per_image
+
+
+def _render_overlays(imgname, merged, cam_out, img_out, assets):
+    """Joints2d + horizon overlay (host, cv2). Mesh rendering is provided
+    by spec_tpu.utils.renderer when enabled."""
+    import cv2
+    from spec_tpu.utils.vis import draw_horizon_line, draw_skeleton
+
+    base = os.path.basename(imgname)
+    img = cv2.cvtColor(cv2.imread(imgname), cv2.COLOR_BGR2RGB)
+    data = joblib.load(os.path.join(cam_out, base + '.pkl'))
+    vis = draw_horizon_line(img, float(data['vfov']), float(data['pitch']),
+                            float(data['roll']), debug_text=False)
+    for kp in merged['smpl_joints2d']:
+        vis = draw_skeleton(vis, kp)
+    try:
+        from spec_tpu.utils.renderer import render_mesh_overlay
+        vis = render_mesh_overlay(
+            vis, merged['smpl_vertices'], merged['pred_cam_t'],
+            np.asarray(assets.faces),
+            focal_length=float(data['f_pix']),
+            pitch=float(data['pitch']), roll=float(data['roll']))
+    except Exception:
+        pass  # mesh overlay optional
+    cv2.imwrite(os.path.join(img_out, base),
+                cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+
+
+def main():
+    parser = argparse.ArgumentParser(description='SPEC demo (TPU)')
+    parser.add_argument('--image_folder', type=str, required=True)
+    parser.add_argument('--output_folder', type=str, default='logs/demo')
+    parser.add_argument('--spec_ckpt', type=str, default='')
+    parser.add_argument('--camcalib_ckpt', type=str, default='')
+    parser.add_argument('--bbox_file', type=str, default='',
+                        help='precomputed detections json/npz '
+                             '{img: [[cx,cy,w,h],...]}')
+    parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--no_save', action='store_true')
+    parser.add_argument('--no_render', action='store_true')
+    parser.add_argument('--smpl_model_dir', type=str, default='')
+    args = parser.parse_args()
+    run_spec_on_folder(
+        args.image_folder, args.output_folder, spec_ckpt=args.spec_ckpt,
+        camcalib_ckpt=args.camcalib_ckpt, bbox_file=args.bbox_file,
+        batch_size=args.batch_size, save_results=not args.no_save,
+        render=not args.no_render, smpl_model_dir=args.smpl_model_dir)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,59 @@
+"""Person detection for the demo pipeline.
+
+The reference shells out to YOLOv3 through ``multi_person_tracker``
+(``spec/tester.py:73-84``) to get per-image person bboxes in
+``[cx, cy, w, h]`` format (bbox scale = w / 200 downstream,
+``spec/tester.py:127-128``). That stack is CUDA/torch-specific; here
+detection is pluggable:
+
+  * ``load_bboxes_file`` — precomputed detections (json / npz), the
+    production path: any detector can feed the pipeline.
+  * ``full_image_bboxes`` — single whole-image box per frame, the
+    zero-dependency fallback for quick demos.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+
+def load_bboxes_file(path: str) -> Dict[str, np.ndarray]:
+    """Load {image_basename: (N, 4) [cx, cy, w, h]} detections.
+
+    json: {"img.jpg": [[cx,cy,w,h], ...], ...}
+    npz:  arrays keyed by basename.
+    """
+    if path.endswith('.json'):
+        with open(path) as f:
+            raw = json.load(f)
+        return {k: np.asarray(v, np.float32).reshape(-1, 4)
+                for k, v in raw.items()}
+    data = np.load(path, allow_pickle=True)
+    return {k: np.asarray(data[k], np.float32).reshape(-1, 4)
+            for k in data.files}
+
+
+def full_image_bboxes(image_shapes: Dict[str, tuple],
+                      margin: float = 0.05) -> Dict[str, np.ndarray]:
+    """One centered box per image covering (1 - 2*margin) of the frame."""
+    out = {}
+    for name, (h, w) in image_shapes.items():
+        box_w = w * (1 - 2 * margin)
+        box_h = h * (1 - 2 * margin)
+        side = max(box_w, box_h)
+        out[name] = np.array([[w / 2.0, h / 2.0, side, side]], np.float32)
+    return out
+
+
+def bbox_to_center_scale(bboxes: np.ndarray, scale_factor: float = 1.0):
+    """[cx, cy, w, h] -> (center (N,2), scale (N,)) with the SPIN
+    convention scale = max_side * scale_factor / 200 (the reference uses
+    w/200 on MPT's square boxes, spec/tester.py:127-128)."""
+    center = bboxes[:, :2].astype(np.float32)
+    scale = (np.maximum(bboxes[:, 2], bboxes[:, 3])
+             * scale_factor / 200.0).astype(np.float32)
+    return center, scale

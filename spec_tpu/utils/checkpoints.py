@@ -1,0 +1,116 @@
+"""Checkpoint IO: torch-dialect converters + orbax-native save/load.
+
+The reference handles three torch checkpoint dialects (SURVEY.md §5.4):
+lightning ``.ckpt`` (``state_dict`` with ``model.`` prefixes), PARE/
+backbone-format plain state_dicts, and legacy SPIN ``model_checkpoint.pt``
+(weights under ``['model']``). :func:`load_torch_state_dict` normalizes all
+three to a flat name->ndarray dict; the model-specific converters map that
+into flax variables. Native checkpoints use orbax (TrainState pytrees).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load any of the three torch dialects -> flat {name: np.ndarray},
+    with lightning ``model.`` prefixes stripped."""
+    import torch
+
+    blob = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(blob, dict) and 'state_dict' in blob:
+        sd = blob['state_dict']          # lightning
+    elif isinstance(blob, dict) and 'model' in blob and not any(
+            hasattr(v, 'numpy') for v in list(blob.values())[:3]
+            if not isinstance(v, dict)):
+        sd = blob['model']               # legacy SPIN
+    else:
+        sd = blob                        # plain state_dict
+    out = {}
+    for k, v in sd.items():
+        if k.startswith('model.'):
+            k = k[len('model.'):]
+        try:
+            out[k] = v.detach().cpu().numpy()
+        except AttributeError:
+            out[k] = np.asarray(v)
+    return out
+
+
+def load_camcalib_variables(
+    path: str, backbone: str = 'resnet50', num_fc_layers: int = 1,
+) -> dict:
+    """Released CamCalib ckpt -> flax variables (reference ckpt:
+    ``camcalib_sa_biased_l2.ckpt``, resnet50 + 1 fc layer,
+    scripts/camcalib_demo.py:39,74-81)."""
+    from spec_tpu.models import convert_torch_camcalib_params
+
+    sd = load_torch_state_dict(path)
+    return convert_torch_camcalib_params(
+        sd, backbone=backbone, num_fc_layers=num_fc_layers)
+
+
+def load_spec_variables(path: str, backbone: str = 'resnet50') -> dict:
+    """Released SPEC ckpt -> flax variables (``spec_checkpoint.ckpt``,
+    spec/tester.py:63-71)."""
+    from spec_tpu.models import convert_torch_hmr_params
+
+    sd = load_torch_state_dict(path)
+    return convert_torch_hmr_params(sd, backbone=backbone)
+
+
+# ---------------------------------------------------------------------------
+# Native (orbax) checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(directory: str, state, step: int, keep: int = 30):
+    """Save a TrainState with orbax, keeping the ``keep`` most recent
+    (the reference keeps top-30 by val loss, scripts/spec_train.py:92-98;
+    ranking happens in the trainer which calls :func:`prune_checkpoints`)."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.join(directory, f'step_{step:08d}'), state,
+                   force=True)
+    _keep_latest(directory, keep)
+
+
+def restore_checkpoint(directory: str, template, step: Optional[int] = None):
+    """Restore the given (or latest) step into the ``template`` pytree."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    steps = sorted(
+        int(d.split('_')[1]) for d in os.listdir(directory)
+        if d.startswith('step_'))
+    if not steps:
+        raise FileNotFoundError(f'no checkpoints in {directory}')
+    step = steps[-1] if step is None else step
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(
+            os.path.join(directory, f'step_{step:08d}'), item=template)
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(
+        int(d.split('_')[1]) for d in os.listdir(directory)
+        if d.startswith('step_'))
+    return steps[-1] if steps else None
+
+
+def _keep_latest(directory: str, keep: int):
+    import shutil
+
+    steps = sorted(
+        d for d in os.listdir(directory) if d.startswith('step_'))
+    for d in steps[:-keep]:
+        shutil.rmtree(os.path.join(directory, d), ignore_errors=True)

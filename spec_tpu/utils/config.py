@@ -1,0 +1,327 @@
+"""Config system: attribute-tree configs, YAML merge, CLI opts, grid search.
+
+Self-contained rebuild of the reference's yacs-based machinery
+(``spec/config.py:62-336``, ``camcalib/config.py:36-164``): hierarchical
+defaults, ``update_hparams(yaml)`` merging, ``--opts K V`` overrides, and
+the distinctive **grid-search expansion** — any list-valued YAML leaf
+spawns the cartesian product of configs, ``cfg_id`` selects one, and the
+chosen hyper-param values are baked into the logdir name
+(``spec/config.py:186-244,288-297``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import operator
+import os
+import time
+from functools import reduce
+from typing import List, Optional, Union
+
+import yaml
+
+
+class CfgNode(dict):
+    """Nested attribute dict (yacs-lite)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    def __setattr__(self, k, v):
+        self[k] = v
+
+    @classmethod
+    def from_dict(cls, d: dict) -> 'CfgNode':
+        node = cls()
+        for k, v in d.items():
+            node[k] = cls.from_dict(v) if isinstance(v, dict) else v
+        return node
+
+    def clone(self) -> 'CfgNode':
+        return CfgNode.from_dict(self.to_dict())
+
+    def to_dict(self) -> dict:
+        return {k: v.to_dict() if isinstance(v, CfgNode) else v
+                for k, v in self.items()}
+
+    def merge_from_dict(self, other: dict):
+        for k, v in other.items():
+            if isinstance(v, dict) and isinstance(self.get(k), CfgNode):
+                self[k].merge_from_dict(v)
+            else:
+                self[k] = CfgNode.from_dict(v) if isinstance(v, dict) else v
+
+    def merge_from_file(self, path: str):
+        with open(path) as f:
+            self.merge_from_dict(yaml.safe_load(f) or {})
+
+    def merge_from_list(self, opts: List[str]):
+        """``['TRAINING.MAX_EPOCHS', '10', ...]`` CLI override pairs
+        (the reference's ``--opts``, spec/config.py:270)."""
+        assert len(opts) % 2 == 0, f'odd --opts list: {opts}'
+        for key, val in zip(opts[0::2], opts[1::2]):
+            node = self
+            parts = key.split('.')
+            for p in parts[:-1]:
+                node = node[p]
+            old = node.get(parts[-1])
+            node[parts[-1]] = _coerce(val, old)
+
+    def dump(self, path: str):
+        with open(path, 'w') as f:
+            yaml.safe_dump(self.to_dict(), f, default_flow_style=False)
+
+
+def _coerce(val: str, old):
+    if isinstance(old, bool):
+        return val in ('True', 'true', '1')
+    if isinstance(old, int) and not isinstance(old, bool):
+        try:
+            return int(val)
+        except ValueError:
+            return float(val)
+    if isinstance(old, float):
+        return float(val)
+    if isinstance(old, list):
+        return yaml.safe_load(val)
+    try:
+        return yaml.safe_load(val)
+    except Exception:
+        return val
+
+
+# ---------------------------------------------------------------------------
+# Grid search (reference spec/config.py:186-244)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(d: dict, prefix: str = '') -> dict:
+    out = {}
+    for k, v in d.items():
+        key = f'{prefix}/{k}' if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflatten(d: dict) -> dict:
+    out: dict = {}
+    for k, v in d.items():
+        node = out
+        parts = k.split('/')
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def get_grid_search_configs(config: dict, excluded_keys: List[str] = ()):
+    """Expand list-valued leaves into the cartesian product of configs.
+
+    Booleans round-trip through strings so itertools.product treats them as
+    single values (the reference quirk at spec/config.py:192-239).
+    Returns (experiments, hyper_param_keys).
+    """
+    flat = _flatten(config)
+    hyper_params = []
+
+    for k, v in flat.items():
+        if isinstance(v, list):
+            if k in excluded_keys:
+                flat[k] = ['+'.join(str(x) for x in v)]
+            elif len(v) > 1:
+                hyper_params.append(k)
+            if v and isinstance(v[0], bool):
+                flat[k] = [str(x) for x in v]
+        elif isinstance(v, bool):
+            flat[k] = [str(v)]
+        else:
+            flat[k] = [v]
+
+    keys, values = zip(*flat.items()) if flat else ((), ())
+    experiments = [dict(zip(keys, combo))
+                   for combo in itertools.product(*values)]
+
+    for exp in experiments:
+        for param in excluded_keys:
+            if param in exp:
+                exp[param] = str(exp[param]).strip().split('+')
+        for k, v in exp.items():
+            if v == 'True':
+                exp[k] = True
+            elif v == 'False':
+                exp[k] = False
+    return [_unflatten(e) for e in experiments], hyper_params
+
+
+def run_grid_search_experiments(
+    cfg_file: Optional[str],
+    default_config: CfgNode,
+    script: str = 'train.py',
+    cfg_id: int = 0,
+    opts: Optional[List[str]] = None,
+    log_root: str = 'logs',
+) -> CfgNode:
+    """Select one grid-search experiment, build its logdir, snapshot the
+    resolved config (reference spec/config.py:247-336)."""
+    cfg = default_config.clone()
+    if cfg_file:
+        cfg.merge_from_file(cfg_file)
+    if opts:
+        cfg.merge_from_list(list(opts))
+
+    experiments, hyper_params = get_grid_search_configs(
+        cfg.to_dict(),
+        excluded_keys=['TRAINING/DATASETS_AND_RATIOS', 'DATASET/VAL_DS'],
+    )
+    assert 0 <= cfg_id < len(experiments), (
+        f'cfg_id {cfg_id} out of range ({len(experiments)} experiments)')
+    exp = experiments[cfg_id]
+
+    resolved = default_config.clone()
+    resolved.merge_from_dict(exp)
+
+    # Logdir: logs/<script>/<exp_name>/<timestamp>_<hyperparams>
+    def get_from(d, key):
+        return reduce(operator.getitem, key.split('/'), d)
+
+    suffix = '_'.join(
+        f"{k.split('/')[-1]}-{get_from(exp, k)}" for k in hyper_params)
+    exp_name = getattr(resolved, 'EXP_NAME', 'spec')
+    timestamp = time.strftime('%d-%m-%Y_%H-%M-%S')
+    logdir = os.path.join(
+        log_root, script.replace('.py', ''), exp_name,
+        f'{timestamp}_{suffix}' if suffix else timestamp)
+    os.makedirs(logdir, exist_ok=True)
+    resolved['LOGDIR'] = logdir
+    resolved['CFG_ID'] = cfg_id
+    resolved['NUM_EXPERIMENTS'] = len(experiments)
+    resolved.dump(os.path.join(logdir, 'config_to_run.yaml'))
+    return resolved
+
+
+# ---------------------------------------------------------------------------
+# Default trees (reference spec/config.py:62-163, camcalib/config.py:36-87)
+# ---------------------------------------------------------------------------
+
+
+def spec_default_config() -> CfgNode:
+    return CfgNode.from_dict({
+        'EXP_NAME': 'spec',
+        'LOGDIR': '',
+        'LOG_FREQ_TB_IMAGES': 500,
+        'SEED_VALUE': -1,
+        'METHOD': 'hmr_cam',
+        'DATASET': {
+            'NOISE_FACTOR': 0.4,
+            'ROT_FACTOR': 0.0,
+            'SCALE_FACTOR': 0.25,
+            'FLIP_PROB': 0.0,
+            'CROP_PROB': 0.0,
+            'CROP_FACTOR': 0.0,
+            'BATCH_SIZE': 64,
+            'NUM_WORKERS': 8,
+            'PIN_MEMORY': True,
+            'SHUFFLE_TRAIN': True,
+            'TRAIN_DS': 'all',
+            'VAL_DS': '3dpw-test-cam',
+            'NUM_IMAGES': -1,
+            'IMG_RES': 224,
+            'RENDER_RES': 480,
+            'FOCAL_LENGTH': 5000.0,
+            'MESH_COLOR': 'pinkish',
+            'DATASETS_AND_RATIOS': 'spec-syn_1.0',
+            'USE_SYNTHETIC_OCCLUSION': False,
+            'OCC_AUG_DATASET': 'pascal',
+            'USE_3D_CONF': False,
+            'USE_GENDER': False,
+            'BASELINE_CAM_ROT': False,
+            'BASELINE_CAM_F': False,
+            'BASELINE_CAM_C': False,
+            'TEACHER_FORCE': 0.0,
+            'STAGE_DATASETS': '',
+        },
+        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-4, 'WD': 0.0},
+        'TRAINING': {
+            'RESUME': None,
+            'PRETRAINED': None,
+            'PRETRAINED_LIT': None,
+            'MAX_EPOCHS': 100,
+            'LOG_SAVE_INTERVAL': 50,
+            'LOG_FREQ_TB_IMAGES': 500,
+            'CHECK_VAL_EVERY_N_EPOCH': 1,
+            'RELOAD_DATALOADERS_EVERY_EPOCH': True,
+            'NUM_SMPLIFY_ITERS': 100,
+            'RUN_SMPLIFY': False,
+            'SMPLIFY_THRESHOLD': 100,
+            'DROPOUT_P': 0.2,
+            'TEST_BEFORE_TRAINING': False,
+            'SAVE_IMAGES': False,
+            'USE_AMP': False,
+        },
+        'TESTING': {
+            'SAVE_IMAGES': False,
+            'SAVE_FREQ': 1,
+            'SAVE_RESULTS': True,
+            'SAVE_MESHES': False,
+            'SIDEVIEW': True,
+            'TEST_ON_TRAIN_END': True,
+            'MULTI_SIDEVIEW': False,
+            'USE_GT_CAM': False,
+        },
+        'HMR': {
+            'BACKBONE': 'resnet50',
+            'USE_CAM_FEATS': False,
+            'SHAPE_LOSS_WEIGHT': 0.0,
+            'KEYPOINT_LOSS_WEIGHT': 5.0,
+            'KEYPOINT_NATIVE_LOSS_WEIGHT': 5.0,
+            'SMPL_PART_LOSS_WEIGHT': 1.0,
+            'POSE_LOSS_WEIGHT': 1.0,
+            'BETA_LOSS_WEIGHT': 0.001,
+            'OPENPOSE_TRAIN_WEIGHT': 0.0,
+            'GT_TRAIN_WEIGHT': 1.0,
+            'LOSS_WEIGHT': 60.0,
+            'ESTIMATE_UNCERTAINTY': False,
+            'UNCERTAINTY_ACTIVATION': '',
+            'USE_SEPARATE_VAR_BRANCH': False,
+            'UNCERTAINTY_LOSS': 'MultivariateGaussianNegativeLogLikelihood',
+        },
+        'RUN_TEST': False,
+    })
+
+
+def camcalib_default_config() -> CfgNode:
+    return CfgNode.from_dict({
+        'EXP_NAME': 'camcalib',
+        'LOGDIR': '',
+        'SEED_VALUE': -1,
+        'DATASET': {
+            'TRAIN_DS': 'pano',
+            'VAL_DS': 'pano',
+            'MIN_RES': 600,
+            'MAX_RES': 1000,
+            'BATCH_SIZE': 32,
+            'NUM_WORKERS': 8,
+            'PIN_MEMORY': True,
+            'SHUFFLE_TRAIN': True,
+            'LOSS_TYPE': 'ce',
+        },
+        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-3, 'WD': 0.0},
+        'TRAINING': {
+            'RESUME': None,
+            'PRETRAINED': None,
+            'PRETRAINED_LIT': None,
+            'MAX_EPOCHS': 100,
+        },
+        'MODEL': {
+            'BACKBONE': 'resnet34',
+            'NUM_FC_LAYERS': 1,
+            'NUM_FC_CHANNELS': 1024,
+        },
+        'RUN_TEST': False,
+    })
