@@ -1,0 +1,172 @@
+"""CamCalib training CLI (reference ``scripts/camcalib_train.py`` +
+``camcalib/trainer.py``).
+
+The reference's multi-GPU story is single-process DataParallel with the
+batch size pre-multiplied by the GPU count (:36-37,73-75); here the global
+batch is sharded over the full device mesh by pjit — the same program on
+1 or N chips. Variable image sizes are handled by shape-bucketed batches
+(one compiled step per bucket) instead of per-batch dynamic padding.
+
+Validation decodes bins -> angles on device and reports mean absolute
+error in degrees (reference camcalib/trainer.py:104-116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description='CamCalib train (TPU)')
+    parser.add_argument('--cfg', type=str, default=None)
+    parser.add_argument('--opts', nargs='*', default=[])
+    parser.add_argument('--cfg_id', type=int, default=0)
+    parser.add_argument('--log_root', type=str, default='logs')
+    parser.add_argument('--fdr', action='store_true')
+    args = parser.parse_args(argv)
+
+    from spec_tpu.utils.config import (
+        camcalib_default_config,
+        run_grid_search_experiments,
+    )
+
+    cfg = run_grid_search_experiments(
+        args.cfg, camcalib_default_config(), script='camcalib_train.py',
+        cfg_id=args.cfg_id, opts=args.opts, log_root=args.log_root)
+
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu import parallel as par
+    from spec_tpu.core import bins as B
+    from spec_tpu.data.loader import DataLoader
+    from spec_tpu.data.pano_agora_dataset import PanoAgoraDataset
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset, pad_collate
+    from spec_tpu.models import CameraRegressorNetwork
+    from spec_tpu.train import adam, create_train_state, make_camcalib_train_step
+    from spec_tpu.utils import paths
+    from spec_tpu.utils.checkpoints import save_checkpoint
+
+    loss_type = cfg.DATASET.LOSS_TYPE
+
+    def build_dataset(is_train):
+        folder = paths.dataset_folders().get('pano360', 'data/pano360')
+        if cfg.DATASET.TRAIN_DS == 'pano_agora':
+            return PanoAgoraDataset(
+                folder, is_train=is_train, min_size=cfg.DATASET.MIN_RES,
+                max_size=cfg.DATASET.MAX_RES, loss_type=loss_type)
+        return CameraRegressorDataset(
+            folder, dataset=cfg.DATASET.TRAIN_DS, is_train=is_train,
+            min_size=cfg.DATASET.MIN_RES, max_size=cfg.DATASET.MAX_RES,
+            loss_type=loss_type)
+
+    train_ds = build_dataset(True)
+    val_ds = build_dataset(False)
+
+    model = CameraRegressorNetwork(
+        backbone=cfg.MODEL.BACKBONE,
+        num_fc_layers=cfg.MODEL.NUM_FC_LAYERS,
+        num_fc_channels=cfg.MODEL.NUM_FC_CHANNELS)
+    tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
+
+    mesh = par.create_mesh()
+    rep = par.replicated(mesh)
+    ex = jnp.zeros((1, cfg.DATASET.MIN_RES, cfg.DATASET.MIN_RES, 3))
+    variables = model.init(jax.random.PRNGKey(0), ex)
+    state = par.replicate(create_train_state(variables, tx), mesh)
+
+    step = make_camcalib_train_step(model, tx, loss_type=loss_type)
+    jit_step = jax.jit(step, in_shardings=(rep, par.batch_sharding(mesh)),
+                       out_shardings=(rep, rep))
+
+    ckpt_dir = os.path.join(cfg.LOGDIR, 'checkpoints')
+    max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
+    global_step = 0
+    buckets = train_ds.shape_buckets() if hasattr(
+        train_ds, 'shape_buckets') else None
+
+    for epoch in range(max_epochs):
+        loader = DataLoader(
+            train_ds, batch_size=cfg.DATASET.BATCH_SIZE, shuffle=True,
+            num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True, seed=epoch)
+        # Override collate with the bucketed pad-collator.
+        t0 = time.time()
+        for batch in _bucketed_batches(
+                train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,
+                num_workers=cfg.DATASET.NUM_WORKERS,
+                max_res=cfg.DATASET.MAX_RES):
+            dev = {
+                'img': batch['img'],
+                'vfov': batch['vfov'],
+                'pitch': batch['pitch'],
+                'roll': batch['roll'],
+            }
+            state, metrics = jit_step(state, par.shard_batch(dev, mesh))
+            global_step += 1
+            if global_step % 50 == 0 or args.fdr:
+                loss = float(metrics['loss'])
+                if not np.isfinite(loss):
+                    raise FloatingPointError(f'non-finite loss: {metrics}')
+                print(f'[camcalib-train] epoch {epoch} step {global_step} '
+                      f'loss {loss:.4f}')
+            if args.fdr and global_step >= 2:
+                break
+
+        # Validation: decoded-angle MAE in degrees.
+        errs = {'vfov': [], 'pitch': [], 'roll': []}
+        variables_now = {
+            'params': jax.device_get(state.params),
+            'batch_stats': jax.device_get(state.batch_stats)}
+        for batch in _bucketed_batches(
+                val_ds, cfg.DATASET.BATCH_SIZE, shuffle=False, seed=0,
+                num_workers=cfg.DATASET.NUM_WORKERS,
+                max_res=cfg.DATASET.MAX_RES):
+            logits = model.apply(variables_now, jnp.asarray(batch['img']))
+            vfov, pitch, roll = B.convert_preds_to_angles(
+                *logits, loss_type=loss_type)
+            for k, pred in zip(('vfov', 'pitch', 'roll'),
+                               (vfov, pitch, roll)):
+                gt = batch[f'{k}_angle']
+                errs[k] += np.degrees(
+                    np.abs(np.asarray(pred) - gt)).tolist()
+            if args.fdr:
+                break
+        mae = {k: float(np.mean(v)) for k, v in errs.items() if v}
+        print(f'[camcalib-val] epoch {epoch} MAE(deg): {mae}')
+        save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+        if args.fdr:
+            break
+    return state
+
+
+def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
+                      max_res):
+    """Group indices by padded shape bucket, then batch within buckets —
+    each bucket shape compiles once."""
+    import concurrent.futures as cf
+
+    from spec_tpu.data.pano_dataset import pad_collate
+
+    buckets = dataset.shape_buckets()
+    rng = np.random.RandomState(seed)
+    order = list(buckets.items())
+    if shuffle:
+        rng.shuffle(order)
+    with cf.ThreadPoolExecutor(max(1, num_workers)) as pool:
+        for bucket_hw, idxs in order:
+            idxs = list(idxs)
+            if shuffle:
+                rng.shuffle(idxs)
+            for s in range(0, len(idxs), batch_size):
+                chunk = idxs[s:s + batch_size]
+                while len(chunk) < batch_size:
+                    chunk.append(chunk[-1])
+                items = list(pool.map(dataset.__getitem__, chunk))
+                yield pad_collate(items, fixed_hw=bucket_hw)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,156 @@
+"""SPEC training CLI (reference ``scripts/spec_train.py``).
+
+Wires config -> datasets (mixed/staged schedules) -> SpecTrainer (sharded
+jitted steps over the device mesh) -> orbax checkpoints, then runs the
+test pass (reference :128-134).
+
+Usage:
+  python -m spec_tpu.cli.spec_train --cfg configs/spec.yaml \
+      --opts TRAINING.MAX_EPOCHS 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description='SPEC train (TPU)')
+    parser.add_argument('--cfg', type=str, default=None)
+    parser.add_argument('--opts', nargs='*', default=[])
+    parser.add_argument('--cfg_id', type=int, default=0)
+    parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--ckpt', type=str, default='',
+                        help='pretrained torch ckpt to start from')
+    parser.add_argument('--log_root', type=str, default='logs')
+    parser.add_argument('--fdr', action='store_true',
+                        help='fast dev run: 1 epoch on a tiny slice')
+    args = parser.parse_args(argv)
+
+    from spec_tpu.utils.config import (
+        run_grid_search_experiments,
+        spec_default_config,
+    )
+
+    cfg = run_grid_search_experiments(
+        args.cfg, spec_default_config(), script='spec_train.py',
+        cfg_id=args.cfg_id, opts=args.opts, log_root=args.log_root)
+
+    import jax
+    from spec_tpu.core import smpl as S
+    from spec_tpu.data import (
+        CamDataset,
+        DataLoader,
+        MixedCamDataset,
+        parse_datasets_ratios,
+    )
+    from spec_tpu.data.cam_dataset import AugmentationConfig
+    from spec_tpu.models import HMR
+    from spec_tpu.train.trainer import SpecTrainer, parse_schedule
+    from spec_tpu.utils import paths
+    from spec_tpu.utils.checkpoints import load_spec_variables
+
+    # Assets.
+    smpl_dir = paths.smpl_model_dir()
+    assets_by_gender = {}
+    if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
+        for g in ('neutral', 'male', 'female'):
+            try:
+                assets_by_gender[g] = S.load_smpl_assets(
+                    smpl_dir, gender=g,
+                    j_regressor_extra_path=paths.j_regressor_extra_path(),
+                    j_regressor_h36m_path=paths.j_regressor_h36m_path())
+            except FileNotFoundError:
+                pass
+    if 'neutral' not in assets_by_gender:
+        print('[train] WARNING: SMPL assets missing; synthetic test assets')
+        assets_by_gender = {'neutral': S.create_test_assets()}
+    neutral = assets_by_gender['neutral']
+    jreg = (np.load(paths.j_regressor_h36m_path())
+            if os.path.exists(paths.j_regressor_h36m_path())
+            else np.asarray(neutral.j_regressor_h36m))
+
+    aug = AugmentationConfig(
+        flip_prob=cfg.DATASET.FLIP_PROB,
+        noise_factor=cfg.DATASET.NOISE_FACTOR,
+        rot_factor=cfg.DATASET.ROT_FACTOR,
+        scale_factor=cfg.DATASET.SCALE_FACTOR,
+        crop_prob=cfg.DATASET.CROP_PROB,
+        crop_factor=cfg.DATASET.CROP_FACTOR,
+        use_occlusion=cfg.DATASET.USE_SYNTHETIC_OCCLUSION,
+    )
+
+    def build_cam_dataset(name, is_train):
+        annot = paths.dataset_files().get(name)
+        folder = paths.dataset_folders().get(name)
+        assert annot and os.path.exists(annot), f'missing annots for {name}'
+        return CamDataset(
+            annot, folder, dataset=name, is_train=is_train,
+            img_res=cfg.DATASET.IMG_RES, aug=aug,
+            baseline_cam_rot=cfg.DATASET.BASELINE_CAM_ROT,
+            baseline_cam_f=cfg.DATASET.BASELINE_CAM_F,
+            baseline_cam_c=cfg.DATASET.BASELINE_CAM_C)
+
+    stage_sched = parse_schedule(cfg.DATASET.STAGE_DATASETS)
+
+    def make_train_dataset(epoch):
+        ratios_spec = cfg.DATASET.DATASETS_AND_RATIOS
+        if isinstance(ratios_spec, list):
+            ratios_spec = '_'.join(str(x) for x in ratios_spec)
+        if cfg.DATASET.TRAIN_DS == 'stage' and epoch in stage_sched:
+            ratios_spec = stage_sched[epoch]
+        if cfg.DATASET.TRAIN_DS in ('all', 'stage'):
+            names, ratios = parse_datasets_ratios(ratios_spec)
+            members = [build_cam_dataset(n, True) for n in names]
+            if len(members) == 1:
+                return members[0]
+            return MixedCamDataset(members, ratios, seed=epoch)
+        return build_cam_dataset(cfg.DATASET.TRAIN_DS, True)
+
+    def make_val_loaders():
+        val_ds = cfg.DATASET.VAL_DS
+        names = val_ds if isinstance(val_ds, list) else val_ds.split('_')
+        out = {}
+        for n in names:
+            annot = paths.dataset_files().get(n)
+            if not annot or not os.path.exists(annot):
+                continue
+            ds = build_cam_dataset(n, False)
+            out[n] = DataLoader(ds, batch_size=cfg.DATASET.BATCH_SIZE,
+                                num_workers=cfg.DATASET.NUM_WORKERS)
+        return out
+
+    model = HMR(backbone=cfg.HMR.BACKBONE, use_cam=True,
+                use_cam_feats=cfg.HMR.USE_CAM_FEATS)
+
+    ckpt = args.ckpt or cfg.TRAINING.PRETRAINED_LIT \
+        or paths.spec_checkpoint_path()
+    if ckpt and os.path.exists(str(ckpt)):
+        variables = load_spec_variables(str(ckpt),
+                                        backbone=cfg.HMR.BACKBONE)
+        print(f'[train] loaded pretrained weights from {ckpt}')
+    else:
+        print('[train] no pretrained ckpt; random init (the reference '
+              'always starts from SPIN/PARE weights)')
+        import jax.numpy as jnp
+        B = 1
+        variables = model.init(
+            jax.random.PRNGKey(0), neutral,
+            jnp.zeros((B, cfg.DATASET.IMG_RES, cfg.DATASET.IMG_RES, 3)),
+            jnp.tile(jnp.eye(3), (B, 1, 1)), jnp.tile(jnp.eye(3), (B, 1, 1)),
+            jnp.ones((B,)), jnp.ones((B, 2)), jnp.ones((B,)), jnp.ones((B,)))
+
+    trainer = SpecTrainer(
+        cfg, model, assets_by_gender, jreg,
+        make_train_dataset, make_val_loaders, init_variables=variables)
+    if args.resume:
+        trainer.resume()
+    trainer.fit(max_epochs=1 if args.fdr else None)
+    return trainer
+
+
+if __name__ == '__main__':
+    main()

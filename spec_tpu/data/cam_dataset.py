@@ -138,6 +138,10 @@ class CamDataset:
                   'cam_ext', 'cam_int', 'camcalib_pitch', 'camcalib_roll',
                   'camcalib_vfov', 'camcalib_f_pix'):
             setattr(self, k, data[k] if k in self.files else None)
+        # Camera-frame GT pose for the offline metric pass (reference
+        # compute_error.py:166-181 reads data['pose_cam'] for 3dpw/mtp).
+        self.pose_cam = (data['pose_cam'].astype(np.float32)
+                         if 'pose_cam' in self.files else None)
 
     def __len__(self):
         return len(self.imgname)

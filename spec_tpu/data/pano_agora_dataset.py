@@ -1,0 +1,99 @@
+"""Pano360 + AGORA merged CamCalib dataset (reference
+``camcalib/pano_agora_dataset.py:102-183``): annotations come from one
+merged npz (``pano_agora_dataset_{split}.npz`` with imgname / pitch /
+roll / vfov in radians) instead of per-image JSONs. The offline merge
+lives in :mod:`spec_tpu.datagen.pano_agora` (reference :48-99: AGORA vfov
+from focal ``2*atan(1080/2/f)``)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from spec_tpu.core import constants as C
+from spec_tpu.data.pano_dataset import (
+    aspect_resize,
+    color_jitter,
+    encode_targets,
+)
+
+
+class PanoAgoraDataset:
+    def __init__(
+        self,
+        dataset_folder: str,
+        is_train: bool = True,
+        min_size: int = 600,
+        max_size: int = 1000,
+        loss_type: str = 'kl',
+        num_images: int = -1,
+        pad_multiple: int = 64,
+        seed: int = 0,
+    ):
+        self.dataset_folder = dataset_folder
+        self.is_train = is_train
+        self.min_size = min_size
+        self.max_size = max_size
+        self.loss_type = loss_type
+        self.pad_multiple = pad_multiple
+        self.rng = np.random.RandomState(seed)
+
+        split = 'train' if is_train else 'val'
+        data = np.load(
+            os.path.join(dataset_folder, f'pano_agora_dataset_{split}.npz'),
+            allow_pickle=True)
+        self.imgname = data['imgname']
+        self.pitch = data['pitch'].astype(np.float32)
+        self.roll = data['roll'].astype(np.float32)
+        self.vfov = data['vfov'].astype(np.float32)
+        if num_images > 0:
+            sel = self.rng.choice(len(self.imgname), num_images,
+                                  replace=False)
+            self.imgname = self.imgname[sel]
+            self.pitch, self.roll, self.vfov = (
+                self.pitch[sel], self.roll[sel], self.vfov[sel])
+
+    def __len__(self):
+        return len(self.imgname)
+
+    def __getitem__(self, index: int) -> dict:
+        imgname = os.path.join(self.dataset_folder, str(self.imgname[index]))
+        pil_img = Image.open(imgname).convert('RGB')
+        orig_shape = np.array(pil_img.size, np.int32)
+        if self.is_train:
+            pil_img = color_jitter(pil_img, self.rng)
+        pil_img = aspect_resize(pil_img, self.min_size, self.max_size)
+        img = np.asarray(pil_img, np.float32) / 255.0
+        img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)
+
+        vfov = float(self.vfov[index])
+        pitch = float(self.pitch[index])
+        roll = float(self.roll[index])
+        item = {
+            'img': img,
+            'imgname': imgname,
+            'orig_shape': orig_shape,
+            'vfov_angle': np.float32(vfov),
+            'pitch_angle': np.float32(pitch),
+            'roll_angle': np.float32(roll),
+        }
+        item.update(encode_targets(vfov, pitch, roll, self.loss_type))
+        return item
+
+    def shape_buckets(self) -> dict:
+        from collections import defaultdict
+
+        m = self.pad_multiple
+        buckets = defaultdict(list)
+        for i in range(len(self.imgname)):
+            path = os.path.join(self.dataset_folder, str(self.imgname[i]))
+            with Image.open(path) as im:
+                w, h = im.size
+            s = self.min_size / min(w, h)
+            if max(w, h) * s > self.max_size:
+                s = self.max_size / max(w, h)
+            hh, ww = round(h * s), round(w * s)
+            buckets[(-(-hh // m) * m, -(-ww // m) * m)].append(i)
+        return dict(buckets)

@@ -1,0 +1,207 @@
+"""CamCalib training datasets (Pano360 perspective crops).
+
+Rebuild of reference ``camcalib/pano_dataset.py`` (CameraRegressorDataset,
+the aspect-preserving Resize(min,max), the pad-collator) and
+``camcalib/pano_agora_dataset.py`` (npz-merged Pano+AGORA variant).
+
+TPU restructuring: the reference pads every variable-size image in a
+batch to the batch max (ImageList, pano_dataset.py:223-306) — a dynamic
+shape per batch that would force an XLA recompile each step. Here images
+are padded to a fixed size grid (``pad_multiple``, default 64 px) and
+grouped by bucket so the step compiles once per bucket. A padding mask is
+carried for completeness, but like the reference (which pools over the
+padded map) the model average-pools over the padded tensor — training
+matches reference behavior.
+
+Targets per loss type (pano_dataset.py:135-142): integer bin indices
+(np.digitize against the edge tables) for 'ce'/'kl'; continuous soft
+indices in [-1, 1] for the softargmax losses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+from spec_tpu.core import bins as B
+from spec_tpu.core import constants as C
+
+
+def aspect_resize(pil_img: Image.Image, min_size: int, max_size: int):
+    """torchvision-semantics Resize(min_size) with a max_size cap."""
+    w, h = pil_img.size
+    s = min_size / min(w, h)
+    if max(w, h) * s > max_size:
+        s = max_size / max(w, h)
+    return pil_img.resize((round(w * s), round(h * s)), Image.BILINEAR)
+
+
+def color_jitter(pil_img: Image.Image, rng: np.random.RandomState,
+                 brightness=0.2, contrast=0.2, saturation=0.2, hue=0.1):
+    """torchvision-ColorJitter equivalent (reference pano_dataset.py:65-78):
+    random order, each factor U(1-x, 1+x); hue via HSV shift."""
+    ops = []
+    ops.append(('brightness',
+                rng.uniform(1 - brightness, 1 + brightness)))
+    ops.append(('contrast', rng.uniform(1 - contrast, 1 + contrast)))
+    ops.append(('saturation', rng.uniform(1 - saturation, 1 + saturation)))
+    ops.append(('hue', rng.uniform(-hue, hue)))
+    rng.shuffle(ops)
+    for name, f in ops:
+        if name == 'brightness':
+            pil_img = ImageEnhance.Brightness(pil_img).enhance(f)
+        elif name == 'contrast':
+            pil_img = ImageEnhance.Contrast(pil_img).enhance(f)
+        elif name == 'saturation':
+            pil_img = ImageEnhance.Color(pil_img).enhance(f)
+        elif name == 'hue' and abs(f) > 1e-6:
+            hsv = np.asarray(pil_img.convert('HSV')).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                           + int(f * 255)) % 255
+            pil_img = Image.fromarray(hsv, 'HSV').convert('RGB')
+    return pil_img
+
+
+def encode_targets(vfov, pitch, roll, loss_type: str) -> dict:
+    if loss_type in ('kl', 'ce'):
+        return {
+            'vfov': np.int32(B.angle_to_bin_index(vfov, B.VFOV_EDGES)),
+            'pitch': np.int32(B.angle_to_bin_index(pitch, B.PITCH_EDGES)),
+            'roll': np.int32(
+                B.angle_to_bin_index(roll, B.LEGACY_ROLL_EDGES)),
+        }
+    return {
+        'vfov': np.float32(B.vfov2soft_idx(vfov)),
+        'pitch': np.float32(B.pitch2soft_idx(pitch)),
+        'roll': np.float32(B.roll2soft_idx(roll)),
+    }
+
+
+class CameraRegressorDataset:
+    """Pano360 crops + JSON annotations.
+
+    Annotation conventions (reference pano_dataset.py:116-127):
+      'pano': json next to image under annotations/, vfov in DEGREES;
+      'pano_scalenet': json next to the jpg, vfov in radians.
+    """
+
+    def __init__(
+        self,
+        dataset_folder: str,
+        dataset: str = 'pano_scalenet',
+        is_train: bool = True,
+        min_size: int = 600,
+        max_size: int = 1000,
+        loss_type: str = 'kl',
+        num_images: int = -1,
+        pad_multiple: int = 64,
+        seed: int = 0,
+    ):
+        import joblib
+
+        self.dataset = dataset
+        self.dataset_folder = dataset_folder
+        self.is_train = is_train
+        self.min_size = min_size
+        self.max_size = max_size
+        self.loss_type = loss_type
+        self.pad_multiple = pad_multiple
+        self.rng = np.random.RandomState(seed)
+
+        split = 'train_images.pkl' if is_train else 'val_images.pkl'
+        self.image_filenames = list(
+            joblib.load(os.path.join(dataset_folder, split)))
+        if num_images > 0:
+            self.image_filenames = list(self.rng.choice(
+                self.image_filenames, num_images))
+
+    def __len__(self):
+        return len(self.image_filenames)
+
+    def _annot_path(self, imgname: str) -> str:
+        if self.dataset == 'pano':
+            return imgname.replace('images', 'annotations').replace(
+                '.png', '.json').replace('.jpg', '.json')
+        return imgname.rsplit('.', 1)[0] + '.json'
+
+    def __getitem__(self, index: int) -> dict:
+        imgname = os.path.join(self.dataset_folder, 'images',
+                               self.image_filenames[index])
+        pil_img = Image.open(imgname).convert('RGB')
+        orig_shape = np.array(pil_img.size, np.int32)  # (W, H)
+        if self.is_train:
+            pil_img = color_jitter(pil_img, self.rng)
+        pil_img = aspect_resize(pil_img, self.min_size, self.max_size)
+        img = np.asarray(pil_img, np.float32) / 255.0
+        img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)
+
+        with open(self._annot_path(imgname)) as f:
+            data = json.load(f)
+        pitch = float(data['pitch'])
+        roll = float(data['roll'])
+        vfov = (np.radians(float(data['vfov'])) if self.dataset == 'pano'
+                else float(data['vfov']))
+
+        item = {
+            'img': img,
+            'imgname': imgname,
+            'orig_shape': orig_shape,
+            'vfov_angle': np.float32(vfov),
+            'pitch_angle': np.float32(pitch),
+            'roll_angle': np.float32(roll),
+        }
+        item.update(encode_targets(vfov, pitch, roll, self.loss_type))
+        return item
+
+    # -- static-shape batching helpers ----------------------------------
+
+    def bucket_of(self, shape) -> tuple:
+        m = self.pad_multiple
+        h, w = shape[:2]
+        return (-(-h // m) * m, -(-w // m) * m)
+
+    def shape_buckets(self) -> dict:
+        """Indices grouped by padded bucket (header-only reads)."""
+        buckets = defaultdict(list)
+        for i, name in enumerate(self.image_filenames):
+            path = os.path.join(self.dataset_folder, 'images', name)
+            with Image.open(path) as im:
+                w, h = im.size
+            s = self.min_size / min(w, h)
+            if max(w, h) * s > self.max_size:
+                s = self.max_size / max(w, h)
+            buckets[self.bucket_of((round(h * s), round(w * s)))].append(i)
+        return dict(buckets)
+
+
+def pad_collate(items: Sequence[dict], pad_multiple: int = 64,
+                fixed_hw: Optional[tuple] = None) -> dict:
+    """Zero-pad variable-size images to a common bucket and stack
+    (the reference ImageList pad-collator, pano_dataset.py:223-306, with
+    the pad target rounded to a bucket grid for stable XLA shapes)."""
+    shapes = np.array([it['img'].shape[:2] for it in items])
+    if fixed_hw is None:
+        m = pad_multiple
+        H = int(-(-shapes[:, 0].max() // m) * m)
+        W = int(-(-shapes[:, 1].max() // m) * m)
+    else:
+        H, W = fixed_hw
+    imgs = np.zeros((len(items), H, W, 3), np.float32)
+    mask = np.zeros((len(items), H, W), np.float32)
+    for i, it in enumerate(items):
+        h, w = it['img'].shape[:2]
+        imgs[i, :h, :w] = it['img']
+        mask[i, :h, :w] = 1.0
+    out = {'img': imgs, 'pad_mask': mask,
+           'true_shape': shapes.astype(np.int32)}
+    for k in items[0]:
+        if k == 'img':
+            continue
+        vals = [it[k] for it in items]
+        out[k] = vals if isinstance(vals[0], str) else np.stack(vals)
+    return out

