@@ -1,0 +1,237 @@
+"""Software mesh renderer (replaces the reference's pyrender/EGL stack,
+``spec/utils/renderer_cam.py:26-218``).
+
+The reference renders through pyrender's OpenGL offscreen rasterizer
+(native EGL below the Python API). This implementation is a dependency-
+free CPU rasterizer: camera-frame projection with the full-image
+intrinsics, back-face culling, Lambertian shading with the reference's
+3-directional-light setup, and painter's-algorithm compositing via cv2
+polygon fills (fast enough for train/val image dumps; rendering is an
+observability channel, not a hot path).
+
+Mirrors the reference API surface: ``render_overlay_image`` (optional
+checkerboard ground plane at the mesh min-Y, sideview rotation about the
+mesh centroid) and ``render_image_group`` (input | overlay | 270-degree
+side view, concatenated)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+MESH_COLORS = {
+    'pinkish': (0.7, 0.5, 0.5),
+    'blue': (0.65, 0.74, 0.86),
+    'green': (0.5, 0.7, 0.5),
+    'neutral': (0.7, 0.7, 0.6),
+}
+
+# The reference's light rig (renderer_cam.py:119-132): one headlight +
+# three offset directional lights.
+_LIGHT_DIRS = np.array([
+    [0.0, 0.0, 1.0],
+    [0.0, -1.0, 1.0],
+    [0.0, 1.0, 1.0],
+    [1.0, 1.0, 2.0],
+], np.float32)
+_LIGHT_DIRS = _LIGHT_DIRS / np.linalg.norm(_LIGHT_DIRS, axis=1,
+                                           keepdims=True)
+
+
+def _shade(normals: np.ndarray, base_color) -> np.ndarray:
+    """Flat Lambertian shading per face: ambient 0.3 + sum of lights."""
+    intensity = 0.3 + 0.35 * np.clip(
+        normals @ _LIGHT_DIRS.T, 0, None).sum(-1)
+    intensity = np.clip(intensity, 0, 1.3)[:, None]
+    return np.clip(intensity * np.asarray(base_color)[None], 0, 1)
+
+
+def rasterize_mesh(
+    verts_cam: np.ndarray,     # (V, 3) camera-frame vertices
+    faces: np.ndarray,         # (F, 3)
+    K: np.ndarray,             # (3, 3)
+    image_hw: Tuple[int, int],
+    base_color=(0.7, 0.5, 0.5),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (rgb float [0,1] HxWx3, mask HxW bool). Painter's algorithm with
+    back-face culling (matches opaque single-body rendering)."""
+    H, W = image_hw
+    rgb = np.zeros((H, W, 3), np.float32)
+    mask = np.zeros((H, W), bool)
+
+    z = verts_cam[:, 2]
+    proj = verts_cam @ K.T
+    pix = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-6)
+
+    tri = verts_cam[faces]                       # (F, 3, 3)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    n = np.cross(e1, e2)
+    n_norm = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-9)
+    centers = tri.mean(1)
+    # Faces pointing away from the camera (+Z view direction toward scene).
+    visible = (n_norm * (-centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-9))).sum(1) > 0
+    in_front = (tri[:, :, 2] > 1e-3).all(1)
+    keep = visible & in_front
+    if not keep.any():
+        return rgb, mask
+
+    depth = centers[keep, 2]
+    order = np.argsort(-depth)  # far to near
+    face_ids = np.nonzero(keep)[0][order]
+    colors = _shade(n_norm[keep][order], base_color)
+    pix_faces = pix[faces[face_ids]]             # (Fk, 3, 2)
+
+    poly = np.round(pix_faces).astype(np.int32)
+    for i in range(len(face_ids)):
+        p = poly[i]
+        if (p[:, 0].max() < 0 or p[:, 1].max() < 0
+                or p[:, 0].min() >= W or p[:, 1].min() >= H):
+            continue
+        c = (colors[i] * 255).astype(np.uint8).tolist()
+        cv2.fillConvexPoly(rgb, p, color=[v / 255.0 for v in c],
+                           lineType=cv2.LINE_8)
+        cv2.fillConvexPoly(mask.view(np.uint8).reshape(H, W), p, 1)
+    return rgb, mask.astype(bool)
+
+
+def get_checkerboard_plane(plane_width=4.0, num_boxes=9):
+    """Checkerboard quads in the XZ plane (reference
+    pare ``get_checkerboard_plane``): list of (4,3) corners + colors."""
+    pw = plane_width / num_boxes
+    quads, colors = [], []
+    for i in range(num_boxes):
+        for j in range(num_boxes):
+            x0 = -plane_width / 2 + i * pw
+            z0 = -plane_width / 2 + j * pw
+            quads.append(np.array([
+                [x0, 0, z0], [x0 + pw, 0, z0],
+                [x0 + pw, 0, z0 + pw], [x0, 0, z0 + pw]], np.float32))
+            c = 0.85 if (i + j) % 2 == 0 else 0.6
+            colors.append((c, c, c))
+    return quads, colors
+
+
+def _rotate_about_centroid(verts, angle_deg, axis='y'):
+    t = np.radians(angle_deg)
+    c, s = np.cos(t), np.sin(t)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    ctr = verts.mean(0, keepdims=True)
+    return (verts - ctr) @ R.T + ctr
+
+
+def render_overlay_image(
+    image: np.ndarray,          # float [0,1] HxWx3
+    camera_translation: np.ndarray,
+    vertices: np.ndarray,       # (V, 3) body frame
+    camera_rotation: np.ndarray,
+    focal_length: Tuple[float, float],
+    camera_center: Tuple[float, float],
+    faces: np.ndarray,
+    mesh_color: str = 'pinkish',
+    sideview_angle: float = 0,
+    add_ground_plane: bool = False,
+) -> np.ndarray:
+    H, W = image.shape[:2]
+    K = np.array([[focal_length[0], 0, camera_center[0]],
+                  [0, focal_length[1], camera_center[1]],
+                  [0, 0, 1]], np.float32)
+    verts = np.asarray(vertices, np.float32)
+    if sideview_angle:
+        verts = _rotate_about_centroid(verts, sideview_angle)
+    verts_cam = verts @ np.asarray(camera_rotation, np.float32).T \
+        + np.asarray(camera_translation, np.float32)[None]
+
+    color = MESH_COLORS.get(mesh_color, MESH_COLORS['pinkish'])
+    out = image.copy()
+
+    if add_ground_plane:
+        # Plane at the body's lowest point (reference renderer_cam:98-107).
+        y0 = verts[:, 1].min()
+        quads, qcolors = get_checkerboard_plane()
+        for quad, qc in zip(quads, qcolors):
+            q = quad.copy()
+            q[:, 1] += y0
+            qc_cam = q @ np.asarray(camera_rotation, np.float32).T + \
+                np.asarray(camera_translation, np.float32)[None]
+            if (qc_cam[:, 2] <= 1e-3).any():
+                continue
+            proj = qc_cam @ K.T
+            pix = (proj[:, :2] / proj[:, 2:3]).round().astype(np.int32)
+            cv2.fillConvexPoly(out, pix, qc)
+
+    rgb, mask = rasterize_mesh(verts_cam, np.asarray(faces), K, (H, W),
+                               base_color=color)
+    out[mask] = rgb[mask]
+    return out
+
+
+def render_image_group(
+    image: np.ndarray,
+    camera_translation,
+    vertices,
+    camera_rotation,
+    focal_length: Tuple[float, float],
+    camera_center: Tuple[float, float],
+    faces: np.ndarray,
+    mesh_color: str = 'pinkish',
+    save_filename: Optional[str] = None,
+    keypoints_2d: Optional[np.ndarray] = None,
+    cam_params: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """input | overlay | 270-degree side view w/ ground plane (reference
+    render_image_group, renderer_cam.py:147-218)."""
+    from spec_tpu.utils.vis import draw_horizon_line, draw_skeleton
+
+    if image.max() > 10:
+        image = image.astype(np.float32) / 255.0
+    image = image.astype(np.float32)
+
+    if keypoints_2d is not None:
+        image = draw_skeleton(
+            (image * 255), keypoints_2d).astype(np.float32) / 255.0
+    if cam_params is not None:
+        image = draw_horizon_line(
+            image * 255, cam_params[0], cam_params[1], cam_params[2],
+            color=(0, 255, 0), debug_text=True).astype(np.float32) / 255.0
+
+    overlay = render_overlay_image(
+        image, camera_translation, vertices, camera_rotation,
+        focal_length, camera_center, faces, mesh_color,
+        sideview_angle=0, add_ground_plane=False)
+    side = render_overlay_image(
+        np.zeros_like(image), camera_translation, vertices,
+        camera_rotation, focal_length, camera_center, faces, mesh_color,
+        sideview_angle=270, add_ground_plane=True)
+
+    out = np.concatenate([image, overlay, side], axis=1)
+    if save_filename is not None:
+        cv2.imwrite(save_filename, cv2.cvtColor(
+            np.clip(out * 255, 0, 255).astype(np.uint8),
+            cv2.COLOR_RGB2BGR))
+    return out
+
+
+def render_mesh_overlay(image_uint8, vertices_batch, cam_t_batch, faces,
+                        focal_length, pitch=0.0, roll=0.0):
+    """Multi-person overlay helper for the demo CLI: camera rotation from
+    (pitch, roll), principal point at the image center."""
+    H, W = image_uint8.shape[:2]
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
+    R = Rz @ Rx
+    out = image_uint8.astype(np.float32) / 255.0
+    for verts, cam_t in zip(vertices_batch, cam_t_batch):
+        out = render_overlay_image(
+            out, cam_t, verts, R, (focal_length, focal_length),
+            (W / 2.0, H / 2.0), faces)
+    return np.clip(out * 255, 0, 255).astype(np.uint8)

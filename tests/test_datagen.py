@@ -1,0 +1,105 @@
+"""Datagen tests: gnomonic projection geometry + generation recipes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spec_tpu.datagen import (
+    camera_rays,
+    equirect_to_perspective,
+    preprocess_calib_data,
+    rotation_from_angles,
+    rays_to_equirect_uv,
+    sample_cam_params,
+    sample_scalenet_cam,
+)
+
+
+def gradient_pano(h=256, w=512):
+    """Pano where R encodes longitude, G encodes latitude."""
+    lon = np.linspace(0, 255, w, dtype=np.float32)
+    lat = np.linspace(0, 255, h, dtype=np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = lon[None, :]
+    img[..., 1] = lat[:, None]
+    return img
+
+
+def test_center_ray_points_forward():
+    rays = camera_rays(100, 100, np.radians(60))
+    ctr = rays[50, 50]
+    np.testing.assert_allclose(ctr, [0, 0, 1], atol=0.02)
+
+
+def test_forward_crop_samples_pano_center():
+    pano = gradient_pano()
+    crop = equirect_to_perspective(pano, np.radians(60), 0, 0, 0, (64, 64))
+    # yaw=0 -> lon=0 -> u = W/2 -> R ~ 127.5; lat=0 -> v = H/2 -> G ~ 127.5
+    assert abs(crop[32, 32, 0] - 127.5) < 2
+    assert abs(crop[32, 32, 1] - 127.5) < 2
+
+
+def test_pitch_up_moves_to_lower_v():
+    pano = gradient_pano()
+    up = equirect_to_perspective(pano, np.radians(60), np.radians(30),
+                                 0, 0, (64, 64))
+    # looking up -> smaller latitude row index -> smaller G value
+    assert up[32, 32, 1] < 120
+
+
+def test_yaw_wraps_longitude():
+    pano = gradient_pano()
+    left = equirect_to_perspective(pano, np.radians(60), 0, 0,
+                                   np.radians(90), (64, 64))
+    assert abs(left[32, 32, 0] - (127.5 + 64)) < 3  # lon 90deg -> +W/4
+
+
+def test_rotation_composition_orthonormal(rng):
+    R = rotation_from_angles(0.2, 0.1, 1.0)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-10)
+
+
+def test_sampling_distributions(rng):
+    cams = [sample_cam_params(rng) for _ in range(500)]
+    vf = np.array([c['vfov'] for c in cams])
+    assert np.radians(15) <= vf.min() and vf.max() <= np.radians(120)
+    sn = [sample_scalenet_cam(rng) for _ in range(500)]
+    rolls = np.array([c['roll'] for c in sn])
+    assert np.abs(rolls).max() <= np.pi / 6 + 1e-9
+    f35 = np.array([c['f35'] for c in sn])
+    assert 12.0 <= f35.min() and f35.max() <= 100.0
+    # pitch/horizon consistency: horizon 0.5 -> pitch 0
+    c = sample_scalenet_cam(np.random.RandomState(3))
+    h, w = c['resolution']
+    f_px = (h / 2) / np.tan(c['vfov'] / 2)
+    expect = np.arctan((0.5 - c['horizon']) * h / f_px)
+    np.testing.assert_allclose(c['pitch'], expect, rtol=1e-6)
+
+
+def test_preprocess_calib_data_end_to_end(tmp_path, rng):
+    import cv2
+    panos = []
+    for i in range(2):
+        p = str(tmp_path / f'pano_{i}.jpg')
+        cv2.imwrite(p, (rng.rand(128, 256, 3) * 255).astype('u1'))
+        panos.append(p)
+    out = str(tmp_path / 'gen')
+    splits = preprocess_calib_data(panos, out, crops_per_pano=3, seed=0)
+    assert len(splits['train_images']) == 3
+    assert len(splits['val_images']) == 3
+    name = splits['train_images'][0]
+    assert os.path.exists(os.path.join(out, 'images', name))
+    with open(os.path.join(out, 'annotations',
+                           name.replace('.jpg', '.json'))) as f:
+        a = json.load(f)
+    assert 15.0 <= a['vfov'] <= 120.0  # degrees in the 'pano' layout
+    # round-trips through the CamCalib dataset
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset
+    ds = CameraRegressorDataset(out, dataset='pano', is_train=True,
+                                min_size=128, max_size=256)
+    item = ds[0]
+    assert item['img'].ndim == 3
+    assert np.isfinite(item['vfov_angle'])
