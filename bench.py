@@ -36,7 +36,8 @@ def build_pipeline(compute_dtype=jnp.bfloat16):
     from spec_tpu.core import smpl as S
     from spec_tpu.models import HMR, CameraRegressorNetwork
 
-    assets = S.create_test_assets()  # real SMPL shapes (6890 verts)
+    # Real SMPL shapes (6890 verts), with the fused Pallas LBS kernel.
+    assets = S.with_packed_lbs(S.create_test_assets())
     camcalib = CameraRegressorNetwork(
         backbone='resnet50', dtype=compute_dtype)
     spec = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,

@@ -61,6 +61,9 @@ class SMPLAssets:
         default=None, metadata=dict(static=True))                         # (21,)
     j_regressor_extra: Optional[jnp.ndarray] = None                       # (9, V)
     j_regressor_h36m: Optional[jnp.ndarray] = None                        # (17, V)
+    # Optional kernel-ready packed operands for the fused Pallas LBS
+    # (ops/pallas/lbs.py); attach with :func:`with_packed_lbs`.
+    packed_lbs: Optional[object] = None
 
     @property
     def num_vertices(self) -> int:
@@ -318,6 +321,51 @@ def lbs(
 
 
 @fp32_matmuls
+@fp32_matmuls
+def lbs_fused(
+    assets: SMPLAssets,
+    betas: jnp.ndarray,
+    rotmats: jnp.ndarray,
+    packed=None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LBS with the fused Pallas vertex kernel (ops/pallas/lbs.py).
+
+    Numerically equivalent to :func:`lbs`; the kinematic chain stays in
+    jnp (tiny), vertices go through one fused TPU kernel. Rest joints come
+    from the regressor pre-projected onto the shape blendshapes, so the
+    (B, V, 3) shaped mesh is never materialized.
+
+    Args mirror :func:`lbs`; ``packed`` is a cached
+    :func:`spec_tpu.ops.pallas.lbs.pack_lbs_operands` result.
+    """
+    from spec_tpu.ops.pallas.lbs import (
+        fused_lbs_vertices,
+        lbs_coeffs,
+        pack_lbs_operands,
+    )
+
+    if packed is None:
+        packed = pack_lbs_operands(assets)
+    betas = betas.astype(jnp.float32)
+    rotmats = rotmats.astype(jnp.float32)
+    Bn = betas.shape[0]
+    J = assets.num_joints
+
+    joints_rest = packed.joints_template[None] + jnp.matmul(
+        betas, packed.shapedirs_j,
+        preferred_element_type=jnp.float32).reshape(Bn, J, 3)
+    world_tf = _rigid_transform_chain(rotmats, joints_rest, assets.parents)
+    correction = jnp.einsum(
+        'bjxy,bjy->bjx', world_tf[..., :3, :3], joints_rest,
+        preferred_element_type=jnp.float32)
+    rel_tf = world_tf.at[..., :3, 3].add(-correction)[..., :3, :]
+
+    coeffs = lbs_coeffs(betas, rotmats)
+    verts = fused_lbs_vertices(packed, coeffs, rel_tf, interpret=interpret)
+    return verts, world_tf[..., :3, 3], world_tf
+
+
 def smpl_forward(
     assets: SMPLAssets,
     betas: jnp.ndarray,
@@ -326,6 +374,7 @@ def smpl_forward(
     transl: Optional[jnp.ndarray] = None,
     pose2rot: bool = True,
     joint_set: str = 'smpl54',
+    fused: Optional[bool] = None,
 ) -> SMPLOutput:
     """Canonical SMPL forward.
 
@@ -336,6 +385,8 @@ def smpl_forward(
       transl: optional (B, 3) root translation.
       joint_set: 'native' (24), 'smpl54', or 'spin49' (the reference's
         49-joint superset, requires j_regressor_extra).
+      fused: use the fused Pallas LBS kernel; default auto (on when the
+        assets carry packed operands — see :func:`with_packed_lbs`).
     """
     from spec_tpu.core.geometry import rodrigues
 
@@ -345,7 +396,13 @@ def smpl_forward(
     else:
         rotmats = jnp.concatenate([global_orient, body_pose], axis=1)
 
-    verts, joints24, world_tf = lbs(assets, betas, rotmats)
+    if fused is None:
+        fused = assets.packed_lbs is not None
+    if fused:
+        verts, joints24, world_tf = lbs_fused(
+            assets, betas, rotmats, packed=assets.packed_lbs)
+    else:
+        verts, joints24, world_tf = lbs(assets, betas, rotmats)
 
     if joint_set == 'native':
         joints = joints24
@@ -385,3 +442,11 @@ def regress_h36m_joints(
     if subset == 'j17':
         return j17[:, C.H36M_TO_J17]
     return j17[:, C.H36M_TO_J14]
+
+
+def with_packed_lbs(assets: SMPLAssets) -> SMPLAssets:
+    """Return a copy of the assets carrying the fused-kernel operands —
+    every :func:`smpl_forward` over it then uses the Pallas LBS path."""
+    from spec_tpu.ops.pallas.lbs import pack_lbs_operands
+
+    return dataclasses.replace(assets, packed_lbs=pack_lbs_operands(assets))
