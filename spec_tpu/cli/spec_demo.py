@@ -139,14 +139,23 @@ def run_spec_on_folder(
         n_valid = len(chunk)
         while len(chunk) < batch_size:
             chunk = chunk + [chunk[-1]]
+        from spec_tpu import native
+
         crops, metas = [], []
+        use_native = native.available()
         for (name, di, center, scale, rotmat, K, w, h) in chunk:
             if name not in images_cache:
                 img = cv2.cvtColor(cv2.imread(name), cv2.COLOR_BGR2RGB)
                 images_cache[name] = img.astype(np.float32)
-            c = spin_crop(images_cache[name], center, scale,
-                          [img_res, img_res])
-            crops.append(normalize_img(c / 255.0))
+            if use_native:
+                c = native.spin_crop_batch(
+                    images_cache[name], np.asarray([center], np.float32),
+                    np.asarray([scale], np.float32), res=img_res)[0]
+            else:
+                c = normalize_img(spin_crop(
+                    images_cache[name], center, scale,
+                    [img_res, img_res]) / 255.0)
+            crops.append(c)
             metas.append((name, di, center, scale, rotmat, K, w, h))
 
         arr = jnp.asarray(np.stack(crops))

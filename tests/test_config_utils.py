@@ -1,0 +1,73 @@
+"""Config system + profiling utility tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spec_tpu.utils import StepTimer, set_seed
+from spec_tpu.utils.config import (
+    CfgNode,
+    get_grid_search_configs,
+    run_grid_search_experiments,
+    spec_default_config,
+)
+
+
+def test_cfgnode_merge_and_opts(tmp_path):
+    cfg = spec_default_config()
+    assert cfg.OPTIMIZER.LR == 1e-4
+    yml = tmp_path / 'c.yaml'
+    yml.write_text('OPTIMIZER:\n  LR: 0.001\nHMR:\n  BACKBONE: resnet34\n')
+    cfg.merge_from_file(str(yml))
+    assert cfg.OPTIMIZER.LR == 0.001
+    assert cfg.HMR.BACKBONE == 'resnet34'
+    cfg.merge_from_list(['DATASET.BATCH_SIZE', '16',
+                         'TESTING.USE_GT_CAM', 'True'])
+    assert cfg.DATASET.BATCH_SIZE == 16
+    assert cfg.TESTING.USE_GT_CAM is True
+
+
+def test_grid_search_expansion():
+    cfg = {'A': {'X': [1, 2, 3], 'Y': 'fixed'}, 'B': [True, False]}
+    exps, hp = get_grid_search_configs(cfg)
+    assert len(exps) == 6
+    assert set(hp) == {'A/X', 'B'}
+    assert {e['A']['X'] for e in exps} == {1, 2, 3}
+    assert all(isinstance(e['B'], bool) for e in exps)
+
+
+def test_grid_search_excluded_keys():
+    cfg = {'T': {'DS': ['a_b', '0.5_0.5']}}
+    exps, hp = get_grid_search_configs(cfg, excluded_keys=['T/DS'])
+    assert len(exps) == 1
+    assert exps[0]['T']['DS'] == ['a_b', '0.5_0.5']
+
+
+def test_run_grid_search_experiments(tmp_path):
+    yml = tmp_path / 'c.yaml'
+    yml.write_text('OPTIMIZER:\n  LR: [0.001, 0.0001]\n')
+    cfg = run_grid_search_experiments(
+        str(yml), spec_default_config(), script='spec_train.py',
+        cfg_id=1, log_root=str(tmp_path / 'logs'))
+    assert cfg.NUM_EXPERIMENTS == 2
+    assert cfg.OPTIMIZER.LR == 0.0001
+    assert os.path.exists(os.path.join(cfg.LOGDIR, 'config_to_run.yaml'))
+    assert 'LR-0.0001' in cfg.LOGDIR
+
+
+def test_step_timer():
+    import time
+    t = StepTimer()
+    with t('a'):
+        time.sleep(0.01)
+    assert 0.005 < t.mean('a') < 0.2
+    assert 'a' in t.report()
+
+
+def test_set_seed():
+    key = set_seed(3)
+    assert key is not None
+    a = np.random.rand()
+    set_seed(3)
+    assert np.random.rand() == a
