@@ -51,6 +51,7 @@ def run_spec_on_folder(
     render: bool = True,
     smpl_model_dir: str = '',
     detection_threshold: float = 0.7,
+    save_obj: bool = False,
 ):
     import cv2
     import jax
@@ -185,6 +186,14 @@ def run_spec_on_folder(
         stem = base.rsplit('.', 1)[0]
         if save_results:
             joblib.dump(merged, os.path.join(res_out, stem + '.pkl'))
+        if save_obj:
+            mesh_dir = os.path.join(output_folder, 'meshes', stem)
+            os.makedirs(mesh_dir, exist_ok=True)
+            for pi, verts in enumerate(merged['smpl_vertices']):
+                write_obj(os.path.join(mesh_dir, f'{pi:06d}.obj'),
+                          verts, np.asarray(assets.faces))
+                np.save(os.path.join(mesh_dir, f'{pi:06d}.npy'),
+                        merged['pred_cam_t'][pi])
         if render:
             _render_overlays(name, merged, cam_out, img_out, assets)
 
@@ -194,6 +203,16 @@ def run_spec_on_folder(
           f'{n_model_time:.2f}s; e2e {total:.2f}s '
           f'({n_img / max(total, 1e-6):.1f} img/s incl. IO)')
     return outputs_per_image
+
+
+def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
+    """Wavefront OBJ export (the reference's --save_obj path,
+    spec/tester.py:183-189 + camera translation sidecar .npy)."""
+    with open(path, 'w') as f:
+        for v in vertices:
+            f.write(f'v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n')
+        for tri in faces:
+            f.write(f'f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n')
 
 
 def _render_overlays(imgname, merged, cam_out, img_out, assets):
@@ -234,13 +253,25 @@ def main():
     parser.add_argument('--batch_size', type=int, default=32)
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')
+    parser.add_argument('--save_obj', action='store_true')
     parser.add_argument('--smpl_model_dir', type=str, default='')
+    parser.add_argument('--vid_file', type=str, default=None,
+                        help='video input (not implemented — folder mode '
+                             'only, matching the reference '
+                             'scripts/spec_demo.py:39-42)')
+    parser.add_argument('--mode', type=str, default='folder',
+                        choices=['folder', 'video', 'webcam'])
     args = parser.parse_args()
+    if args.mode != 'folder' or args.vid_file:
+        raise NotImplementedError(
+            'video/webcam demo modes are not implemented (parity with the '
+            'reference, scripts/spec_demo.py:39-42,67-68)')
     run_spec_on_folder(
         args.image_folder, args.output_folder, spec_ckpt=args.spec_ckpt,
         camcalib_ckpt=args.camcalib_ckpt, bbox_file=args.bbox_file,
         batch_size=args.batch_size, save_results=not args.no_save,
-        render=not args.no_render, smpl_model_dir=args.smpl_model_dir)
+        render=not args.no_render, smpl_model_dir=args.smpl_model_dir,
+        save_obj=args.save_obj)
 
 
 if __name__ == '__main__':

@@ -7,6 +7,8 @@ from spec_tpu.losses.camcalib import (  # noqa: F401
 )
 from spec_tpu.losses.hmr import (  # noqa: F401
     HMRLossConfig,
+    gaussian_nll,
+    smpl_param_loss_uncertainty,
     hmr_cam_loss,
     hmr_loss,
     keypoint_3d_loss,

@@ -106,6 +106,42 @@ def projected_keypoint_loss(
     return conf * w * (pred_kp2d - gt_kp2d[..., :2]) ** 2
 
 
+def gaussian_nll(pred_mean, pred_logvar, target):
+    """Heteroscedastic Gaussian NLL: 0.5 (exp(-s) err^2 + s), mean-reduced
+    (the aleatoric-uncertainty criterion behind the reference's
+    ``estimate_var`` option, spec/losses.py:45-47,390-409)."""
+    err2 = (pred_mean - target) ** 2
+    return 0.5 * (jnp.exp(-pred_logvar) * err2 + pred_logvar).mean()
+
+
+def smpl_param_loss_uncertainty(
+    pred_pose6d: jnp.ndarray,        # (B, 144) rot6d means
+    pred_pose6d_logvar: jnp.ndarray,  # (B, 144)
+    pred_betas: jnp.ndarray,         # (B, 10)
+    pred_betas_logvar: jnp.ndarray,  # (B, 10)
+    gt_pose_aa: jnp.ndarray,         # (B, 72)
+    gt_betas: jnp.ndarray,
+    has_smpl: jnp.ndarray,
+):
+    """Uncertainty-weighted parameter loss (reference
+    ``smpl_losses_uncertainty``, spec/losses.py:390-409: the GT pose is
+    converted aa -> rotmat -> rot6d and compared in 6D space). Masked
+    static-shape port; the NLL replaces the plain MSE."""
+    from spec_tpu.core.geometry import rotmat_to_rot6d
+
+    B = pred_pose6d.shape[0]
+    gt_rot6d = rotmat_to_rot6d(
+        rodrigues(gt_pose_aa.reshape(B, 24, 3))).reshape(B, 144)
+    valid = has_smpl.astype(jnp.float32)
+
+    nll_pose = 0.5 * (jnp.exp(-pred_pose6d_logvar)
+                      * (pred_pose6d - gt_rot6d) ** 2 + pred_pose6d_logvar)
+    nll_betas = 0.5 * (jnp.exp(-pred_betas_logvar)
+                       * (pred_betas - gt_betas) ** 2 + pred_betas_logvar)
+    return (_masked_row_mean(nll_pose, valid),
+            _masked_row_mean(nll_betas, valid))
+
+
 @dataclasses.dataclass(frozen=True)
 class HMRLossConfig:
     """Weights (reference defaults, spec/losses.py:146-155 / spec/config.py

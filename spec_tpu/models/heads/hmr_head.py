@@ -75,6 +75,7 @@ class HMRHead(nn.Module):
 
     num_input_features: int
     use_cam_feats: bool = False
+    estimate_var: bool = False
     n_iter: int = 3
     hidden_dim: int = 1024
     dropout_rate: float = 0.5
@@ -149,7 +150,20 @@ class HMRHead(nn.Module):
         pred_rotmat = rot6d_to_rotmat(
             pred_pose.astype(jnp.float32).reshape(B, 24, 6))
 
+        extra = {}
+        if self.estimate_var:
+            # Aleatoric-uncertainty branch (reference HMR estimate_var,
+            # spec/models/hmr.py:37-39 + spec/losses.py:390-409): per-param
+            # log-variances regressed from the final refinement features.
+            extra['pred_pose_logvar'] = nn.Dense(
+                NPOSE, dtype=self.dtype, param_dtype=jnp.float32,
+                name='decpose_var')(xc).astype(jnp.float32)
+            extra['pred_shape_logvar'] = nn.Dense(
+                10, dtype=self.dtype, param_dtype=jnp.float32,
+                name='decshape_var')(xc).astype(jnp.float32)
+
         return {
+            **extra,
             'pred_pose': pred_rotmat,               # (B, 24, 3, 3)
             'pred_pose_6d': pred_pose.astype(jnp.float32),
             'pred_shape': pred_shape.astype(jnp.float32),
