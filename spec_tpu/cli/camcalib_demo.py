@@ -33,6 +33,7 @@ def run_camcalib_on_folder(
     batch_size: int = 16,
     save_images: bool = True,
     min_size: int = 600,
+    show_distributions: bool = False,
 ):
     """Returns {imgname: {vfov, f_pix, pitch, roll}} and writes per-image
     pickles (the stage-1 -> stage-2 ABI the reference keeps,
@@ -59,7 +60,8 @@ def run_camcalib_on_folder(
     @jax.jit
     def infer(batch_img):
         logits = model.apply(variables, batch_img)
-        return bins.convert_preds_to_angles(*logits, loss_type=loss_type)
+        return logits, bins.convert_preds_to_angles(
+            *logits, loss_type=loss_type)
 
     results = {}
     t0 = time.perf_counter()
@@ -70,7 +72,7 @@ def run_camcalib_on_folder(
             items = [dataset[i] for i in chunk]
             imgs = np.stack([it['img'] for it in items])
             pad = batch_size - len(items) if len(chunk) == batch_size else 0
-            vfov, pitch, roll = infer(jnp.asarray(imgs))
+            logits, (vfov, pitch, roll) = infer(jnp.asarray(imgs))
             vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
                                  np.asarray(roll))
             for k, it in enumerate(items):
@@ -93,10 +95,32 @@ def run_camcalib_on_folder(
                         np.asarray(pil), vfov[k], pitch[k], roll[k])
                     Image.fromarray(vis).save(
                         os.path.join(out_folder, base))
+                if show_distributions:
+                    _plot_distributions(
+                        [np.asarray(l)[k] for l in logits],
+                        os.path.join(out_folder, base + '_dist.png'))
     dt = time.perf_counter() - t0
     print(f'[camcalib] {n} images in {dt:.2f}s ({n / max(dt, 1e-6):.1f} '
           'img/s incl. IO)')
     return results
+
+
+def _plot_distributions(logit_rows, out_path):
+    """Raw 256-bin distribution bar plots per angle (the reference's
+    --show option, scripts/camcalib_demo.py:176-215) saved to disk."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3))
+    for ax, logits, name in zip(axes, logit_rows,
+                                ('vfov', 'pitch', 'roll')):
+        p = np.exp(logits - logits.max())
+        ax.bar(np.arange(len(p)), p / p.sum(), width=1.0)
+        ax.set_title(name)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
 
 
 def main():
@@ -109,11 +133,14 @@ def main():
     parser.add_argument('--batch_size', type=int, default=16)
     parser.add_argument('--no_save', action='store_true',
                         help='do not save horizon-line images')
+    parser.add_argument('--show', action='store_true',
+                        help='save raw bin-distribution bar plots')
     args = parser.parse_args()
     run_camcalib_on_folder(
         args.img_folder, args.out_folder, ckpt=args.ckpt,
         loss_type=args.loss, backbone=args.backbone,
-        batch_size=args.batch_size, save_images=not args.no_save)
+        batch_size=args.batch_size, save_images=not args.no_save,
+        show_distributions=args.show)
 
 
 if __name__ == '__main__':

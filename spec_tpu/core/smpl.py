@@ -54,11 +54,13 @@ class SMPLAssets:
     posedirs: jnp.ndarray          # (P, V*3)
     j_regressor: jnp.ndarray       # (J, V)
     lbs_weights: jnp.ndarray       # (V, J)
-    parents: np.ndarray = dataclasses.field(metadata=dict(static=True))  # (J,)
-    faces: np.ndarray = dataclasses.field(metadata=dict(static=True))    # (F, 3)
+    # Static fields must be hashable (jit treedef equality across distinct
+    # asset instances) — plain tuples, not arrays.
+    parents: tuple = dataclasses.field(metadata=dict(static=True))  # len J
+    faces: jnp.ndarray = None                                       # (F, 3)
     # Optional extra keypoint machinery (49-joint superset path).
-    extra_vertex_ids: Optional[np.ndarray] = dataclasses.field(
-        default=None, metadata=dict(static=True))                         # (21,)
+    extra_vertex_ids: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True))                   # len 21
     j_regressor_extra: Optional[jnp.ndarray] = None                       # (9, V)
     j_regressor_h36m: Optional[jnp.ndarray] = None                        # (17, V)
     # Optional kernel-ready packed operands for the fused Pallas LBS
@@ -169,9 +171,9 @@ def load_smpl_assets(
         posedirs=jnp.asarray(posedirs.reshape(V * 3, -1).T.copy(), dtype),
         j_regressor=jnp.asarray(j_regressor, dtype),
         lbs_weights=jnp.asarray(lbs_weights, dtype),
-        parents=parents.astype(np.int32),
-        faces=faces,
-        extra_vertex_ids=C.EXTRA_VERTEX_JOINT_IDS,
+        parents=tuple(int(x) for x in parents),
+        faces=jnp.asarray(faces),
+        extra_vertex_ids=tuple(int(x) for x in C.EXTRA_VERTEX_JOINT_IDS),
         j_regressor_extra=jre,
         j_regressor_h36m=jrh,
     )
@@ -198,8 +200,9 @@ def create_test_assets(
     w = rng.rand(V, J).astype(np.float32) ** 4
     w /= w.sum(axis=1, keepdims=True)
     faces = rng.randint(0, V, size=(V * 2, 3)).astype(np.int32)
-    extra_ids = (
-        C.EXTRA_VERTEX_JOINT_IDS % num_vertices if with_extra else None)
+    extra_ids = (tuple(int(x) for x in
+                       C.EXTRA_VERTEX_JOINT_IDS % num_vertices)
+                 if with_extra else None)
     jre = None
     jrh = None
     if with_extra:
@@ -213,8 +216,8 @@ def create_test_assets(
         posedirs=jnp.asarray(posedirs),
         j_regressor=jnp.asarray(jr),
         lbs_weights=jnp.asarray(w),
-        parents=C.SMPL_PARENTS.copy(),
-        faces=faces,
+        parents=tuple(int(x) for x in C.SMPL_PARENTS),
+        faces=jnp.asarray(faces),
         extra_vertex_ids=extra_ids,
         j_regressor_extra=jre,
         j_regressor_h36m=jrh,
@@ -228,7 +231,7 @@ def create_test_assets(
 
 @fp32_matmuls
 def _rigid_transform_chain(
-    rotmats: jnp.ndarray, joints: jnp.ndarray, parents: np.ndarray
+    rotmats: jnp.ndarray, joints: jnp.ndarray, parents
 ) -> jnp.ndarray:
     """Compose per-joint world transforms along the kinematic tree.
 
@@ -240,6 +243,7 @@ def _rigid_transform_chain(
       (B, J, 4, 4) world transforms ``A_j`` mapping rest-frame offsets.
     """
     B, J = rotmats.shape[:2]
+    parents = np.asarray(parents)
     rel = joints.at[:, 1:].add(-joints[:, parents[1:]])  # local offsets
 
     def make_tf(R, t):

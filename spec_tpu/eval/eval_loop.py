@@ -47,8 +47,12 @@ def _gendered_gt_mesh(assets_by_gender, pose, betas, gender):
 
 
 def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
-                   use_gender: bool = False):
-    """One compiled eval step: batch -> per-sample metric dict + pred."""
+                   use_gender: bool = False, protocol: str = 'j14'):
+    """One compiled eval step: batch -> per-sample metric dict + pred.
+
+    ``protocol``: 'j14' (default) or 'j17' — mpi-inf-3dhp evaluates on the
+    17-joint H36M selection (reference trainer.py:259-260).
+    """
     neutral = assets_by_gender['neutral']
     jreg = jnp.asarray(j_regressor_h36m, jnp.float32)
 
@@ -74,7 +78,8 @@ def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
             global_orient=out['pred_pose'][:, 0:1],
             pose2rot=False, joint_set='native')
 
-        j14 = M.eval_mesh_j14(out['smpl_vertices'], gt_verts, jreg)
+        j14 = M.eval_mesh_j14(out['smpl_vertices'], gt_verts, jreg,
+                              subset=protocol)
         j24 = M.eval_joints_24(pred_out.joints_native, gt_j24)
         v2v = M.v2v_error(out['smpl_vertices'], gt_verts)
         return out, j14, j24, v2v
@@ -98,8 +103,9 @@ def evaluate_dataset(
     ``evaluation_results_{ds}.pkl`` (reference trainer.py:469-472)."""
     import joblib
 
+    protocol = 'j17' if dataset_name == 'mpi-inf-3dhp' else 'j14'
     step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
-                          use_gender=use_gender)
+                          use_gender=use_gender, protocol=protocol)
     acc = MetricAccumulator(save_results=save_results)
 
     mean = jnp.asarray(C.IMG_NORM_MEAN)

@@ -56,6 +56,7 @@ def eval_mesh_j14(
     pred_vertices: jnp.ndarray,
     gt_vertices: jnp.ndarray,
     j_regressor_h36m: jnp.ndarray,
+    subset: str = 'j14',
 ) -> dict:
     """The 14-joint H36M-regressor protocol (reference ``eval_single``,
     spec/utils/compute_error.py:52-86): joints from the mesh, pelvis =
@@ -64,7 +65,8 @@ def eval_mesh_j14(
     Returns per-sample dict: mpjpe, pa_mpjpe (B,), v2v (B,),
     per_joint_mpjpe / per_joint_pa (B, 14).
     """
-    sel = jnp.asarray(C.H36M_TO_J14)
+    sel = jnp.asarray(
+        C.H36M_TO_J17 if subset == 'j17' else C.H36M_TO_J14)
     pj = regress_h36m(pred_vertices, j_regressor_h36m)
     gj = regress_h36m(gt_vertices, j_regressor_h36m)
     p_pelvis = pj[:, 0:1]

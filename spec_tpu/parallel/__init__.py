@@ -60,3 +60,23 @@ def replicate(tree, mesh: Mesh):
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of k >= n (global batch must divide the mesh)."""
     return ((n + k - 1) // k) * k
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host setup: call once per host before building the mesh; the
+    mesh then spans all hosts (data parallel over ICI within a slice, DCN
+    across — XLA routes collectives by mesh locality). No-op when JAX has
+    already been initialized for multi-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # single-host dev boxes
+        print(f'[parallel] jax.distributed.initialize skipped: {e}')

@@ -1,0 +1,98 @@
+"""CLI smoke tests (fast paths only; the full pipelines are driven
+end-to-end outside the unit suite)."""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import joblib
+import pytest
+
+
+@pytest.fixture
+def data_root(tmp_path, rng, monkeypatch):
+    """Minimal SPEC_DATA_ROOT with one synthetic eval dataset."""
+    root = tmp_path / 'data'
+    (root / 'dataset_extras').mkdir(parents=True)
+    img_dir = root / 'dataset_folders' / '3dpw'
+    img_dir.mkdir(parents=True)
+    n = 6
+    names = []
+    for i in range(n):
+        nm = f'f{i}.jpg'
+        cv2.imwrite(str(img_dir / nm),
+                    (rng.rand(120, 160, 3) * 255).astype('u1'))
+        names.append(nm)
+    np.savez(
+        root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz',
+        imgname=np.array(names),
+        scale=(rng.rand(n) * 0.3 + 0.5).astype('f4'),
+        center=np.stack([rng.rand(n) * 60 + 50,
+                         rng.rand(n) * 40 + 40], 1).astype('f4'),
+        pose_0yaw_inverseyz=(rng.randn(n, 72) * 0.2).astype('f4'),
+        pose_cam=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 100,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        cam_int=np.tile(np.array(
+            [[500, 0, 80], [0, 500, 60], [0, 0, 1]], 'f4'), (n, 1, 1)),
+        camcalib_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        camcalib_roll=(rng.randn(n) * 0.05).astype('f4'),
+        camcalib_vfov=(rng.rand(n) * 0.5 + 0.6).astype('f4'),
+        camcalib_f_pix=(rng.rand(n) * 200 + 400).astype('f4'),
+    )
+    monkeypatch.setenv('SPEC_DATA_ROOT', str(root))
+    return root
+
+
+def test_prepare_data_verify(data_root, capsys):
+    from spec_tpu.cli.prepare_data import verify
+
+    status = verify()
+    assert status['3dpw-test-cam annots'][0] is True
+    assert status['SPEC checkpoint'][0] is False
+
+
+def test_spec_eval_then_compute_error_cli(data_root, tmp_path):
+    """spec_eval end-to-end on the synthetic dataset (random weights,
+    small backbone), then the standalone compute_error CLI on its dump."""
+    from spec_tpu.cli import compute_error as ce
+    from spec_tpu.cli import spec_eval
+
+    results = spec_eval.main([
+        '--log_root', str(tmp_path / 'logs'),
+        '--opts', 'DATASET.VAL_DS', '3dpw-test-cam',
+        'DATASET.BATCH_SIZE', '3', 'DATASET.NUM_WORKERS', '1',
+        'HMR.BACKBONE', 'resnet18'])
+    assert '3dpw-test-cam' in results
+    assert np.isfinite(results['3dpw-test-cam']['val_mpjpe'])
+    assert 'headline_PA-MPJPE' in results['3dpw-test-cam']
+
+    # find the dumped results pkl
+    import glob
+    pkls = glob.glob(str(tmp_path / 'logs' / '**' /
+                         'evaluation_results_3dpw-test-cam.pkl'),
+                     recursive=True)
+    assert pkls
+    headline = ce.main(['--results_file', pkls[0]])
+    assert headline['protocol'] == 'j14'
+    np.testing.assert_allclose(
+        headline['PA-MPJPE'],
+        results['3dpw-test-cam']['headline_PA-MPJPE'], rtol=1e-4)
+
+
+def test_demo_video_mode_not_implemented(tmp_path):
+    from spec_tpu.cli.spec_demo import main
+
+    with pytest.raises((NotImplementedError, SystemExit)):
+        main.__wrapped__ if hasattr(main, '__wrapped__') else None
+        import sys
+        argv_bak = sys.argv
+        sys.argv = ['spec_demo', '--image_folder', str(tmp_path),
+                    '--mode', 'video']
+        try:
+            main()
+        finally:
+            sys.argv = argv_bak
