@@ -1,19 +1,19 @@
 """Headline benchmark: CamCalib + SPEC end-to-end inference images/sec.
 
-Measures the fused two-stage pipeline on the available accelerator(s):
-stage 1 (CamCalib ResNet-50 on full frames -> softargmax angle decode ->
-rotmat/intrinsics, all on device) feeding stage 2 (SPEC ResNet-50 + HMR
-head + SMPL LBS + full-perspective projection) — one jitted graph, no
-host round-trip between stages (the reference crosses a subprocess +
-pickle-file boundary per image, ``spec/tester.py:86-88``, and runs
-CamCalib at batch 1, ``scripts/camcalib_demo.py:95-100``).
+Measures the fused two-stage pipeline from RAW frames in HBM: on-device
+ImageNet normalization -> stage 1 (CamCalib ResNet-50 on full frames ->
+softargmax angle decode -> rotmat/intrinsics) -> on-device SPIN-crop +
+resize + normalize (ops/preprocess) -> stage 2 (SPEC ResNet-50 + HMR head
++ fused-Pallas SMPL LBS + full-perspective projection). ONE jitted graph,
+no host round-trips between stages (the reference crosses a subprocess +
+pickle-file boundary per image, ``spec/tester.py:86-88``, runs CamCalib at
+batch 1, ``scripts/camcalib_demo.py:95-100``, and crops on the host).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N}
 
 Baseline: the driver north star of >2,000 img/s on a v5e-8 => 250
-img/s/chip; no throughput number is published by the reference itself
-(BASELINE.md).
+img/s/chip; the reference publishes no throughput numbers (BASELINE.md).
 """
 
 import json
@@ -31,10 +31,11 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def build_pipeline(compute_dtype=jnp.bfloat16):
-    from spec_tpu.core import bins, geometry as G
+def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224):
+    from spec_tpu.core import bins, constants as C, geometry as G
     from spec_tpu.core import smpl as S
     from spec_tpu.models import HMR, CameraRegressorNetwork
+    from spec_tpu.ops.preprocess import crop_resize_normalize
 
     # Real SMPL shapes (6890 verts), with the fused Pallas LBS kernel.
     assets = S.with_packed_lbs(S.create_test_assets())
@@ -43,10 +44,18 @@ def build_pipeline(compute_dtype=jnp.bfloat16):
     spec = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,
                dtype=compute_dtype)
 
-    def pipeline(cc_vars, spec_vars, frames, crops, bbox_center, bbox_scale):
-        B = frames.shape[0]
-        img_h = jnp.full((B,), float(frames.shape[1]))
-        img_w = jnp.full((B,), float(frames.shape[2]))
+    mean = jnp.asarray(C.IMG_NORM_MEAN)
+    std = jnp.asarray(C.IMG_NORM_STD)
+
+    def pipeline(cc_vars, spec_vars, raw_frames, corners, bbox_center,
+                 bbox_scale):
+        """raw_frames: (B, H, W, 3) float32 RGB in [0, 255];
+        corners: (B, 4) int32 SPIN crop boxes (one person per frame)."""
+        B = raw_frames.shape[0]
+        img_h = jnp.full((B,), float(raw_frames.shape[1]))
+        img_w = jnp.full((B,), float(raw_frames.shape[2]))
+
+        frames = (raw_frames / 255.0 - mean) / std
 
         vfov_l, pitch_l, roll_l = camcalib.apply(cc_vars, frames)
         vfov, pitch, roll = bins.convert_preds_to_angles(
@@ -55,6 +64,8 @@ def build_pipeline(compute_dtype=jnp.bfloat16):
         cam_rotmat = G.euler_to_rotmat(
             jnp.stack([pitch, jnp.zeros_like(pitch), roll], -1))
         K = G.build_cam_intrinsics(f_pix, img_w, img_h)
+
+        crops = crop_resize_normalize(raw_frames, corners, res=img_res)
 
         out = spec.apply(
             spec_vars, assets, crops, cam_rotmat, K,
@@ -66,35 +77,40 @@ def build_pipeline(compute_dtype=jnp.bfloat16):
 
 
 def main():
+    from spec_tpu.ops.preprocess import spin_crop_corners
+
     rng = np.random.RandomState(0)
     B = 64
     frame_hw = (512, 672)  # CamCalib full-frame bucket (aspect ~4:3)
 
     camcalib, spec, assets, pipeline = build_pipeline()
 
-    frames = jnp.asarray(rng.randn(B, *frame_hw, 3).astype('f4'))
-    crops = jnp.asarray(rng.randn(B, 224, 224, 3).astype('f4'))
-    center = jnp.asarray(rng.rand(B, 2).astype('f4') * 400 + 100)
-    scale = jnp.asarray(rng.rand(B).astype('f4') + 1.0)
+    raw = jnp.asarray((rng.rand(B, *frame_hw, 3) * 255).astype('f4'))
+    center = (rng.rand(B, 2) * 300 + np.array([180, 100])).astype('f4')
+    scale = (rng.rand(B) * 0.8 + 0.8).astype('f4')
+    corners = jnp.asarray(spin_crop_corners(center, scale))
+    center_d = jnp.asarray(center)
+    scale_d = jnp.asarray(scale)
 
-    cc_vars = camcalib.init(jax.random.PRNGKey(0), frames)
-    img_h = jnp.full((B,), float(frame_hw[0]))
-    img_w = jnp.full((B,), float(frame_hw[1]))
+    cc_vars = camcalib.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *frame_hw, 3)))
     from spec_tpu.core import geometry as G
-    K0 = G.build_cam_intrinsics(jnp.full((B,), 500.0), img_w, img_h)
-    R0 = jnp.tile(jnp.eye(3), (B, 1, 1))
-    spec_vars = spec.init(jax.random.PRNGKey(1), assets, crops, R0, K0,
-                          scale, center, img_w, img_h)
+    img_h = jnp.full((1,), float(frame_hw[0]))
+    img_w = jnp.full((1,), float(frame_hw[1]))
+    K0 = G.build_cam_intrinsics(jnp.full((1,), 500.0), img_w, img_h)
+    R0 = jnp.tile(jnp.eye(3), (1, 1, 1))
+    spec_vars = spec.init(
+        jax.random.PRNGKey(1), assets, jnp.zeros((1, 224, 224, 3)), R0, K0,
+        jnp.ones((1,)), jnp.ones((1, 2)), img_w, img_h)
 
     fn = jax.jit(pipeline)
-    # Warmup / compile.
-    out = fn(cc_vars, spec_vars, frames, crops, center, scale)
+    out = fn(cc_vars, spec_vars, raw, corners, center_d, scale_d)
     jax.block_until_ready(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(cc_vars, spec_vars, frames, crops, center, scale)
+        out = fn(cc_vars, spec_vars, raw, corners, center_d, scale_d)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
@@ -104,7 +120,8 @@ def main():
     img_per_s = B * iters / dt / n_chips
     baseline = 250.0  # img/s/chip (2000 img/s on v5e-8)
     print(json.dumps({
-        'metric': 'camcalib+spec e2e inference throughput',
+        'metric': 'camcalib+spec e2e inference throughput '
+                  '(raw frames in, on-device preprocessing)',
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / baseline, 3),

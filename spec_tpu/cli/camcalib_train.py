@@ -136,6 +136,20 @@ def main(argv=None):
                 break
         mae = {k: float(np.mean(v)) for k, v in errs.items() if v}
         print(f'[camcalib-val] epoch {epoch} MAE(deg): {mae}')
+        # Observability artifacts: error CDFs (reference vis_utils CDF
+        # plot) — per-angle, per-epoch.
+        try:
+            from spec_tpu.utils.vis import plot_error_cdf
+            vis_dir = os.path.join(cfg.LOGDIR, 'val_images')
+            os.makedirs(vis_dir, exist_ok=True)
+            for k, v in errs.items():
+                if v:
+                    plot_error_cdf(
+                        v, os.path.join(vis_dir,
+                                        f'cdf_{k}_epoch{epoch}.png'),
+                        label=k)
+        except Exception as e:
+            print(f'[camcalib-val] cdf plots skipped: {e}')
         save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
         if args.fdr:
             break

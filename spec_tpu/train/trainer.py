@@ -31,6 +31,7 @@ from spec_tpu.losses import HMRLossConfig
 from spec_tpu.train.state import adam, create_train_state
 from spec_tpu.train.steps import make_spec_train_step
 from spec_tpu.utils.checkpoints import restore_checkpoint, save_checkpoint
+from spec_tpu.utils.profiling import StepTimer
 
 
 class SpecTrainer:
@@ -136,11 +137,19 @@ class SpecTrainer:
                 seed=epoch)
             t0 = time.time()
             n_img = 0
-            for batch in loader:
+            timer = StepTimer()
+            batch_iter = iter(loader)
+            while True:
+                with timer('load'):
+                    batch = next(batch_iter, None)
+                if batch is None:
+                    break
                 rng, step_rng = jax.random.split(rng)
-                dev = self._device_batch(batch)
-                self.state, metrics = self.jit_step(
-                    self.state, dev, jax.device_put(step_rng, self.rep))
+                with timer('h2d'):
+                    dev = self._device_batch(batch)
+                with timer('step'):
+                    self.state, metrics = self.jit_step(
+                        self.state, dev, jax.device_put(step_rng, self.rep))
                 global_step += 1
                 n_img += cfg.DATASET.BATCH_SIZE
                 if global_step % cfg.TRAINING.LOG_SAVE_INTERVAL == 0:
@@ -151,7 +160,8 @@ class SpecTrainer:
                             f'{ {k: float(v) for k, v in metrics.items()} }')
                     ips = n_img / (time.time() - t0)
                     print(f'[train] epoch {epoch} step {global_step} '
-                          f'loss {total:.3f} ({ips:.1f} img/s)')
+                          f'loss {total:.3f} ({ips:.1f} img/s | '
+                          f'{timer.report()})')
                     if self.writer:
                         for k, v in metrics.items():
                             self.writer.add_scalar(

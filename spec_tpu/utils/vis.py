@@ -58,3 +58,32 @@ def draw_skeleton(img, kp2d, color=(0, 255, 0), radius=None):
             continue
         cv2.circle(out, (int(j[0]), int(j[1])), r, color, -1)
     return out
+
+
+def plot_error_cdf(errors_deg, out_path, label='error'):
+    """Cumulative error plot (reference camcalib/vis_utils.py:14-35):
+    fraction of images vs angular error in degrees."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    errors = np.sort(np.asarray(errors_deg))
+    frac = np.arange(1, len(errors) + 1) / len(errors)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.plot(errors, frac)
+    ax.set_xlabel(f'{label} (degrees)')
+    ax.set_ylabel('fraction of images')
+    ax.set_ylim(0, 1)
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+
+
+def gt_vs_pred_horizon(img, gt_angles, pred_angles):
+    """GT (green) vs predicted (yellow) horizon overlay — the CamCalib
+    validation image dump (reference camcalib/trainer.py:118-169)."""
+    out = draw_horizon_line(img, *gt_angles, color=(0, 255, 0),
+                            debug_text=False)
+    return draw_horizon_line(out, *pred_angles, color=(255, 255, 0),
+                             debug_text=False)
