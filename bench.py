@@ -80,7 +80,7 @@ def main():
     from spec_tpu.ops.preprocess import spin_crop_corners
 
     rng = np.random.RandomState(0)
-    B = 64
+    B = 128
     frame_hw = (512, 672)  # CamCalib full-frame bucket (aspect ~4:3)
 
     camcalib, spec, assets, pipeline = build_pipeline()

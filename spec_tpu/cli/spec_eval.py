@@ -103,7 +103,9 @@ def main(argv=None):
                   f'({annot}); skipping')
             continue
         ds = CamDataset(annot, img_dir, dataset=ds_name, is_train=False,
-                        img_res=cfg.DATASET.IMG_RES)
+                        img_res=cfg.DATASET.IMG_RES,
+                        render_res=cfg.DATASET.RENDER_RES,
+                        emit_disp_img=cfg.TESTING.SAVE_IMAGES)
         loader = DataLoader(ds, batch_size=cfg.DATASET.BATCH_SIZE,
                             num_workers=cfg.DATASET.NUM_WORKERS)
         t0 = time.perf_counter()
@@ -112,6 +114,8 @@ def main(argv=None):
             use_gt_cam=cfg.TESTING.USE_GT_CAM,
             use_gender=cfg.DATASET.USE_GENDER,
             save_results=cfg.TESTING.SAVE_RESULTS,
+            save_images=cfg.TESTING.SAVE_IMAGES,
+            save_freq=cfg.TESTING.SAVE_FREQ,
             logdir=cfg.LOGDIR, dataset_name=ds_name)
         dt = time.perf_counter() - t0
         print(f'[eval] {ds_name}: {summary} '

@@ -75,6 +75,8 @@ class CamDataset:
         baseline_cam_f: bool = False,
         baseline_cam_c: bool = False,
         normalize: bool = False,
+        render_res: int = 480,
+        emit_disp_img: bool = False,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -88,6 +90,8 @@ class CamDataset:
         self.baseline_cam_f = baseline_cam_f
         self.baseline_cam_c = baseline_cam_c
         self.normalize = normalize
+        self.render_res = render_res
+        self.emit_disp_img = emit_disp_img
         self.rng = np.random.RandomState(seed)
 
         data = np.load(annot_file, allow_pickle=True)
@@ -227,6 +231,12 @@ class CamDataset:
         proc_time = time.perf_counter() - t1
 
         item['img'] = img
+        if not self.is_train and self.emit_disp_img:
+            # RENDER_RES crop for validation overlays (reference
+            # cam_dataset.py:373-381 disp_img).
+            disp = T.crop(cv_img, center, sc * scale,
+                          [self.render_res, self.render_res], rot=rot)
+            item['disp_img'] = (disp / 255.0).astype(np.float32)
         item['pose'] = self._pose(pose, rot, flip)
         item['betas'] = betas
         item['imgname'] = imgname

@@ -96,11 +96,16 @@ def evaluate_dataset(
     use_gt_cam: bool = False,
     use_gender: bool = False,
     save_results: bool = True,
+    save_images: bool = False,
+    save_freq: int = 1,
     logdir: Optional[str] = None,
     dataset_name: str = '',
 ) -> dict:
     """Run the eval pass; returns the mm summary and (optionally) dumps
-    ``evaluation_results_{ds}.pkl`` (reference trainer.py:469-472)."""
+    ``evaluation_results_{ds}.pkl`` (reference trainer.py:469-472).
+    ``save_images`` renders an overlay + sideview group for the first
+    sample of every ``save_freq``-th batch (reference
+    validation_summaries, trainer.py:355-357)."""
     import joblib
 
     protocol = 'j17' if dataset_name == 'mpi-inf-3dhp' else 'j14'
@@ -110,6 +115,7 @@ def evaluate_dataset(
 
     mean = jnp.asarray(C.IMG_NORM_MEAN)
     std = jnp.asarray(C.IMG_NORM_STD)
+    batch_idx = 0
     for batch in loader:
         dev = {
             'img': (jnp.asarray(batch['img']) - mean) / std,
@@ -130,6 +136,11 @@ def evaluate_dataset(
         acc.add_batch(
             batch['imgname'], batch['dataset_name'], j14, j24, v2v,
             pred=out, valid_count=batch.get('_valid_count'))
+        if save_images and logdir and (batch_idx % save_freq == 0):
+            _save_val_render(batch, out,
+                             assets_by_gender['neutral'], logdir,
+                             dataset_name, batch_idx)
+        batch_idx += 1
 
     summary = acc.summary()
     if logdir:
@@ -139,3 +150,29 @@ def evaluate_dataset(
                 acc.results_dict(),
                 os.path.join(logdir, f'evaluation_results_{dataset_name}.pkl'))
     return summary, acc
+
+
+def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx):
+    """Overlay + 270-degree sideview for the first sample of a batch."""
+    from spec_tpu.utils.renderer import render_image_group
+
+    img = batch.get('disp_img', batch['img'])[0]
+    res = img.shape[0]
+    K = np.asarray(batch.get('pred_cam_int', batch['cam_int'])[0])
+    # Rescale intrinsics from the original image to the crop frame.
+    orig_h = float(batch['orig_shape'][0][0])
+    scale = res / max(orig_h, 1.0)
+    vis_dir = os.path.join(logdir, 'val_images')
+    os.makedirs(vis_dir, exist_ok=True)
+    render_image_group(
+        np.asarray(img),
+        camera_translation=np.asarray(out['pred_cam_t'])[0],
+        vertices=np.asarray(out['smpl_vertices'])[0],
+        camera_rotation=np.asarray(
+            batch.get('pred_cam_rotmat', batch['cam_rotmat'])[0]),
+        focal_length=(K[0, 0] * scale, K[1, 1] * scale),
+        camera_center=(res / 2.0, res / 2.0),
+        faces=np.asarray(assets.faces),
+        save_filename=os.path.join(
+            vis_dir, f'{dataset_name}_b{batch_idx:05d}.jpg'),
+    )

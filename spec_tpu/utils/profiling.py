@@ -102,3 +102,22 @@ def set_seed(seed: int):
     if seed >= 0:
         np.random.seed(seed)
     return jax.random.PRNGKey(max(seed, 0))
+
+
+def check_batch_gradient(fn, batch_input, atol: float = 1e-6) -> bool:
+    """Batch-independence check (the pare ``CheckBatchGradient`` utility,
+    reference import scripts/spec_train.py:35-36): perturbing sample 0
+    must not change any other sample's output. Catches cross-batch leaks
+    (e.g. train-mode BatchNorm in an eval path, bad reshapes).
+
+    Args:
+      fn: batch -> output array with a leading batch dim.
+      batch_input: (B, ...) array, B >= 2.
+    """
+    import jax.numpy as jnp
+
+    base = fn(batch_input)
+    perturbed = jnp.asarray(batch_input).at[0].add(1.0)
+    out = fn(perturbed)
+    leak = jnp.abs(out[1:] - base[1:]).max()
+    return bool(leak <= atol)

@@ -71,3 +71,15 @@ def test_set_seed():
     a = np.random.rand()
     set_seed(3)
     assert np.random.rand() == a
+
+
+def test_check_batch_gradient():
+    import jax.numpy as jnp
+    from spec_tpu.utils.profiling import check_batch_gradient
+
+    # batch-independent fn passes
+    assert check_batch_gradient(lambda x: x * 2 + 1,
+                                jnp.ones((4, 8)))
+    # batch-coupled fn (mean subtraction) fails
+    assert not check_batch_gradient(
+        lambda x: x - x.mean(axis=0, keepdims=True), jnp.ones((4, 8)))
