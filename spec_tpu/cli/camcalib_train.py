@@ -69,7 +69,8 @@ def main(argv=None):
     model = CameraRegressorNetwork(
         backbone=cfg.MODEL.BACKBONE,
         num_fc_layers=cfg.MODEL.NUM_FC_LAYERS,
-        num_fc_channels=cfg.MODEL.NUM_FC_CHANNELS)
+        num_fc_channels=cfg.MODEL.NUM_FC_CHANNELS,
+        dtype=getattr(jnp, cfg.MODEL.get('DTYPE', 'float32')))
     tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
 
     mesh = par.create_mesh()

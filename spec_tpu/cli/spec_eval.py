@@ -77,8 +77,10 @@ def main(argv=None):
             f'J_regressor_h36m not found at {jreg_path}')
         jreg = np.asarray(neutral.j_regressor_h36m)
 
+    import jax.numpy as _jnp
     model = HMR(backbone=cfg.HMR.BACKBONE, use_cam=True,
-                use_cam_feats=cfg.HMR.USE_CAM_FEATS)
+                use_cam_feats=cfg.HMR.USE_CAM_FEATS,
+                dtype=getattr(_jnp, cfg.HMR.get('DTYPE', 'float32')))
     ckpt = args.ckpt or paths.spec_checkpoint_path()
     if os.path.exists(ckpt):
         variables = load_spec_variables(ckpt, backbone=cfg.HMR.BACKBONE)

@@ -123,8 +123,10 @@ def main(argv=None):
                                 num_workers=cfg.DATASET.NUM_WORKERS)
         return out
 
+    import jax.numpy as _jnp
     model = HMR(backbone=cfg.HMR.BACKBONE, use_cam=True,
-                use_cam_feats=cfg.HMR.USE_CAM_FEATS)
+                use_cam_feats=cfg.HMR.USE_CAM_FEATS,
+                dtype=getattr(_jnp, cfg.HMR.get('DTYPE', 'float32')))
 
     ckpt = args.ckpt or cfg.TRAINING.PRETRAINED_LIT \
         or paths.spec_checkpoint_path()

@@ -169,10 +169,25 @@ class SpecTrainer:
 
             val_loss = self.validate(epoch, global_step)
             save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
-                            global_step)
+                            global_step, keep=1000)
+            self._prune_ranked(val_loss, global_step)
         if self.writer:
             self.writer.flush()
         return self.state
+
+    def _prune_ranked(self, val_metric: float, step: int, keep: int = 30):
+        """Keep the ``keep`` best checkpoints by validation metric
+        (reference: ModelCheckpoint(save_top_k=30, monitor='val_loss'),
+        scripts/spec_train.py:92-98)."""
+        import shutil
+
+        self.best.append((float(val_metric), step))
+        self.best.sort()
+        for _, worst_step in self.best[keep:]:
+            shutil.rmtree(
+                os.path.join(self.ckpt_dir, f'step_{worst_step:08d}'),
+                ignore_errors=True)
+        self.best = self.best[:keep]
 
     def validate(self, epoch: int, global_step: int) -> float:
         from spec_tpu.eval.eval_loop import evaluate_dataset

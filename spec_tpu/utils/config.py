@@ -276,6 +276,7 @@ def spec_default_config() -> CfgNode:
         },
         'HMR': {
             'BACKBONE': 'resnet50',
+            'DTYPE': 'float32',  # compute dtype: float32 | bfloat16
             'USE_CAM_FEATS': False,
             'SHAPE_LOSS_WEIGHT': 0.0,
             'KEYPOINT_LOSS_WEIGHT': 5.0,
@@ -320,6 +321,7 @@ def camcalib_default_config() -> CfgNode:
         },
         'MODEL': {
             'BACKBONE': 'resnet34',
+            'DTYPE': 'float32',
             'NUM_FC_LAYERS': 1,
             'NUM_FC_CHANNELS': 1024,
         },
