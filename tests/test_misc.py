@@ -1,0 +1,88 @@
+"""Small-surface tests: image-folder bucketing, OBJ export, schedule
+parsing, detection helpers, pano-agora merge."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from spec_tpu.data.detection import bbox_to_center_scale, full_image_bboxes
+from spec_tpu.data.image_folder import ImageFolder, resize_min_side
+from spec_tpu.train.trainer import parse_schedule
+
+
+def test_image_folder_buckets(tmp_path, rng):
+    names = []
+    for i, (h, w) in enumerate([(480, 640), (480, 640), (600, 450)]):
+        p = tmp_path / f'i{i}.jpg'
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype('u1')).save(p)
+        names.append(str(p))
+    ds = ImageFolder(names, min_size=120)
+    buckets = ds.shape_buckets()
+    assert len(buckets) == 2
+    sizes = sorted((k, len(v)) for k, v in buckets.items())
+    assert sum(n for _, n in sizes) == 3
+    item = ds[0]
+    assert item['img'].shape[0] == 120 or item['img'].shape[1] == 120
+
+
+def test_resize_min_side():
+    img = Image.new('RGB', (640, 480))
+    out = resize_min_side(img, 600)
+    assert min(out.size) == 600
+    assert out.size == (800, 600)
+
+
+def test_parse_schedule():
+    sched = parse_schedule('0+a_b_0.5_0.5 5+c_1.0')
+    assert sched == {0: 'a_b_0.5_0.5', 5: 'c_1.0'}
+    assert parse_schedule('') == {}
+
+
+def test_bbox_helpers():
+    boxes = np.array([[100.0, 80.0, 50.0, 60.0]], np.float32)
+    center, scale = bbox_to_center_scale(boxes)
+    np.testing.assert_allclose(center[0], [100, 80])
+    np.testing.assert_allclose(scale[0], 60.0 / 200.0)
+
+    dets = full_image_bboxes({'a.jpg': (480, 640)})
+    assert dets['a.jpg'].shape == (1, 4)
+    np.testing.assert_allclose(dets['a.jpg'][0, :2], [320, 240])
+
+
+def test_write_obj(tmp_path):
+    from spec_tpu.cli.spec_demo import write_obj
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    path = tmp_path / 'm.obj'
+    write_obj(str(path), verts, faces)
+    lines = path.read_text().strip().split('\n')
+    assert lines[0].startswith('v ') and lines[-1] == 'f 1 2 3'
+
+
+def test_pano_agora_merge(tmp_path, rng):
+    import joblib
+    from spec_tpu.datagen import merge_pano_agora
+
+    pano = tmp_path / 'pano'
+    (pano / 'annotations').mkdir(parents=True)
+    joblib.dump(['a.jpg'], pano / 'train_images.pkl')
+    with open(pano / 'annotations' / 'a.json', 'w') as f:
+        json.dump({'pitch': 0.1, 'roll': 0.02, 'vfov': 60.0}, f)
+    agora = {'agora/b.png': {'pitch': -0.05, 'roll': 0.01, 'focal': 1000.0}}
+
+    out = tmp_path / 'merged'
+    n = merge_pano_agora(str(pano), agora, str(out), val_ratio=0.5)
+    assert n == 2
+    train = np.load(out / 'pano_agora_dataset_train.npz', allow_pickle=True)
+    val = np.load(out / 'pano_agora_dataset_val.npz', allow_pickle=True)
+    assert len(train['imgname']) + len(val['imgname']) == 2
+    allv = np.concatenate([train['vfov'], val['vfov']])
+    # AGORA vfov derived from focal: 2 atan(540/1000)
+    assert np.any(np.isclose(allv, 2 * np.arctan(540.0 / 1000.0),
+                             atol=1e-5))
+    # pano vfov stored in degrees -> radians
+    assert np.any(np.isclose(allv, np.radians(60.0), atol=1e-5))
