@@ -41,6 +41,21 @@ def spin_crop_corners(centers, scales, res: int = 224) -> np.ndarray:
     return out
 
 
+def _axis_weights(coord: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Per-sample bilinear resampling weights along one axis.
+
+    coord: (B, res) fractional source coordinates. Returns (B, res, size)
+    with two non-zeros per row ((1-f) at floor, f at floor+1) and zero
+    rows for out-of-frame taps (zero padding).
+    """
+    c0 = jnp.floor(coord)
+    f = (coord - c0)[..., None]                       # (B, res, 1)
+    idx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    c0e = c0[..., None]
+    w = (1.0 - f) * (idx == c0e) + f * (idx == c0e + 1.0)
+    return w.astype(jnp.float32)                      # (B, res, size)
+
+
 @functools.partial(jax.jit, static_argnames=('res', 'normalize'))
 def crop_resize_normalize(
     frames: jnp.ndarray,    # (B, H, W, 3) float32 RGB in [0, 255]
@@ -48,7 +63,14 @@ def crop_resize_normalize(
     res: int = 224,
     normalize: bool = True,
 ) -> jnp.ndarray:
-    """-> (B, res, res, 3) float32, /255 and ImageNet-normalized."""
+    """-> (B, res, res, 3) float32, /255 and ImageNet-normalized.
+
+    Implemented as two batched one-hot MXU matmuls (separable bilinear)
+    rather than gathers: on TPU, XLA lowers batched 4D gathers inside a
+    large fused graph to SERIAL while-loops over every output element
+    (~350 ms for B=128 at 224^2 — measured), while the matmul form runs
+    in ~2 ms. Out-of-frame taps get zero weight rows = zero padding.
+    """
     B, H, W, _ = frames.shape
     corners = corners.astype(jnp.float32)
     ulx, uly = corners[:, 0:1], corners[:, 1:2]
@@ -59,29 +81,16 @@ def crop_resize_normalize(
     xs = ulx + r[None, :] * box_w / res - 0.5        # (B, res)
     ys = uly + r[None, :] * box_h / res - 0.5
 
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    fx = (xs - x0)[:, None, :, None]                 # (B, 1, res, 1)
-    fy = (ys - y0)[:, :, None, None]                 # (B, res, 1, 1)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    w_y = _axis_weights(ys, H)                        # (B, res, H)
+    w_x = _axis_weights(xs, W)                        # (B, res, W)
 
-    b_idx = jnp.arange(B)[:, None, None]
-
-    def tap(yi, xi):
-        # (B, res) index vectors -> gathered (B, res, res, 3) with zero
-        # padding outside the frame.
-        valid = ((yi >= 0) & (yi < H))[:, :, None, None] & \
-                ((xi >= 0) & (xi < W))[:, None, :, None]
-        yc = jnp.clip(yi, 0, H - 1)
-        xc = jnp.clip(xi, 0, W - 1)
-        vals = frames[b_idx, yc[:, :, None], xc[:, None, :]]
-        return jnp.where(valid, vals, 0.0)
-
-    v = ((1 - fy) * (1 - fx) * tap(y0, x0)
-         + (1 - fy) * fx * tap(y0, x0 + 1)
-         + fy * (1 - fx) * tap(y0 + 1, x0)
-         + fy * fx * tap(y0 + 1, x0 + 1))
+    # Rows then columns; HIGHEST keeps fp32 pixel values exact on the MXU.
+    tmp = jnp.einsum('bih,bhwc->biwc', w_y, frames,
+                     precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    v = jnp.einsum('bjw,biwc->bijc', w_x, tmp,
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
 
     v = v / 255.0
     if normalize:
