@@ -96,3 +96,29 @@ def test_demo_video_mode_not_implemented(tmp_path):
             main()
         finally:
             sys.argv = argv_bak
+
+
+def test_spec_eval_specsyn_j24(data_root, tmp_path, rng):
+    """spec-syn runs the 24-joint protocol with the GT cam rotation."""
+    import shutil
+
+    # clone the 3dpw fixture as spec-syn (adds cam_rotmat; j24 headline)
+    src = data_root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz'
+    data = dict(np.load(src, allow_pickle=True))
+    data['pose'] = data.pop('pose_0yaw_inverseyz')
+    data.pop('pose_cam')
+    n = len(data['imgname'])
+    data['cam_rotmat'] = np.tile(np.eye(3, dtype='f4'), (n, 1, 1))
+    np.savez(data_root / 'dataset_extras' / 'spec-syn_camcalib.npz', **data)
+    dst = data_root / 'dataset_folders' / 'spec-syn'
+    shutil.copytree(data_root / 'dataset_folders' / '3dpw', dst)
+
+    from spec_tpu.cli import spec_eval
+    results = spec_eval.main([
+        '--log_root', str(tmp_path / 'logs'),
+        '--opts', 'DATASET.VAL_DS', 'spec-syn',
+        'DATASET.BATCH_SIZE', '3', 'DATASET.NUM_WORKERS', '1',
+        'HMR.BACKBONE', 'resnet18'])
+    r = results['spec-syn']
+    assert np.isfinite(r['val_mpjpe_24'])
+    assert 'headline_W-MPJPE' in r
