@@ -61,18 +61,13 @@ def run_spec_on_folder(
     from spec_tpu.models import HMR
     from spec_tpu.utils.checkpoints import load_spec_variables
 
+    t_total_start = time.perf_counter()
     os.makedirs(output_folder, exist_ok=True)
     cam_out = os.path.join(output_folder, 'camcalib')
     res_out = os.path.join(output_folder, 'spec_results')
     img_out = os.path.join(output_folder, 'spec_images')
     for d in (cam_out, res_out, img_out):
         os.makedirs(d, exist_ok=True)
-
-    t_start = time.perf_counter()
-
-    # Stage 1: CamCalib, in-process.
-    run_camcalib_on_folder(
-        image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False)
 
     # Detections.
     image_names = list_images(image_folder)
@@ -118,6 +113,12 @@ def run_spec_on_folder(
     def infer(images, cam_rotmat, K, scale, center, img_w, img_h):
         return model.apply(variables, assets, images, cam_rotmat, K,
                            scale, center, img_w, img_h)
+
+    t_start = time.perf_counter()
+
+    # Stage 1: CamCalib, in-process (jitted per shape bucket).
+    run_camcalib_on_folder(
+        image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False)
 
     # Flatten all detections into one work list.
     work = []  # (imgname, det_idx, center, scale, cam_rotmat, K, w, h)
@@ -199,9 +200,13 @@ def run_spec_on_folder(
 
     n_img = len(outputs_per_image)
     total = time.perf_counter() - t_start
+    total_with_load = time.perf_counter() - t_total_start
+    # FPS with and without model/checkpoint load (reference
+    # scripts/spec_demo.py:81-88 logs both).
     print(f'[spec] {n_img} images / {len(work)} crops; model time '
           f'{n_model_time:.2f}s; e2e {total:.2f}s '
-          f'({n_img / max(total, 1e-6):.1f} img/s incl. IO)')
+          f'({n_img / max(total, 1e-6):.1f} img/s excl. load, '
+          f'{n_img / max(total_with_load, 1e-6):.1f} img/s incl. load)')
     return outputs_per_image
 
 

@@ -81,6 +81,7 @@ def main(argv=None):
         crop_prob=cfg.DATASET.CROP_PROB,
         crop_factor=cfg.DATASET.CROP_FACTOR,
         use_occlusion=cfg.DATASET.USE_SYNTHETIC_OCCLUSION,
+        use_3d_conf=cfg.DATASET.USE_3D_CONF,
     )
 
     def build_cam_dataset(name, is_train):

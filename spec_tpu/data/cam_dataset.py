@@ -43,6 +43,7 @@ class AugmentationConfig:
     crop_factor: float = 0.0
     use_occlusion: bool = False
     use_motion_blur: bool = True
+    use_3d_conf: bool = False
 
 
 class CamDataset:
@@ -241,6 +242,14 @@ class CamDataset:
         item['betas'] = betas
         item['imgname'] = imgname
         item['pose_conf'] = np.ones(24, np.float32)
+        if self.aug.use_3d_conf and self.dataset in ('mpii', 'coco',
+                                                     'lspet'):
+            # Copy 2D keypoint confidences onto SMPL pose joints
+            # (reference cam_dataset.py:386-394).
+            from spec_tpu.core.kp_utils import map_spin_joints_to_smpl
+            for srcs, dst in map_spin_joints_to_smpl():
+                item['pose_conf'][dst] = max(
+                    keypoints[25 + s_, 2] for s_ in srcs)
 
         if self.has_pose_3d:
             S = self.pose_3d[index].copy()
@@ -248,6 +257,15 @@ class CamDataset:
                     and self.is_train):
                 S[:, :3] = (self.cam_rotmat[index] @ S[:, :3].T).T
             item['pose_3d'] = self._j3d(S, rot, flip)
+            if self.aug.use_3d_conf and self.dataset in ('mpii', 'coco',
+                                                         'lspet'):
+                # Confidence propagation onto the 3D GT joints (reference
+                # cam_dataset.py:396-411).
+                from spec_tpu.core.kp_utils import relation_among_spin_joints
+                for srcs, dst in relation_among_spin_joints():
+                    conf = max([keypoints[x, 2] for x in srcs]
+                               + [keypoints[dst, 2]])
+                    item['pose_3d'][dst - 25, -1] = np.float32(conf)
         else:
             item['pose_3d'] = np.zeros((24, 4), np.float32)
 

@@ -202,7 +202,24 @@ def run_grid_search_experiments(
     resolved['CFG_ID'] = cfg_id
     resolved['NUM_EXPERIMENTS'] = len(experiments)
     resolved.dump(os.path.join(logdir, 'config_to_run.yaml'))
+    _copy_code(logdir)
     return resolved
+
+
+def _copy_code(logdir: str):
+    """Snapshot the framework source into the logdir for reproducibility
+    (reference copy_code, scripts/spec_train.py:54-57)."""
+    import shutil
+
+    src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(logdir, 'code', 'spec_tpu')
+    if os.path.isdir(src) and not os.path.exists(dst):
+        try:
+            shutil.copytree(
+                src, dst,
+                ignore=shutil.ignore_patterns('__pycache__', '*.so'))
+        except OSError:
+            pass
 
 
 # ---------------------------------------------------------------------------
