@@ -70,8 +70,9 @@ def run_camcalib_on_folder(
         for s in range(0, len(idxs), batch_size):
             chunk = idxs[s:s + batch_size]
             items = [dataset[i] for i in chunk]
-            imgs = np.stack([it['img'] for it in items])
-            pad = batch_size - len(items) if len(chunk) == batch_size else 0
+            # Pad the tail batch so every bucket compiles exactly once.
+            padded = items + [items[-1]] * (batch_size - len(items))
+            imgs = np.stack([it['img'] for it in padded])
             logits, (vfov, pitch, roll) = infer(jnp.asarray(imgs))
             vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
                                  np.asarray(roll))

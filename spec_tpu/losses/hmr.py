@@ -190,7 +190,7 @@ def hmr_cam_loss(pred: dict, gt: dict, cfg: HMRLossConfig = HMRLossConfig()):
     loss_shape = shape_loss(
         pred['smpl_vertices'], gt['vertices'], gt['has_smpl'])
 
-    loss_cam = (jnp.exp(-pred['pred_cam'][:, 0] * 10.0) ** 2).mean()
+    loss_cam = _cam_regularizer(pred['pred_cam'])
 
     loss_dict = {
         'loss/loss_keypoints': loss_keypoints * cfg.keypoint_loss_weight,
@@ -204,6 +204,16 @@ def hmr_cam_loss(pred: dict, gt: dict, cfg: HMRLossConfig = HMRLossConfig()):
     total = sum(loss_dict.values()) * cfg.loss_weight
     loss_dict['loss/total_loss'] = total
     return total, loss_dict
+
+
+def _cam_regularizer(pred_cam):
+    """``mean(exp(-10 s)^2)`` (reference spec/losses.py:247), with s
+    clamped at -4 purely to keep fp32 finite: below that the reference
+    value overflows to inf and training is already divergent — the clamp
+    only changes the divergent regime (exact for all s > -4, i.e. any
+    plausible scale; pretrained starts sit at s ~ 0.9)."""
+    s = jnp.maximum(pred_cam[:, 0], -4.0)
+    return (jnp.exp(-s * 10.0) ** 2).mean()
 
 
 def hmr_loss(pred: dict, gt: dict, cfg: HMRLossConfig = HMRLossConfig()):
@@ -222,7 +232,7 @@ def hmr_loss(pred: dict, gt: dict, cfg: HMRLossConfig = HMRLossConfig()):
         pred['smpl_joints3d'], gt['pose_3d'], gt['has_pose_3d'])
     loss_shape = shape_loss(
         pred['smpl_vertices'], gt['vertices'], gt['has_smpl'])
-    loss_cam = (jnp.exp(-pred['pred_cam'][:, 0] * 10.0) ** 2).mean()
+    loss_cam = _cam_regularizer(pred['pred_cam'])
 
     loss_dict = {
         'loss/loss_keypoints': loss_keypoints * cfg.keypoint_loss_weight,

@@ -166,6 +166,9 @@ class SpecTrainer:
                         for k, v in metrics.items():
                             self.writer.add_scalar(
                                 f'train/{k}', float(v), global_step)
+                if (self.writer and cfg.LOG_FREQ_TB_IMAGES > 0
+                        and global_step % cfg.LOG_FREQ_TB_IMAGES == 0):
+                    self._train_image_summary(batch, global_step)
 
             val_loss = self.validate(epoch, global_step)
             save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
@@ -174,6 +177,45 @@ class SpecTrainer:
         if self.writer:
             self.writer.flush()
         return self.state
+
+    def _train_image_summary(self, batch, global_step: int):
+        """Render one training sample's prediction overlay to TensorBoard
+        (reference train_summaries, spec/trainer.py:173-228)."""
+        try:
+            import numpy as _np
+            from spec_tpu.utils.renderer import render_image_group
+
+            variables = {
+                'params': jax.device_get(self.state.params),
+                'batch_stats': jax.device_get(self.state.batch_stats),
+            }
+            img = _np.asarray(batch['img'][0:1], _np.float32)
+            dev_img = jnp.asarray(
+                (img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD)
+            out = self.model.apply(
+                variables, self.assets['neutral'], dev_img,
+                jnp.asarray(batch['cam_rotmat'][0:1]),
+                jnp.asarray(batch['cam_int'][0:1]),
+                jnp.asarray(batch['scale'][0:1]),
+                jnp.asarray(batch['center'][0:1]),
+                jnp.asarray(batch['orig_shape'][0:1, 1].astype(_np.float32)),
+                jnp.asarray(batch['orig_shape'][0:1, 0].astype(_np.float32)))
+            res = img.shape[1]
+            K = _np.asarray(batch['cam_int'][0])
+            scale = res / max(float(batch['orig_shape'][0][0]), 1.0)
+            group = render_image_group(
+                img[0],
+                camera_translation=_np.asarray(out['pred_cam_t'])[0],
+                vertices=_np.asarray(out['smpl_vertices'])[0],
+                camera_rotation=_np.asarray(batch['cam_rotmat'][0]),
+                focal_length=(K[0, 0] * scale, K[1, 1] * scale),
+                camera_center=(res / 2.0, res / 2.0),
+                faces=_np.asarray(self.assets['neutral'].faces))
+            self.writer.add_image(
+                'train/overlay', _np.clip(group, 0, 1).transpose(2, 0, 1),
+                global_step)
+        except Exception as e:
+            print(f'[train] image summary skipped: {e}')
 
     def _prune_ranked(self, val_metric: float, step: int, keep: int = 30):
         """Keep the ``keep`` best checkpoints by validation metric
