@@ -81,7 +81,7 @@ def main(argv=None):
 
     step = make_camcalib_train_step(model, tx, loss_type=loss_type)
     jit_step = jax.jit(step, in_shardings=(rep, par.batch_sharding(mesh)),
-                       out_shardings=(rep, rep))
+                       out_shardings=(rep, rep), donate_argnums=(0,))
 
     ckpt_dir = os.path.join(cfg.LOGDIR, 'checkpoints')
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS

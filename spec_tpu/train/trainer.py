@@ -71,7 +71,8 @@ class SpecTrainer:
         self.jit_step = jax.jit(
             step,
             in_shardings=(rep, par.batch_sharding(self.mesh), rep),
-            out_shardings=(rep, rep))
+            out_shardings=(rep, rep),
+            donate_argnums=(0,))  # reuse the old state's buffers in place
         self.rep = rep
 
         if init_variables is None:
