@@ -1,0 +1,93 @@
+"""Eval-loop internals: gendered GT blending and the demo CLI end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+import pytest
+
+from spec_tpu.core import smpl as S
+from spec_tpu.eval.eval_loop import _gendered_gt_mesh
+
+
+def test_gendered_blend_selects_per_sample(rng):
+    male = S.create_test_assets(num_vertices=128, seed=1)
+    female = S.create_test_assets(num_vertices=128, seed=2)
+    neutral = S.create_test_assets(num_vertices=128, seed=3)
+    assets = {'neutral': neutral, 'male': male, 'female': female}
+
+    B = 4
+    pose = jnp.asarray((rng.randn(B, 72) * 0.1).astype('f4'))
+    betas = jnp.asarray((rng.randn(B, 10) * 0.2).astype('f4'))
+    gender = jnp.asarray(np.array([0, 1, 0, 1], np.int32))  # m, f, m, f
+
+    verts, j24 = _gendered_gt_mesh(assets, pose, betas, gender)
+
+    def fwd(a, i):
+        out = S.smpl_forward(
+            a, betas[i:i + 1], pose[i:i + 1, 3:].reshape(-1, 23, 3),
+            pose[i:i + 1, :3].reshape(-1, 1, 3), joint_set='native')
+        return np.asarray(out.vertices)[0]
+
+    np.testing.assert_allclose(np.asarray(verts)[0], fwd(male, 0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(verts)[1], fwd(female, 1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(verts)[3], fwd(female, 3),
+                               atol=1e-5)
+    # neutral-only dict falls back to neutral for everyone
+    v_n, _ = _gendered_gt_mesh({'neutral': neutral}, pose, betas, gender)
+    np.testing.assert_allclose(np.asarray(v_n)[0], fwd(neutral, 0),
+                               atol=1e-5)
+
+
+def test_device_prefetch_passthrough(rng):
+    from spec_tpu.data import device_prefetch
+
+    batches = [{'img': rng.rand(2, 4, 4, 3).astype('f4'),
+                'imgname': ['a', 'b'], '_valid_count': 2}
+               for _ in range(3)]
+    out = list(device_prefetch(iter(batches)))
+    assert len(out) == 3
+    assert out[0]['imgname'] == ['a', 'b']
+    np.testing.assert_allclose(np.asarray(out[1]['img']), batches[1]['img'])
+
+
+def test_occlusion_paste(rng):
+    from spec_tpu.data.occlusion import occlude_with_objects
+
+    img = np.zeros((64, 64, 3), np.float32)
+    occ = np.zeros((16, 16, 4), np.float32)
+    occ[..., 0] = 200.0   # red
+    occ[..., 3] = 255.0   # opaque
+    out = occlude_with_objects(img, [occ], rng=np.random.RandomState(0),
+                               img_size=64)
+    assert out.max() > 0  # something was pasted
+    assert img.max() == 0  # input untouched
+
+
+def test_spec_demo_cli_end_to_end(tmp_path, rng, monkeypatch):
+    """Full two-stage demo through the CLI entry (small backbone via
+    monkeypatched model builders would be invasive — run resnet50 on two
+    tiny images instead; CPU, one batch)."""
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f'p{i}.jpg'),
+                    (rng.rand(96, 128, 3) * 255).astype('u1'))
+    dets = {f'p{i}.jpg': [[64.0, 48.0, 60.0, 80.0]] for i in range(2)}
+    det_file = tmp_path / 'dets.json'
+    det_file.write_text(json.dumps(dets))
+
+    from spec_tpu.cli.spec_demo import run_spec_on_folder
+
+    outs = run_spec_on_folder(
+        str(img_dir), str(tmp_path / 'out'), bbox_file=str(det_file),
+        batch_size=2, render=True, save_obj=True)
+    assert len(outs) == 2
+    res_dir = tmp_path / 'out' / 'spec_results'
+    assert sorted(os.listdir(res_dir)) == ['p0.pkl', 'p1.pkl']
+    assert os.path.exists(tmp_path / 'out' / 'spec_images' / 'p0.jpg')
+    assert os.path.exists(tmp_path / 'out' / 'meshes' / 'p0' / '000000.obj')
+    assert os.path.exists(tmp_path / 'out' / 'camcalib' / 'p0.jpg.pkl')
