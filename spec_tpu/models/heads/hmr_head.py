@@ -171,12 +171,19 @@ class HMRHead(nn.Module):
         }
 
 
-def convert_torch_hmr_head_params(state_dict: dict, prefix: str = '') -> dict:
+def convert_torch_hmr_head_params(
+    state_dict: dict, prefix: str = '',
+    mean_params: Optional[dict] = None,
+) -> dict:
     """Convert a PARE/SPIN-format head state_dict to this module's params.
 
     Expected torch keys (optionally under ``prefix``): ``fc1/fc2/decpose/
     decshape/deccam .weight|.bias`` and the ``init_pose/init_shape/init_cam``
-    buffers (reference resume patching ``scripts/spec_train.py:86-90``).
+    buffers. Old checkpoints lack the init buffers — the reference patches
+    them in before resume (``add_init_smpl_params_to_dict``,
+    ``scripts/spec_train.py:86-90``); here the same fallback fills them from
+    ``mean_params`` (or :func:`default_init_params`) so the converted tree
+    is always complete.
     """
     sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
           if k.startswith(prefix)}
@@ -186,7 +193,7 @@ def convert_torch_hmr_head_params(state_dict: dict, prefix: str = '') -> dict:
             'kernel': jnp.asarray(sd[f'{name}.weight'].T),
             'bias': jnp.asarray(sd[f'{name}.bias']),
         }
+    fallback = mean_params or default_init_params()
     for buf in ('init_pose', 'init_shape', 'init_cam'):
-        if buf in sd:
-            params[buf] = jnp.asarray(sd[buf])
+        params[buf] = jnp.asarray(sd[buf] if buf in sd else fallback[buf])
     return params

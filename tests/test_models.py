@@ -147,6 +147,27 @@ def test_hmr_head_parity(rng, use_cam_feats):
         eye, np.tile(np.eye(3), (4, 24, 1, 1)), atol=1e-5)
 
 
+def test_hmr_head_converter_fills_missing_init_buffers(rng):
+    """Legacy ckpts lack init_pose/shape/cam; the reference patches them in
+    before resume (scripts/spec_train.py:86-90) — the converter must fall
+    back to mean params so the tree still applies."""
+    tm = TorchHMRHead(nfeat=512).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if not k.startswith('init_')}
+    params = convert_torch_hmr_head_params(sd)
+    for buf in ('init_pose', 'init_shape', 'init_cam'):
+        assert buf in params
+    np.testing.assert_allclose(
+        np.asarray(params['init_pose']), default_init_params()['init_pose'])
+    head = HMRHead(num_input_features=512)
+    out = head.apply({'params': params},
+                     jnp.asarray(rng.randn(2, 512).astype(np.float32)))
+    with torch.no_grad():
+        pose_t, _, _ = tm(torch.from_numpy(
+            np.zeros((1, 512), np.float32)))
+    assert out['pred_pose_6d'].shape == (2, 144)
+
+
 # ---------------------------------------------------------------------------
 # Composite HMR
 # ---------------------------------------------------------------------------
