@@ -41,26 +41,70 @@ def load_torch_state_dict(path: str) -> dict:
     return out
 
 
+def merge_with_template(variables: dict, template: dict,
+                        verbose: bool = True) -> dict:
+    """Overlay converted ``variables`` onto a freshly-initialized
+    ``template`` pytree, keeping the template leaf wherever the shapes
+    disagree or the converted tree has no counterpart.
+
+    This is the reference's ``load_pretrained_model(...,
+    overwrite_shape_mismatch=True)`` behavior (SURVEY.md §5.4 /
+    ``spec/models/hmr.py`` and tester ckpt loads): checkpoints with
+    changed head widths still load, with mismatched leaves re-initialized.
+    """
+    import jax
+
+    flat_t = jax.tree.leaves_with_path(template)
+    flat_v = dict(jax.tree.leaves_with_path(variables))
+    out = []
+    for path, leaf in flat_t:
+        cand = flat_v.get(path)
+        if cand is not None and tuple(cand.shape) == tuple(leaf.shape):
+            out.append(cand)
+        else:
+            if verbose and cand is not None:
+                print(f'[checkpoints] shape mismatch at '
+                      f'{jax.tree_util.keystr(path)}: checkpoint '
+                      f'{tuple(cand.shape)} vs model {tuple(leaf.shape)} '
+                      f'— keeping model init')
+            elif verbose and cand is None:
+                print(f'[checkpoints] missing in checkpoint: '
+                      f'{jax.tree_util.keystr(path)} — keeping model init')
+            out.append(leaf)
+    return jax.tree.unflatten(jax.tree.structure(template), out)
+
+
 def load_camcalib_variables(
     path: str, backbone: str = 'resnet50', num_fc_layers: int = 1,
+    template: Optional[dict] = None,
 ) -> dict:
     """Released CamCalib ckpt -> flax variables (reference ckpt:
     ``camcalib_sa_biased_l2.ckpt``, resnet50 + 1 fc layer,
-    scripts/camcalib_demo.py:39,74-81)."""
+    scripts/camcalib_demo.py:39,74-81). Pass ``template`` (model.init
+    variables) to tolerate shape mismatches like the reference's
+    ``overwrite_shape_mismatch=True``."""
     from spec_tpu.models import convert_torch_camcalib_params
 
     sd = load_torch_state_dict(path)
-    return convert_torch_camcalib_params(
+    variables = convert_torch_camcalib_params(
         sd, backbone=backbone, num_fc_layers=num_fc_layers)
+    if template is not None:
+        variables = merge_with_template(variables, template)
+    return variables
 
 
-def load_spec_variables(path: str, backbone: str = 'resnet50') -> dict:
+def load_spec_variables(path: str, backbone: str = 'resnet50',
+                        template: Optional[dict] = None) -> dict:
     """Released SPEC ckpt -> flax variables (``spec_checkpoint.ckpt``,
-    spec/tester.py:63-71)."""
+    spec/tester.py:63-71). ``template`` enables shape-mismatch-tolerant
+    loading (see :func:`merge_with_template`)."""
     from spec_tpu.models import convert_torch_hmr_params
 
     sd = load_torch_state_dict(path)
-    return convert_torch_hmr_params(sd, backbone=backbone)
+    variables = convert_torch_hmr_params(sd, backbone=backbone)
+    if template is not None:
+        variables = merge_with_template(variables, template)
+    return variables
 
 
 # ---------------------------------------------------------------------------

@@ -86,3 +86,24 @@ def test_pano_agora_merge(tmp_path, rng):
                              atol=1e-5))
     # pano vfov stored in degrees -> radians
     assert np.any(np.isclose(allv, np.radians(60.0), atol=1e-5))
+
+
+def test_merge_with_template_shape_tolerance(rng):
+    """overwrite_shape_mismatch semantics: mismatched / missing leaves
+    keep the template init, matching ones take the checkpoint value."""
+    import jax.numpy as jnp
+    from spec_tpu.utils.checkpoints import merge_with_template
+
+    template = {'params': {
+        'head': {'kernel': jnp.zeros((4, 8)), 'bias': jnp.zeros((8,))},
+        'trunk': {'w': jnp.zeros((3, 3))}}}
+    ckpt = {'params': {
+        'head': {'kernel': jnp.ones((4, 16)),      # changed width
+                 'bias': jnp.ones((8,))},          # matches
+        # trunk missing entirely
+    }}
+    out = merge_with_template(ckpt, template, verbose=False)
+    assert out['params']['head']['kernel'].shape == (4, 8)
+    assert float(out['params']['head']['kernel'].sum()) == 0.0   # re-init
+    assert float(out['params']['head']['bias'].sum()) == 8.0     # loaded
+    assert out['params']['trunk']['w'].shape == (3, 3)
