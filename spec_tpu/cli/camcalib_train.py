@@ -121,6 +121,8 @@ def main(argv=None):
         variables_now = {
             'params': jax.device_get(state.params),
             'batch_stats': jax.device_get(state.batch_stats)}
+        first_val_batch = None
+        first_val_pred = None
         for batch in _bucketed_batches(
                 val_ds, cfg.DATASET.BATCH_SIZE, shuffle=False, seed=0,
                 num_workers=cfg.DATASET.NUM_WORKERS,
@@ -128,6 +130,10 @@ def main(argv=None):
             logits = model.apply(variables_now, jnp.asarray(batch['img']))
             vfov, pitch, roll = B.convert_preds_to_angles(
                 *logits, loss_type=loss_type)
+            if first_val_batch is None:
+                first_val_batch = batch
+                first_val_pred = (np.asarray(vfov), np.asarray(pitch),
+                                  np.asarray(roll))
             for k, pred in zip(('vfov', 'pitch', 'roll'),
                                (vfov, pitch, roll)):
                 gt = batch[f'{k}_angle']
@@ -151,10 +157,47 @@ def main(argv=None):
                         label=k)
         except Exception as e:
             print(f'[camcalib-val] cdf plots skipped: {e}')
+        # GT (green) vs predicted (yellow) horizon overlays for the first
+        # val batch (reference camcalib/trainer.py:118-169 renders these
+        # each validation epoch).
+        if first_val_batch is not None:
+            try:
+                _save_horizon_dumps(first_val_batch, first_val_pred,
+                                    os.path.join(cfg.LOGDIR, 'val_images'),
+                                    epoch)
+            except Exception as e:
+                print(f'[camcalib-val] horizon dumps skipped: {e}')
         save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
         if args.fdr:
             break
     return state
+
+
+def _save_horizon_dumps(batch, pred_angles, vis_dir, epoch, max_n=4):
+    """Save GT-vs-pred horizon overlays (un-normalize, crop the padding)."""
+    from PIL import Image
+
+    from spec_tpu.core import constants as C
+    from spec_tpu.utils.vis import gt_vs_pred_horizon
+
+    os.makedirs(vis_dir, exist_ok=True)
+    vfov, pitch, roll = pred_angles
+    for i in range(min(max_n, len(batch['img']))):
+        img = np.asarray(batch['img'][i], np.float32)
+        img = (img * C.IMG_NORM_STD + C.IMG_NORM_MEAN) * 255.0
+        if 'pad_mask' in batch:
+            m = np.asarray(batch['pad_mask'][i])
+            h = max(int(m.any(axis=1).sum()), 1)
+            w = max(int(m.any(axis=0).sum()), 1)
+            img = img[:h, :w]
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        out = gt_vs_pred_horizon(
+            img,
+            (float(batch['vfov_angle'][i]), float(batch['pitch_angle'][i]),
+             float(batch['roll_angle'][i])),
+            (float(vfov[i]), float(pitch[i]), float(roll[i])))
+        Image.fromarray(out).save(
+            os.path.join(vis_dir, f'horizon_e{epoch:03d}_{i}.png'))
 
 
 def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,

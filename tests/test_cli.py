@@ -122,3 +122,42 @@ def test_spec_eval_specsyn_j24(data_root, tmp_path, rng):
     r = results['spec-syn']
     assert np.isfinite(r['val_mpjpe_24'])
     assert 'headline_W-MPJPE' in r
+
+
+def test_camcalib_train_cli_fdr(tmp_path, rng, monkeypatch):
+    """End-to-end camcalib training CLI on a tiny synthetic pano set:
+    bucketed batches, val MAE, CDF plots, GT-vs-pred horizon dumps,
+    checkpoint save."""
+    root = tmp_path / 'data'
+    pano = root / 'dataset_folders' / 'pano360'
+    img_dir = pano / 'images'
+    img_dir.mkdir(parents=True)
+    names = []
+    for i in range(12):
+        nm = f'crop{i}.jpg'
+        cv2.imwrite(str(img_dir / nm),
+                    (rng.rand(64, 80, 3) * 255).astype('u1'))
+        with open(img_dir / f'crop{i}.json', 'w') as f:
+            json.dump({'vfov': 1.0 + 0.1 * i,
+                       'pitch': 0.05 * i - 0.1,
+                       'roll': 0.02 * i - 0.05}, f)
+        names.append(nm)
+    joblib.dump(names[:9], pano / 'train_images.pkl')
+    joblib.dump(names[9:], pano / 'val_images.pkl')
+    monkeypatch.setenv('SPEC_DATA_ROOT', str(root))
+
+    from spec_tpu.cli.camcalib_train import main
+    main(['--fdr', '--log_root', str(tmp_path / 'logs'), '--opts',
+          'MODEL.BACKBONE', 'resnet18',
+          'DATASET.TRAIN_DS', 'pano_scalenet',
+          'DATASET.MIN_RES', '64', 'DATASET.MAX_RES', '96',
+          'DATASET.BATCH_SIZE', '8', 'DATASET.NUM_WORKERS', '1',
+          'TRAINING.MAX_EPOCHS', '1'])
+
+    logdirs = list((tmp_path / 'logs').glob('**/checkpoints'))
+    assert logdirs, 'no checkpoint dir written'
+    assert any(d.iterdir() for d in logdirs), 'no checkpoint saved'
+    vis = list((tmp_path / 'logs').glob('**/val_images/horizon_e*.png'))
+    assert vis, 'no horizon dumps written'
+    cdfs = list((tmp_path / 'logs').glob('**/val_images/cdf_*.png'))
+    assert cdfs, 'no cdf plots written'

@@ -215,3 +215,28 @@ def test_hmr_non_cam_path(rng):
     out = model.apply(variables, assets, images)
     # normalized crop-frame joints2d
     assert out['smpl_joints2d'].shape == (1, 49, 2)
+
+
+def test_hmr_hrnet_backbone_forward(rng):
+    """Composite HMR with the HRNet trunk variants the reference demo
+    supports (spec/models/hmr.py:44-53)."""
+    from spec_tpu.core import smpl as S
+    from spec_tpu.core import geometry as G
+
+    assets = S.create_test_assets(num_vertices=128)
+    model = HMR(backbone='hrnet_w32-conv', use_cam=True, use_cam_feats=True)
+    B = 2
+    images = jnp.asarray(rng.randn(B, 64, 64, 3).astype(np.float32))
+    cam_rotmat = jnp.tile(jnp.eye(3), (B, 1, 1))
+    img_w = jnp.full((B,), 1920.0)
+    img_h = jnp.full((B,), 1080.0)
+    K = G.build_cam_intrinsics(jnp.full((B,), 1500.0), img_w, img_h)
+    bbox_center = jnp.full((B, 2), 500.0)
+    bbox_scale = jnp.ones((B,))
+    variables = model.init(
+        jax.random.PRNGKey(0), assets, images, cam_rotmat, K,
+        bbox_scale, bbox_center, img_w, img_h)
+    out = model.apply(variables, assets, images, cam_rotmat, K,
+                      bbox_scale, bbox_center, img_w, img_h)
+    assert out['pred_pose'].shape == (B, 24, 3, 3)
+    assert out['smpl_joints2d'].shape[0] == B
