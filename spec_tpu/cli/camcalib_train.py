@@ -42,7 +42,6 @@ def main(argv=None):
     import jax.numpy as jnp
     from spec_tpu import parallel as par
     from spec_tpu.core import bins as B
-    from spec_tpu.data.loader import DataLoader
     from spec_tpu.data.pano_agora_dataset import PanoAgoraDataset
     from spec_tpu.data.pano_dataset import CameraRegressorDataset, pad_collate
     from spec_tpu.models import CameraRegressorNetwork
@@ -86,14 +85,8 @@ def main(argv=None):
     ckpt_dir = os.path.join(cfg.LOGDIR, 'checkpoints')
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
     global_step = 0
-    buckets = train_ds.shape_buckets() if hasattr(
-        train_ds, 'shape_buckets') else None
 
     for epoch in range(max_epochs):
-        loader = DataLoader(
-            train_ds, batch_size=cfg.DATASET.BATCH_SIZE, shuffle=True,
-            num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True, seed=epoch)
-        # Override collate with the bucketed pad-collator.
         t0 = time.time()
         for batch in _bucketed_batches(
                 train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,
@@ -134,11 +127,14 @@ def main(argv=None):
                 first_val_batch = batch
                 first_val_pred = (np.asarray(vfov), np.asarray(pitch),
                                   np.asarray(roll))
+            # Tail chunks are padded by repeating the last sample —
+            # count each real sample once in the MAE / CDFs.
+            n_valid = int(batch.get('valid_count', len(batch['img'])))
             for k, pred in zip(('vfov', 'pitch', 'roll'),
                                (vfov, pitch, roll)):
-                gt = batch[f'{k}_angle']
+                gt = batch[f'{k}_angle'][:n_valid]
                 errs[k] += np.degrees(
-                    np.abs(np.asarray(pred) - gt)).tolist()
+                    np.abs(np.asarray(pred)[:n_valid] - gt)).tolist()
             if args.fdr:
                 break
         mae = {k: float(np.mean(v)) for k, v in errs.items() if v}
@@ -220,10 +216,13 @@ def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
                 rng.shuffle(idxs)
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s:s + batch_size]
+                n_valid = len(chunk)
                 while len(chunk) < batch_size:
                     chunk.append(chunk[-1])
                 items = list(pool.map(dataset.__getitem__, chunk))
-                yield pad_collate(items, fixed_hw=bucket_hw)
+                batch = pad_collate(items, fixed_hw=bucket_hw)
+                batch['valid_count'] = n_valid
+                yield batch
 
 
 if __name__ == '__main__':

@@ -79,6 +79,7 @@ def project_points(
     Bp = _round_up(B, 8)
     Vp = _round_up(V, V_TILE)
     BT = min(Bp, 64)
+    Bp = _round_up(Bp, BT)  # grid = Bp // BT: BT must divide Bp exactly
     VT = V_TILE
 
     # The reference-layout K leaves the homogeneous row unset (it divides
