@@ -76,6 +76,25 @@ def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224):
     return camcalib, spec, assets, pipeline
 
 
+def _fetch_rtt():
+    """Median host<->device round-trip of fetching a tiny ready scalar.
+
+    Through the axon remote-execution tunnel ``block_until_ready`` does NOT
+    reliably force execution; the only trustworthy timing is one where a
+    reduced scalar is fetched to host. That fetch costs a tunnel round-trip
+    (~26-45 ms here) which must be subtracted from the measured window.
+    """
+    vals = [jnp.float32(i) + 1.0 for i in range(5)]
+    for v in vals:
+        v.block_until_ready()
+    rtts = []
+    for v in vals:
+        t0 = time.perf_counter()
+        float(v)
+        rtts.append(time.perf_counter() - t0)
+    return sorted(rtts)[len(rtts) // 2]
+
+
 def main():
     from spec_tpu.ops.preprocess import spin_crop_corners
 
@@ -103,16 +122,31 @@ def main():
         jax.random.PRNGKey(1), assets, jnp.zeros((1, 224, 224, 3)), R0, K0,
         jnp.ones((1,)), jnp.ones((1, 2)), img_w, img_h)
 
-    fn = jax.jit(pipeline)
-    out = fn(cc_vars, spec_vars, raw, corners, center_d, scale_d)
-    jax.block_until_ready(out)
+    # Timing that provably forces remote execution: every iteration folds a
+    # reduction over ALL pipeline outputs into a carried scalar, and the
+    # final float() fetch transitively depends on every iteration's full
+    # compute. (block_until_ready alone can report 0.2 ms for a full ResNet
+    # forward through the axon tunnel — async-dispatch artifact.)
+    @jax.jit
+    def bench_step(acc, cc_vars, spec_vars, raw, corners, center, scale):
+        out = pipeline(cc_vars, spec_vars, raw, corners, center, scale)
+        s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+        return acc + s
+
+    acc = bench_step(jnp.float32(0), cc_vars, spec_vars, raw, corners,
+                     center_d, scale_d)
+    assert np.isfinite(float(acc))  # warmup/compile + force
+    rtt = _fetch_rtt()
 
     iters = 10
     t0 = time.perf_counter()
+    acc = jnp.float32(0)
     for _ in range(iters):
-        out = fn(cc_vars, spec_vars, raw, corners, center_d, scale_d)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        acc = bench_step(acc, cc_vars, spec_vars, raw, corners, center_d,
+                         scale_d)
+    total = float(acc)  # single forcing fetch
+    dt = time.perf_counter() - t0 - rtt
+    assert np.isfinite(total)
 
     n_chips = max(1, len([d for d in jax.devices()
                           if d.platform == 'tpu'])) if \

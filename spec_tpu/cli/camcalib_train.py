@@ -31,6 +31,7 @@ def main(argv=None):
 
     from spec_tpu.utils.config import (
         camcalib_default_config,
+        resolve_camcalib_loss,
         run_grid_search_experiments,
     )
 
@@ -49,7 +50,7 @@ def main(argv=None):
     from spec_tpu.utils import paths
     from spec_tpu.utils.checkpoints import save_checkpoint
 
-    loss_type = cfg.DATASET.LOSS_TYPE
+    loss_type = resolve_camcalib_loss(cfg)
 
     def build_dataset(is_train):
         folder = paths.dataset_folders().get('pano360', 'data/pano360')
@@ -78,7 +79,11 @@ def main(argv=None):
     variables = model.init(jax.random.PRNGKey(0), ex)
     state = par.replicate(create_train_state(variables, tx), mesh)
 
-    step = make_camcalib_train_step(model, tx, loss_type=loss_type)
+    step = make_camcalib_train_step(
+        model, tx, loss_type=loss_type,
+        vfov_loss_weight=cfg.MODEL.get('LOSS_VFOV_WEIGHT', 1.0),
+        pitch_loss_weight=cfg.MODEL.get('LOSS_PITCH_WEIGHT', 1.0),
+        roll_loss_weight=cfg.MODEL.get('LOSS_ROLL_WEIGHT', 1.0))
     jit_step = jax.jit(step, in_shardings=(rep, par.batch_sharding(mesh)),
                        out_shardings=(rep, rep), donate_argnums=(0,))
 
@@ -100,7 +105,8 @@ def main(argv=None):
             }
             state, metrics = jit_step(state, par.shard_batch(dev, mesh))
             global_step += 1
-            if global_step % 50 == 0 or args.fdr:
+            log_every = int(cfg.TRAINING.get('LOG_SAVE_INTERVAL', 50))
+            if global_step % max(log_every, 1) == 0 or args.fdr:
                 loss = float(metrics['loss'])
                 if not np.isfinite(loss):
                     raise FloatingPointError(f'non-finite loss: {metrics}')
@@ -109,7 +115,13 @@ def main(argv=None):
             if args.fdr and global_step >= 2:
                 break
 
-        # Validation: decoded-angle MAE in degrees.
+        # Validation: decoded-angle MAE in degrees (every
+        # CHECK_VAL_EVERY_N_EPOCH epochs, reference camcalib_train.py:84).
+        val_every = max(int(cfg.TRAINING.get('CHECK_VAL_EVERY_N_EPOCH', 1)),
+                        1)
+        if not args.fdr and (epoch + 1) % val_every != 0:
+            save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+            continue
         errs = {'vfov': [], 'pitch': [], 'roll': []}
         variables_now = {
             'params': jax.device_get(state.params),

@@ -91,13 +91,21 @@ def main(argv=None):
         return CamDataset(
             annot, folder, dataset=name, is_train=is_train,
             img_res=cfg.DATASET.IMG_RES, aug=aug,
+            ignore_3d=cfg.DATASET.get('IGNORE_3D', False),
             baseline_cam_rot=cfg.DATASET.BASELINE_CAM_ROT,
             baseline_cam_f=cfg.DATASET.BASELINE_CAM_F,
             baseline_cam_c=cfg.DATASET.BASELINE_CAM_C)
 
     stage_sched = parse_schedule(cfg.DATASET.STAGE_DATASETS)
+    tf_sched = parse_schedule(cfg.DATASET.get('TEACHER_FORCE_SCHEDULE', ''))
 
     def make_train_dataset(epoch):
+        if epoch in tf_sched:
+            # Mirrors reference spec/trainer.py:573-579. (Its consumption
+            # site is commented out in the reference dataset,
+            # cam_dataset.py:603-604, so this only updates the hparam.)
+            cfg.DATASET.TEACHER_FORCE = float(tf_sched[epoch])
+            print(f'[train] teacher force -> {cfg.DATASET.TEACHER_FORCE}')
         ratios_spec = cfg.DATASET.DATASETS_AND_RATIOS
         if isinstance(ratios_spec, list):
             ratios_spec = '_'.join(str(x) for x in ratios_spec)

@@ -85,10 +85,15 @@ def make_camcalib_train_step(
     model,
     tx: optax.GradientTransformation,
     loss_type: str = 'softargmax_biased_l2',
+    vfov_loss_weight: float = 1.0,
+    pitch_loss_weight: float = 1.0,
+    roll_loss_weight: float = 1.0,
 ) -> Callable:
     """CamCalib training step. Batch: img (B,H,W,3), vfov/pitch/roll targets
     (bin indices for ce/kl, soft indices for softargmax losses — reference
-    ``camcalib/pano_dataset.py:135-142``)."""
+    ``camcalib/pano_dataset.py:135-142``). Per-angle loss weights mirror
+    MODEL.LOSS_{VFOV,PITCH,ROLL}_WEIGHT (reference camcalib/config.py:84-86;
+    the released recipe trains with all three at 10.0)."""
 
     def loss_fn(params, batch_stats, batch):
         out, new_model_state = model.apply(
@@ -98,7 +103,10 @@ def make_camcalib_train_step(
         total, loss_dict = camera_regressor_loss(
             vfov_logits, pitch_logits, roll_logits,
             batch['vfov'], batch['pitch'], batch['roll'],
-            loss_type=loss_type)
+            loss_type=loss_type,
+            vfov_loss_weight=vfov_loss_weight,
+            pitch_loss_weight=pitch_loss_weight,
+            roll_loss_weight=roll_loss_weight)
         return total, (loss_dict, new_model_state['batch_stats'])
 
     def train_step(state: TrainState, batch: dict) -> tuple:

@@ -231,10 +231,14 @@ def spec_default_config() -> CfgNode:
     return CfgNode.from_dict({
         'EXP_NAME': 'spec',
         'LOGDIR': '',
+        'LOG_DIR': 'logs/experiments',
         'LOG_FREQ_TB_IMAGES': 500,
         'SEED_VALUE': -1,
         'METHOD': 'hmr_cam',
+        'PROJECT_NAME': 'spec',
+        'SYSTEM': {'GPU': '', 'CLUSTER_NODE': 0.0},
         'DATASET': {
+            'LOAD_TYPE': 'Base',
             'NOISE_FACTOR': 0.4,
             'ROT_FACTOR': 0.0,
             'SCALE_FACTOR': 0.25,
@@ -246,8 +250,11 @@ def spec_default_config() -> CfgNode:
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
             'TRAIN_DS': 'all',
-            'VAL_DS': '3dpw-test-cam',
+            'VAL_DS': 'spec-syn_spec-mtp_3dpw-test-cam',
             'NUM_IMAGES': -1,
+            'TRAIN_NUM_IMAGES': -1,
+            'TEST_NUM_IMAGES': -1,
+            'IGNORE_3D': False,
             'IMG_RES': 224,
             'RENDER_RES': 480,
             'FOCAL_LENGTH': 5000.0,
@@ -261,7 +268,13 @@ def spec_default_config() -> CfgNode:
             'BASELINE_CAM_F': False,
             'BASELINE_CAM_C': False,
             'TEACHER_FORCE': 0.0,
+            # 'epoch+value' pairs, e.g. '0+0.0 50+0.5' (reference
+            # spec/trainer.py:573-579; its consumption site in the
+            # reference dataset is commented out, cam_dataset.py:603-604,
+            # so the schedule only updates the hparam — kept for parity).
+            'TEACHER_FORCE_SCHEDULE': '',
             'STAGE_DATASETS': '',
+            'NONPARAMETRIC': False,
         },
         'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-4, 'WD': 0.0},
         'TRAINING': {
@@ -279,6 +292,7 @@ def spec_default_config() -> CfgNode:
             'DROPOUT_P': 0.2,
             'TEST_BEFORE_TRAINING': False,
             'SAVE_IMAGES': False,
+            'USE_PART_SEGM_LOSS': False,
             'USE_AMP': False,
         },
         'TESTING': {
@@ -317,7 +331,11 @@ def camcalib_default_config() -> CfgNode:
     return CfgNode.from_dict({
         'EXP_NAME': 'camcalib',
         'LOGDIR': '',
+        'LOG_DIR': 'logs/camcalib',
+        'METHOD': 'camcalib',
+        'PROJECT_NAME': 'camcalib',
         'SEED_VALUE': -1,
+        'SYSTEM': {'GPU': '', 'CLUSTER_NODE': 0.0},
         'DATASET': {
             'TRAIN_DS': 'pano',
             'VAL_DS': 'pano',
@@ -327,6 +345,9 @@ def camcalib_default_config() -> CfgNode:
             'NUM_WORKERS': 8,
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
+            'IMG_RES': 224,
+            # Legacy alias; the reference dialect is MODEL.LOSS_TYPE
+            # (camcalib/config.py:87). resolve_camcalib_loss() arbitrates.
             'LOSS_TYPE': 'ce',
         },
         'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-3, 'WD': 0.0},
@@ -335,12 +356,34 @@ def camcalib_default_config() -> CfgNode:
             'PRETRAINED': None,
             'PRETRAINED_LIT': None,
             'MAX_EPOCHS': 100,
+            'LOG_SAVE_INTERVAL': 50,
+            'LOG_FREQ_TB_IMAGES': 500,
+            'CHECK_VAL_EVERY_N_EPOCH': 1,
+            'RELOAD_DATALOADERS_EVERY_EPOCH': True,
+            'SAVE_IMAGES': False,
         },
         'MODEL': {
             'BACKBONE': 'resnet34',
             'DTYPE': 'float32',
             'NUM_FC_LAYERS': 1,
             'NUM_FC_CHANNELS': 1024,
+            'LOSS_VFOV_WEIGHT': 1.0,
+            'LOSS_PITCH_WEIGHT': 1.0,
+            'LOSS_ROLL_WEIGHT': 1.0,
+            'LOSS_TYPE': 'ce',
         },
         'RUN_TEST': False,
     })
+
+
+def resolve_camcalib_loss(cfg: CfgNode) -> str:
+    """Loss type from either config dialect.
+
+    The reference stores it at MODEL.LOSS_TYPE (``camcalib/config.py:87``,
+    and all shipped ``camcalib/configs/*.yaml``); early spec_tpu configs used
+    DATASET.LOSS_TYPE. A non-default value in either location wins, with
+    MODEL (the reference location) taking precedence when both are set.
+    """
+    model_lt = cfg.get('MODEL', {}).get('LOSS_TYPE', 'ce')
+    dataset_lt = cfg.get('DATASET', {}).get('LOSS_TYPE', 'ce')
+    return model_lt if model_lt != 'ce' else dataset_lt

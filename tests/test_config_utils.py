@@ -28,6 +28,52 @@ def test_cfgnode_merge_and_opts(tmp_path):
     assert cfg.TESTING.USE_GT_CAM is True
 
 
+def test_reference_camcalib_config_dialect():
+    """The reference's shipped camcalib presets (MODEL.LOSS_TYPE /
+    MODEL.LOSS_*_WEIGHT, reference camcalib/configs/*.yaml) must load and
+    resolve against our tree; the legacy DATASET.LOSS_TYPE spelling still
+    works."""
+    from spec_tpu.utils.config import (
+        camcalib_default_config,
+        resolve_camcalib_loss,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), '..', 'configs',
+                        'camcalib')
+    cfg = camcalib_default_config()
+    cfg.merge_from_file(os.path.join(root, 'config_sa_bias_l2.yaml'))
+    assert resolve_camcalib_loss(cfg) == 'softargmax_biased_l2'
+    assert cfg.MODEL.LOSS_VFOV_WEIGHT == 10.0
+    assert cfg.MODEL.BACKBONE == 'resnet50'
+    assert cfg.DATASET.TRAIN_DS == 'pano_scalenet'
+
+    cfg = camcalib_default_config()
+    cfg.merge_from_file(os.path.join(root, 'config_kl.yaml'))
+    assert resolve_camcalib_loss(cfg) == 'kl'
+
+    # Legacy spelling (early spec_tpu configs).
+    cfg = camcalib_default_config()
+    cfg.DATASET.LOSS_TYPE = 'softargmax_l2'
+    assert resolve_camcalib_loss(cfg) == 'softargmax_l2'
+    # MODEL wins when both are explicitly non-default.
+    cfg.MODEL.LOSS_TYPE = 'softargmax_biased_l2'
+    assert resolve_camcalib_loss(cfg) == 'softargmax_biased_l2'
+
+
+def test_spec_default_tree_reference_keys():
+    """Keys present in the reference default tree (spec/config.py:62-163)
+    must exist so reference YAML overrides are honored, not silently added
+    as orphans."""
+    cfg = spec_default_config()
+    assert cfg.DATASET.LOAD_TYPE == 'Base'
+    assert cfg.DATASET.IGNORE_3D is False
+    assert cfg.DATASET.TEACHER_FORCE_SCHEDULE == ''
+    assert cfg.DATASET.TRAIN_NUM_IMAGES == -1
+    assert cfg.TRAINING.USE_PART_SEGM_LOSS is False
+    assert cfg.PROJECT_NAME == 'spec'
+    assert cfg.SYSTEM.CLUSTER_NODE == 0.0
+
+
 def test_grid_search_expansion():
     cfg = {'A': {'X': [1, 2, 3], 'Y': 'fixed'}, 'B': [True, False]}
     exps, hp = get_grid_search_configs(cfg)
