@@ -136,6 +136,27 @@ def test_resnet_parity(rng, arch, tblock, layers, cout):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_s2d_stem_exactness(rng):
+    """The space-to-depth stem must compute EXACTLY the standard 7x7/s2
+    stem (same params, fp32) — it is a pure kernel rewrite."""
+    model = B.get_backbone('resnet18')
+    s2d = B.get_backbone('resnet18', s2d_stem=True)
+
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    variables = model.init(__import__('jax').random.PRNGKey(0), x)
+
+    ref = model.apply(variables, x, train=False)
+    out = s2d.apply(variables, x, train=False)  # same variables!
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # Param trees are interchangeable (same paths/shapes).
+    vs = s2d.init(__import__('jax').random.PRNGKey(0), x)
+    import jax
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(variables))
+
+
 def test_conversion_covers_all_torch_keys(rng):
     """Every torch tensor must land somewhere in the flax tree (no silently
     dropped weights)."""
