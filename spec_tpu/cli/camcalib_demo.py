@@ -34,17 +34,28 @@ def run_camcalib_on_folder(
     save_images: bool = True,
     min_size: int = 600,
     show_distributions: bool = False,
+    image_list: list | None = None,
+    gt_angles: dict | None = None,
 ):
     """Returns {imgname: {vfov, f_pix, pitch, roll}} and writes per-image
     pickles (the stage-1 -> stage-2 ABI the reference keeps,
-    spec/utils/cam_params.py:24-49)."""
+    spec/utils/cam_params.py:24-49).
+
+    ``image_list`` overrides folder listing (the reference's ``--dataset``
+    mode builds the list from a registered npz's imgname column,
+    scripts/camcalib_demo.py:59-64). ``gt_angles`` maps imgname ->
+    (vfov, pitch, roll) in radians; when given, GT fields are added to the
+    pickles and a second (GT) horizon is drawn, mirroring the reference's
+    dataset-less evaluation mode (:142-171)."""
     import jax
     import jax.numpy as jnp
     from spec_tpu.models import CameraRegressorNetwork
     from spec_tpu.utils.checkpoints import load_camcalib_variables
 
     ckpt = ckpt or paths.camcalib_checkpoint_path()
-    dataset = ImageFolder(list_images(img_folder), min_size=min_size)
+    if image_list is None:
+        image_list = list_images(img_folder)
+    dataset = ImageFolder(image_list, min_size=min_size)
     os.makedirs(out_folder, exist_ok=True)
 
     model = CameraRegressorNetwork(backbone=backbone, num_fc_layers=1)
@@ -86,14 +97,30 @@ def run_camcalib_on_folder(
                     'roll': np.float32(roll[k]),
                 }
                 base = os.path.basename(it['imgname'])
+                gt = (gt_angles or {}).get(it['imgname'])
+                if gt is not None:
+                    gt_vfov, gt_pitch, gt_roll = (float(x) for x in gt)
+                    res.update({
+                        'gt_vfov': np.float32(gt_vfov),
+                        'gt_f_pix': np.float32(
+                            orig_h / 2.0 / np.tan(gt_vfov / 2.0)),
+                        'gt_pitch': np.float32(gt_pitch),
+                        'gt_roll': np.float32(gt_roll),
+                    })
                 joblib.dump(res, os.path.join(out_folder, base + '.pkl'))
                 results[it['imgname']] = res
                 n += 1
                 if save_images:
                     from PIL import Image
                     pil = Image.open(it['imgname']).convert('RGB')
-                    vis = draw_horizon_line(
-                        np.asarray(pil), vfov[k], pitch[k], roll[k])
+                    if gt is not None:
+                        from spec_tpu.utils.vis import gt_vs_pred_horizon
+                        vis = gt_vs_pred_horizon(
+                            np.asarray(pil), gt,
+                            (vfov[k], pitch[k], roll[k]))
+                    else:
+                        vis = draw_horizon_line(
+                            np.asarray(pil), vfov[k], pitch[k], roll[k])
                     Image.fromarray(vis).save(
                         os.path.join(out_folder, base))
                 if show_distributions:
@@ -124,24 +151,71 @@ def _plot_distributions(logit_rows, out_path):
     plt.close(fig)
 
 
-def main():
+def _dataset_image_list(name: str) -> list:
+    """Unique full-image paths of a registered SPEC dataset (the
+    reference's ``--dataset`` mode, scripts/camcalib_demo.py:59-64)."""
+    annot = paths.dataset_files()[name]
+    folder = paths.dataset_folders()[name]
+    imgs = np.load(annot, allow_pickle=True)['imgname']
+    return sorted({os.path.join(folder, str(x)) for x in imgs})
+
+
+def _pano_val_inputs(dataset: str = 'pano_scalenet'):
+    """Image list + GT angles of the pano val split (the reference's
+    dataset-less evaluation mode, scripts/camcalib_demo.py:66-70,142-171)."""
+    import json
+
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset
+
+    folder = paths.dataset_folders().get('pano360', 'data/pano360')
+    ds = CameraRegressorDataset(folder, dataset=dataset, is_train=False)
+    image_list, gt = [], {}
+    for nm in ds.image_filenames:
+        imgname = os.path.join(folder, 'images', nm)
+        with open(ds._annot_path(imgname)) as f:
+            data = json.load(f)
+        vfov = (np.radians(float(data['vfov'])) if dataset == 'pano'
+                else float(data['vfov']))
+        image_list.append(imgname)
+        gt[imgname] = (vfov, float(data['pitch']), float(data['roll']))
+    return image_list, gt
+
+
+def main(argv=None):
     parser = argparse.ArgumentParser(description='CamCalib demo (TPU)')
-    parser.add_argument('--img_folder', type=str, required=True)
+    parser.add_argument('--img_folder', type=str, default=None,
+                        help="input folder; '-' with no --dataset runs "
+                             'the pano val split with GT comparison')
     parser.add_argument('--out_folder', type=str, required=True)
+    parser.add_argument('--dataset', type=str, default=None,
+                        help='registered SPEC dataset name to run on')
     parser.add_argument('--loss', type=str, default='softargmax_l2')
     parser.add_argument('--ckpt', type=str, default='')
     parser.add_argument('--backbone', type=str, default='resnet50')
     parser.add_argument('--batch_size', type=int, default=16)
+    parser.add_argument('--min_size', type=int, default=600,
+                        help='aspect-preserving resize target (reference '
+                             'Resize(600), pano_dataset.py:184-220)')
     parser.add_argument('--no_save', action='store_true',
                         help='do not save horizon-line images')
     parser.add_argument('--show', action='store_true',
                         help='save raw bin-distribution bar plots')
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+
+    img_folder = None if args.img_folder == '-' else args.img_folder
+    image_list, gt_angles = None, None
+    if img_folder is None:
+        if args.dataset is not None:
+            image_list = _dataset_image_list(args.dataset)
+        else:
+            image_list, gt_angles = _pano_val_inputs()
+
     run_camcalib_on_folder(
-        args.img_folder, args.out_folder, ckpt=args.ckpt,
+        img_folder, args.out_folder, ckpt=args.ckpt,
         loss_type=args.loss, backbone=args.backbone,
         batch_size=args.batch_size, save_images=not args.no_save,
-        show_distributions=args.show)
+        min_size=args.min_size, show_distributions=args.show,
+        image_list=image_list, gt_angles=gt_angles)
 
 
 if __name__ == '__main__':

@@ -52,6 +52,7 @@ def run_spec_on_folder(
     smpl_model_dir: str = '',
     detection_threshold: float = 0.7,
     save_obj: bool = False,
+    cfg_file: str = '',
 ):
     import cv2
     import jax
@@ -95,10 +96,19 @@ def run_spec_on_folder(
               'using synthetic test assets (meshes will be meaningless)')
         assets = S.create_test_assets()
 
-    model = HMR(backbone='resnet50', use_cam=True, use_cam_feats=False)
+    # Model hyperparams from the config shipped with the checkpoint
+    # (reference builds the tester's HMR from --cfg, spec/tester.py:49-61).
+    backbone, use_cam_feats = 'resnet50', False
+    if cfg_file:
+        from spec_tpu.utils.config import spec_default_config
+        cfg = spec_default_config()
+        cfg.merge_from_file(cfg_file)
+        backbone = cfg.HMR.BACKBONE
+        use_cam_feats = bool(cfg.HMR.USE_CAM_FEATS)
+    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=use_cam_feats)
     spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
     if os.path.exists(spec_ckpt):
-        variables = load_spec_variables(spec_ckpt)
+        variables = load_spec_variables(spec_ckpt, backbone=backbone)
     else:
         print(f'[spec] WARNING: checkpoint {spec_ckpt} not found; '
               'using random init')
@@ -251,6 +261,10 @@ def main():
     parser.add_argument('--image_folder', type=str, required=True)
     parser.add_argument('--output_folder', type=str, default='logs/demo')
     parser.add_argument('--spec_ckpt', type=str, default='')
+    parser.add_argument('--cfg', type=str, default='',
+                        help='model config yaml shipped with the '
+                             'checkpoint (HMR.BACKBONE / USE_CAM_FEATS; '
+                             'reference spec/tester.py:49-61)')
     parser.add_argument('--camcalib_ckpt', type=str, default='')
     parser.add_argument('--bbox_file', type=str, default='',
                         help='precomputed detections json/npz '
@@ -276,7 +290,7 @@ def main():
         camcalib_ckpt=args.camcalib_ckpt, bbox_file=args.bbox_file,
         batch_size=args.batch_size, save_results=not args.no_save,
         render=not args.no_render, smpl_model_dir=args.smpl_model_dir,
-        save_obj=args.save_obj)
+        save_obj=args.save_obj, cfg_file=args.cfg)
 
 
 if __name__ == '__main__':

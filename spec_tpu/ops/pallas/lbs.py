@@ -120,35 +120,22 @@ def _lbs_kernel(dirs_ref, wt_ref, coef_ref, a_ref, out_ref):
                       + t[2] * posed[2] + t[3])
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_lbs_vertices(
-    packed: PackedLBSOperands,
-    coeffs: jnp.ndarray,     # (B, 219) [betas | pose_feat | 1]
-    rel_tf: jnp.ndarray,     # (B, 24, 3, 4) rest-corrected transforms
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """-> vertices (B, V, 3)."""
-    B = coeffs.shape[0]
-    Vp = packed.dirs.shape[-1]
-    C = packed.dirs.shape[1]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_core(interpret, dirs, wt, coeffs, a_packed):
+    """Padded fused vertex pipeline -> (3, Bp, Vp).
 
-    BT = min(_round_up(B, 8), 64)
+    Bilinear in (coeffs, a_packed) given the constant (dirs, wt) operands:
+    ``out[i] = sum_k (a[4i+k] @ wt) * posed_k + (a[4i+3] @ wt)`` with
+    ``posed_c = coeffs @ dirs[c]`` — which gives the closed-form VJP below
+    (forward-speed Pallas kernel, jnp-einsum backward), making the kernel
+    usable inside training graphs.
+    """
+    Bp, C = coeffs.shape
+    Vp = dirs.shape[-1]
+    BT = min(_round_up(Bp, 8), 64)
     VT = V_TILE
-    Bp = _round_up(B, BT)
-
-    if Bp != B:
-        pad = Bp - B
-        coeffs = jnp.concatenate(
-            [coeffs, jnp.zeros((pad, C), coeffs.dtype)], 0)
-        rel_tf = jnp.concatenate(
-            [rel_tf, jnp.zeros((pad,) + rel_tf.shape[1:], rel_tf.dtype)], 0)
-
-    # (B, 24, 3, 4) -> (12, B, 24) with c = 4*i + k (row-major 3x4).
-    a_packed = jnp.transpose(
-        rel_tf.reshape(Bp, 24, 12), (2, 0, 1)).astype(jnp.float32)
-
     grid = (Vp // VT, Bp // BT)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _lbs_kernel,
         grid=grid,
         in_specs=[
@@ -171,8 +158,81 @@ def fused_lbs_vertices(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(packed.dirs, packed.weights_t, coeffs, a_packed)
+    )(dirs, wt, coeffs, a_packed)
 
+
+def _fused_core_fwd(interpret, dirs, wt, coeffs, a_packed):
+    out = _fused_core(interpret, dirs, wt, coeffs, a_packed)
+    return out, (dirs, wt, coeffs, a_packed)
+
+
+def _fused_core_bwd(interpret, res, g):
+    """Closed-form cotangents of the bilinear vertex pipeline.
+
+    g: (3, Bp, Vp). Recomputes the two small intermediates (posed, t)
+    instead of saving (B, Vp) residuals — one forward-equivalent of MXU
+    work, zero extra HBM residency.
+    """
+    del interpret
+    dirs, wt, coeffs, a_packed = res
+    hi = jax.lax.Precision.HIGHEST
+
+    posed = jnp.einsum('bm,cmv->cbv', coeffs, dirs, precision=hi,
+                       preferred_element_type=jnp.float32)  # (3, Bp, Vp)
+    t4 = jnp.einsum('kbj,jv->kbv', a_packed, wt, precision=hi,
+                    preferred_element_type=jnp.float32
+                    ).reshape(3, 4, *g.shape[1:])           # (3, 4, Bp, Vp)
+
+    # d posed_c = sum_i g_i * t_{ic}  (c < 3)
+    dposed = jnp.einsum('ibv,icbv->cbv', g, t4[:, :3], precision=hi,
+                        preferred_element_type=jnp.float32)
+    dcoeffs = jnp.einsum('cbv,cmv->bm', dposed, dirs, precision=hi,
+                         preferred_element_type=jnp.float32)
+
+    # d t_{ik} = g_i * posed_k (k < 3);  d t_{i3} = g_i
+    dt4 = jnp.concatenate(
+        [jnp.einsum('ibv,kbv->ikbv', g, posed, precision=hi,
+                    preferred_element_type=jnp.float32),
+         g[:, None]], axis=1)                               # (3, 4, Bp, Vp)
+    da = jnp.einsum('ikbv,jv->ikbj', dt4, wt, precision=hi,
+                    preferred_element_type=jnp.float32
+                    ).reshape(12, g.shape[1], 24)
+
+    # The packed operands are model constants (buffers, not trainables);
+    # their zero cotangents are DCE'd by XLA.
+    return jnp.zeros_like(dirs), jnp.zeros_like(wt), dcoeffs, da
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_lbs_vertices(
+    packed: PackedLBSOperands,
+    coeffs: jnp.ndarray,     # (B, 219) [betas | pose_feat | 1]
+    rel_tf: jnp.ndarray,     # (B, 24, 3, 4) rest-corrected transforms
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> vertices (B, V, 3). Differentiable (custom VJP on the kernel)."""
+    B = coeffs.shape[0]
+    C = packed.dirs.shape[1]
+
+    BT = min(_round_up(B, 8), 64)
+    Bp = _round_up(B, BT)
+
+    if Bp != B:
+        pad = Bp - B
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((pad, C), coeffs.dtype)], 0)
+        rel_tf = jnp.concatenate(
+            [rel_tf, jnp.zeros((pad,) + rel_tf.shape[1:], rel_tf.dtype)], 0)
+
+    # (B, 24, 3, 4) -> (12, B, 24) with c = 4*i + k (row-major 3x4).
+    a_packed = jnp.transpose(
+        rel_tf.reshape(Bp, 24, 12), (2, 0, 1)).astype(jnp.float32)
+
+    out = _fused_core(interpret, packed.dirs, packed.weights_t,
+                      coeffs.astype(jnp.float32), a_packed)
     verts = jnp.transpose(out, (1, 2, 0))  # (Bp, Vp, 3)
     return verts[:B, :packed.num_vertices]
 

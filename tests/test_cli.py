@@ -161,3 +161,56 @@ def test_camcalib_train_cli_fdr(tmp_path, rng, monkeypatch):
     assert vis, 'no horizon dumps written'
     cdfs = list((tmp_path / 'logs').glob('**/val_images/cdf_*.png'))
     assert cdfs, 'no cdf plots written'
+
+
+def test_camcalib_demo_dataset_mode(data_root, tmp_path):
+    """Reference --dataset mode: image list from a registered npz's
+    imgname column (scripts/camcalib_demo.py:59-64)."""
+    from spec_tpu.cli.camcalib_demo import main
+
+    out = tmp_path / 'cc_out'
+    main(['--dataset', '3dpw-test-cam', '--out_folder', str(out),
+          '--backbone', 'resnet18', '--batch_size', '2',
+          '--min_size', '64', '--no_save'])
+    pkls = sorted(out.glob('*.pkl'))
+    assert len(pkls) == 6
+    res = joblib.load(pkls[0])
+    assert set(res) == {'vfov', 'f_pix', 'pitch', 'roll'}
+    assert np.isfinite(res['f_pix'])
+
+
+def test_camcalib_demo_pano_val_gt_mode(tmp_path, rng, monkeypatch):
+    """Reference dataset-less mode (--img_folder -): pano val split with
+    GT fields in the pickles and GT-vs-pred horizon overlays
+    (scripts/camcalib_demo.py:66-70,142-171)."""
+    root = tmp_path / 'data'
+    pano = root / 'dataset_folders' / 'pano360'
+    img_dir = pano / 'images'
+    img_dir.mkdir(parents=True)
+    names = []
+    for i in range(4):
+        nm = f'crop{i}.jpg'
+        cv2.imwrite(str(img_dir / nm),
+                    (rng.rand(64, 80, 3) * 255).astype('u1'))
+        with open(img_dir / f'crop{i}.json', 'w') as f:
+            json.dump({'vfov': 1.0 + 0.1 * i, 'pitch': 0.05 * i - 0.1,
+                       'roll': 0.02 * i - 0.05}, f)
+        names.append(nm)
+    joblib.dump(names[:2], pano / 'train_images.pkl')
+    joblib.dump(names[2:], pano / 'val_images.pkl')
+    monkeypatch.setenv('SPEC_DATA_ROOT', str(root))
+
+    from spec_tpu.cli.camcalib_demo import main
+
+    out = tmp_path / 'cc_out'
+    main(['--img_folder', '-', '--out_folder', str(out),
+          '--backbone', 'resnet18', '--batch_size', '2',
+          '--min_size', '64'])
+    pkls = sorted(out.glob('*.pkl'))
+    assert len(pkls) == 2  # val split only
+    res = joblib.load(pkls[0])
+    assert {'vfov', 'f_pix', 'pitch', 'roll',
+            'gt_vfov', 'gt_f_pix', 'gt_pitch', 'gt_roll'} <= set(res)
+    assert np.isclose(res['gt_vfov'], 1.2, atol=1e-6)  # crop2.json
+    overlays = sorted(out.glob('*.jpg'))
+    assert len(overlays) == 2

@@ -82,9 +82,15 @@ def test_spec_demo_cli_end_to_end(tmp_path, rng, monkeypatch):
 
     from spec_tpu.cli.spec_demo import run_spec_on_folder
 
+    # Model hyperparams come from the config yaml shipped with the
+    # checkpoint (reference spec/tester.py:49-61) — use a small backbone.
+    cfg_file = tmp_path / 'spec_config.yaml'
+    cfg_file.write_text('HMR:\n  BACKBONE: resnet18\n  USE_CAM_FEATS: '
+                        'true\n')
+
     outs = run_spec_on_folder(
         str(img_dir), str(tmp_path / 'out'), bbox_file=str(det_file),
-        batch_size=2, render=True, save_obj=True)
+        batch_size=2, render=True, save_obj=True, cfg_file=str(cfg_file))
     assert len(outs) == 2
     res_dir = tmp_path / 'out' / 'spec_results'
     assert sorted(os.listdir(res_dir)) == ['p0.pkl', 'p1.pkl']

@@ -48,3 +48,36 @@ def test_fused_full_smpl_size(rng):
     v_fused, _, _ = S.lbs_fused(assets, betas, rotmats, interpret=True)
     np.testing.assert_allclose(np.asarray(v_fused), np.asarray(v_ref),
                                atol=1e-5)
+
+
+def test_fused_lbs_gradients_match_jnp_path(rng):
+    """The kernel's custom VJP must match reverse-mode grads of the plain
+    jnp LBS (training differentiates through SMPL: reference
+    spec/trainer.py:141-176 runs GT SMPL + the model's SMPL head in the
+    loss graph)."""
+    import jax
+
+    assets = S.create_test_assets(num_vertices=640)
+    packed = pack_lbs_operands(assets)
+    B = 3
+    betas = jnp.asarray(rng.randn(B, 10).astype('f4') * 0.5)
+    aa = jnp.asarray(rng.randn(B, 24, 3).astype('f4') * 0.3)
+
+    def loss_fused(betas, aa):
+        rotmats = rodrigues(aa)
+        v, j, _ = S.lbs_fused(assets, betas, rotmats, packed=packed,
+                              interpret=True)
+        return jnp.sum(v * jnp.cos(jnp.arange(v.size).reshape(v.shape)))
+
+    def loss_ref(betas, aa):
+        rotmats = rodrigues(aa)
+        v, j, _ = S.lbs(assets, betas, rotmats)
+        return jnp.sum(v * jnp.cos(jnp.arange(v.size).reshape(v.shape)))
+
+    gb_f, ga_f = jax.grad(loss_fused, argnums=(0, 1))(betas, aa)
+    gb_r, ga_r = jax.grad(loss_ref, argnums=(0, 1))(betas, aa)
+
+    np.testing.assert_allclose(np.asarray(gb_f), np.asarray(gb_r),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
+                               atol=2e-4, rtol=2e-4)
