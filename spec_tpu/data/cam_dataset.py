@@ -46,6 +46,15 @@ class AugmentationConfig:
     use_3d_conf: bool = False
 
 
+class _NpzView(dict):
+    """Dict with an NpzFile-style ``files`` attribute (used when the
+    loaded annotations are subsampled in memory)."""
+
+    @property
+    def files(self):
+        return list(self.keys())
+
+
 class CamDataset:
     """Map-style dataset over one annotation npz.
 
@@ -78,6 +87,7 @@ class CamDataset:
         normalize: bool = False,
         render_res: int = 480,
         emit_disp_img: bool = False,
+        num_images: int = 0,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -98,6 +108,19 @@ class CamDataset:
         data = np.load(annot_file, allow_pickle=True)
         self.files = set(data.files)
         self.imgname = data['imgname']
+        # Random subsampling (reference cam_dataset.py:65-67 — a dead
+        # parameter there, its NUM_IMAGES config keys are never plumbed;
+        # kept for API parity, made deterministic via the dataset seed).
+        if num_images > 0:
+            n0 = len(self.imgname)
+            sel = np.random.RandomState(seed).randint(0, n0, size=num_images)
+            data = _NpzView({
+                k: (np.asarray(data[k])[sel]
+                    if (np.asarray(data[k]).ndim >= 1
+                        and np.asarray(data[k]).shape[0] == n0)
+                    else data[k])
+                for k in data.files})
+            self.imgname = data['imgname']
         self.scale = data['scale'].astype(np.float32)
         self.center = data['center'].astype(np.float32)
         n = len(self.imgname)

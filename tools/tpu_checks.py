@@ -1,0 +1,174 @@
+"""Real-chip validation harness for the TPU-only numerics.
+
+The unit suite (tests/) runs on a forced-CPU mesh; Pallas kernels run
+there in interpret mode, which does NOT catch Mosaic lowering bugs
+(measured: a (K, B) row-broadcast that passes interpret mode lowers to
+garbage on hardware — see CLAUDE.md). This script drives every custom
+kernel and the fp32-pinned geometry/metric math on the REAL chip and
+compares against CPU goldens, enforcing the parity budgets the framework
+is built to (±0.3 mm end-to-end → components held well under that).
+
+Run on a TPU host:  python tools/tpu_checks.py
+Exit code 0 = all checks pass.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+FAILURES = []
+
+
+def check(name: str, err: float, budget: float, unit: str = 'mm'):
+    ok = bool(np.isfinite(err)) and err < budget
+    print(f'[{"PASS" if ok else "FAIL"}] {name}: {err:.3e} {unit} '
+          f'(budget {budget:g})')
+    if not ok:
+        FAILURES.append(name)
+
+
+def _cpu():
+    return jax.devices('cpu')[0]
+
+
+def main():
+    if jax.default_backend() not in ('tpu', 'axon'):
+        print(f'WARNING: default backend is {jax.default_backend()!r}, '
+              'not a TPU — checks degrade to backend self-consistency')
+
+    from spec_tpu.core import geometry as G, smpl as S
+    from spec_tpu.core.geometry import rodrigues
+    from spec_tpu.eval.metrics import pa_mpjpe
+    from spec_tpu.ops.pallas.lbs import pack_lbs_operands
+    from spec_tpu.ops.pallas.projection import project_points
+    from spec_tpu.ops.preprocess import (
+        crop_resize_normalize,
+        spin_crop_corners,
+    )
+
+    rng = np.random.RandomState(0)
+
+    # ---- 1. Fused LBS kernel: chip vs CPU jnp reference (metres -> mm).
+    assets = S.create_test_assets(num_vertices=6890)
+    packed = pack_lbs_operands(assets)
+    B = 32
+    betas = rng.randn(B, 10).astype('f4') * 0.5
+    aa = rng.randn(B, 24, 3).astype('f4') * 0.3
+
+    v_chip, _, _ = jax.jit(
+        lambda b, a: S.lbs_fused(assets, b, rodrigues(a), packed=packed)
+    )(jnp.asarray(betas), jnp.asarray(aa))
+    with jax.default_device(_cpu()):
+        v_ref, _, _ = S.lbs(assets, jnp.asarray(betas),
+                            rodrigues(jnp.asarray(aa)))
+    err = float(np.abs(np.asarray(v_chip) - np.asarray(v_ref)).max()) * 1000
+    check('pallas LBS kernel vs CPU jnp path', err, 0.01)
+
+    # ---- 2. LBS custom VJP on chip vs CPU autodiff of the jnp path.
+    def loss_fused(b, a):
+        v, _, _ = S.lbs_fused(assets, b, rodrigues(a), packed=packed)
+        return jnp.sum(jnp.sin(v))
+
+    def loss_ref(b, a):
+        v, _, _ = S.lbs(assets, b, rodrigues(a))
+        return jnp.sum(jnp.sin(v))
+
+    gb_chip, ga_chip = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(
+        jnp.asarray(betas), jnp.asarray(aa))
+    with jax.default_device(_cpu()):
+        gb_ref, ga_ref = jax.grad(loss_ref, argnums=(0, 1))(
+            jnp.asarray(betas), jnp.asarray(aa))
+    gerr = max(
+        float(np.abs(np.asarray(gb_chip) - np.asarray(gb_ref)).max()),
+        float(np.abs(np.asarray(ga_chip) - np.asarray(ga_ref)).max()))
+    rel = gerr / max(float(np.abs(np.asarray(ga_ref)).max()), 1e-9)
+    check('pallas LBS custom VJP vs CPU autodiff (rel)', rel, 1e-4, unit='')
+
+    # ---- 3. Fused projection kernel vs CPU jnp reference (pixels).
+    pts = rng.randn(B, 49, 3).astype('f4') + np.array([0, 0, 5], 'f4')
+    R = np.asarray(G.euler_to_rotmat(
+        jnp.asarray(rng.randn(B, 3).astype('f4') * 0.2)))
+    t = rng.randn(B, 3).astype('f4') * 0.5
+    K = np.asarray(G.build_cam_intrinsics(
+        jnp.full((B,), 1500.0), jnp.full((B,), 1920.0),
+        jnp.full((B,), 1080.0)))
+
+    p_chip = jax.jit(project_points)(
+        jnp.asarray(pts), jnp.asarray(R), jnp.asarray(t), jnp.asarray(K))
+    with jax.default_device(_cpu()):
+        p_ref = G.perspective_projection(
+            jnp.asarray(pts), rotation=jnp.asarray(R),
+            translation=jnp.asarray(t), cam_intrinsics=jnp.asarray(K))
+    perr = float(np.abs(np.asarray(p_chip) - np.asarray(p_ref)).max())
+    check('pallas projection kernel vs CPU jnp path', perr, 1e-2,
+          unit='px')
+
+    # ---- 4. On-device crop/resize vs the host (SPIN) path. Border pixels
+    # are excluded like tests/test_preprocess_op.py (host cv2-style edge
+    # handling differs on the outermost ring by design); values compared
+    # in [0, 1] pixel units.
+    from spec_tpu.data.transforms import crop as host_crop
+
+    frames = (rng.rand(8, 240, 320, 3) * 255).astype('f4')
+    centers = (rng.rand(8, 2) * 100 + np.array([160, 120])).astype('f4')
+    scales = (rng.rand(8) * 0.5 + 0.5).astype('f4')
+    corners = spin_crop_corners(centers, scales)
+    op = lambda f, c: crop_resize_normalize(f, c, res=224, normalize=False)
+    crops_chip = np.asarray(jax.jit(op)(jnp.asarray(frames),
+                                        jnp.asarray(corners)))
+    worst = 0.0
+    for k in range(8):
+        hc = host_crop(frames[k], centers[k], float(scales[k]),
+                       (224, 224)) / 255.0
+        worst = max(worst, float(
+            np.abs(crops_chip[k, 1:-1, 1:-1] - hc[1:-1, 1:-1]).max()))
+    check('on-device preprocess vs host SPIN crop (interior)', worst,
+          2e-3, unit='(px/255)')
+
+    # Same op chip vs CPU backend, full image — catches TPU-specific
+    # lowering/precision drift that the host comparison cannot see.
+    with jax.default_device(_cpu()):
+        crops_cpu = np.asarray(op(jnp.asarray(frames),
+                                  jnp.asarray(corners)))
+    xerr = float(np.abs(crops_chip - crops_cpu).max())
+    check('on-device preprocess chip vs CPU backend', xerr, 2e-3,
+          unit='(px/255)')
+
+    # ---- 5. fp32-pinned metric math: batched Procrustes on chip vs CPU.
+    gt = rng.randn(B, 14, 3).astype('f4') * 0.3
+    pred = gt + rng.randn(B, 14, 3).astype('f4') * 0.05
+    pa_chip = np.asarray(
+        jax.jit(lambda p, g: pa_mpjpe(p, g)[0])(jnp.asarray(pred),
+                                                jnp.asarray(gt)))
+    with jax.default_device(_cpu()):
+        pa_ref = np.asarray(pa_mpjpe(jnp.asarray(pred),
+                                     jnp.asarray(gt))[0])
+    paerr = float(np.abs(pa_chip - pa_ref).max()) * 1000
+    check('batched SVD Procrustes (PA-MPJPE) chip vs CPU', paerr, 0.05)
+
+    # ---- 6. Rotation math roundtrip under fp32 pinning.
+    aa2 = rng.randn(256, 3).astype('f4')
+    R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
+    back = np.asarray(jax.jit(G.rotmat_to_aa)(R2))
+    fwd = np.asarray(rodrigues(jnp.asarray(back)[:, None, :]))[:, 0]
+    rerr = float(np.abs(fwd - np.asarray(R2)).max())
+    check('rodrigues <-> rotmat roundtrip on chip', rerr, 1e-5, unit='')
+
+    print()
+    if FAILURES:
+        print(f'{len(FAILURES)} check(s) FAILED: {FAILURES}')
+        return 1
+    print('all real-chip checks passed')
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
