@@ -1,0 +1,286 @@
+"""In-process serving engine: persistent two-stage SPEC predictor.
+
+Production inference surface on top of the same building blocks as the
+demo CLI, but file-free: numpy frames + person boxes in, per-person SMPL
+results out. Holds both models' variables in HBM across calls and keeps
+one compiled graph per encountered shape (stage 1 compiles per
+post-resize frame bucket, stage 2 compiles once for the fixed crop
+batch), so steady-state latency is pure device time.
+
+Reference scope: this is the programmatic equivalent of
+``spec/tester.py:90-209`` (SPECTester.run_on_image_folder) without the
+per-image Python loop, the CamCalib subprocess, or the pickle ABI
+(``spec/tester.py:86-88``); detection stays pluggable (boxes are an
+input, ``[cx, cy, w, h]`` with the reference's scale = max_side/200
+convention, spec/tester.py:127-128).
+
+Example:
+    predictor = SpecPredictor(spec_ckpt=..., camcalib_ckpt=...)
+    results = predictor.predict(frames, boxes)   # len(frames) lists
+    results[0][0]['smpl_vertices']               # (6890, 3)
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from spec_tpu.core import constants as C
+from spec_tpu.utils import paths
+
+
+class SpecPredictor:
+    """Persistent camera-aware human mesh recovery predictor.
+
+    Args:
+      spec_ckpt / camcalib_ckpt: checkpoint paths (default: the registry
+        under SPEC_DATA_ROOT; random init with a warning when absent —
+        useful for smoke tests only).
+      cfg_file: optional SPEC config yaml shipped with the checkpoint
+        (HMR.BACKBONE / USE_CAM_FEATS, reference spec/tester.py:49-61).
+      batch_size: stage-2 crop batch (pad-to-batch, masked).
+      min_size: stage-1 aspect-preserving resize target (reference
+        Resize(600)).
+      loss_type: CamCalib bin decode flavor (released ckpt:
+        softargmax_biased_l2).
+      dtype: backbone compute dtype (bfloat16 for production).
+      use_fused_lbs: route SMPL through the fused Pallas kernel.
+        Default: on when the default backend is a TPU (the kernel has no
+        compiled CPU lowering).
+    """
+
+    def __init__(
+        self,
+        spec_ckpt: str = '',
+        camcalib_ckpt: str = '',
+        cfg_file: str = '',
+        smpl_model_dir: str = '',
+        backbone: str = 'resnet50',
+        use_cam_feats: bool = False,
+        camcalib_backbone: str = 'resnet50',
+        loss_type: str = 'softargmax_biased_l2',
+        img_res: int = 224,
+        batch_size: int = 32,
+        min_size: int = 600,
+        dtype: Any = None,
+        use_fused_lbs: Optional[bool] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+        from spec_tpu.core import smpl as S
+        from spec_tpu.models import HMR, CameraRegressorNetwork
+        from spec_tpu.utils.checkpoints import (
+            load_camcalib_variables,
+            load_spec_variables,
+        )
+
+        self._jax = jax
+        self._jnp = jnp
+        self.img_res = img_res
+        self.batch_size = batch_size
+        self.min_size = min_size
+        self.loss_type = loss_type
+        dtype = dtype or jnp.float32
+
+        if cfg_file:
+            from spec_tpu.utils.config import spec_default_config
+            cfg = spec_default_config()
+            cfg.merge_from_file(cfg_file)
+            backbone = cfg.HMR.BACKBONE
+            use_cam_feats = bool(cfg.HMR.USE_CAM_FEATS)
+
+        # SMPL assets.
+        smpl_dir = smpl_model_dir or paths.smpl_model_dir()
+        if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
+            assets = S.load_smpl_assets(
+                smpl_dir, gender='neutral',
+                j_regressor_extra_path=paths.j_regressor_extra_path(),
+                j_regressor_h36m_path=paths.j_regressor_h36m_path())
+        else:
+            print(f'[serving] WARNING: SMPL assets not found at '
+                  f'{smpl_dir}; synthetic test assets')
+            assets = S.create_test_assets()
+        if use_fused_lbs is None:
+            use_fused_lbs = jax.default_backend() == 'tpu'
+        if use_fused_lbs:
+            assets = S.with_packed_lbs(assets)
+        self.assets = assets
+
+        # Stage 1.
+        self.camcalib = CameraRegressorNetwork(
+            backbone=camcalib_backbone, num_fc_layers=1, dtype=dtype)
+        camcalib_ckpt = camcalib_ckpt or paths.camcalib_checkpoint_path()
+        if os.path.exists(camcalib_ckpt):
+            self.cc_vars = load_camcalib_variables(
+                camcalib_ckpt, backbone=camcalib_backbone)
+        else:
+            print(f'[serving] WARNING: camcalib ckpt {camcalib_ckpt} '
+                  'missing; random init')
+            self.cc_vars = self.camcalib.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, min_size, min_size, 3), jnp.float32))
+
+        # Stage 2.
+        self.spec = HMR(backbone=backbone, use_cam=True,
+                        use_cam_feats=use_cam_feats, dtype=dtype)
+        spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
+        if os.path.exists(spec_ckpt):
+            self.spec_vars = load_spec_variables(spec_ckpt,
+                                                 backbone=backbone)
+        else:
+            print(f'[serving] WARNING: spec ckpt {spec_ckpt} missing; '
+                  'random init')
+            ex = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
+            eye = jnp.tile(jnp.eye(3), (1, 1, 1))
+            one = jnp.ones((1,))
+            self.spec_vars = self.spec.init(
+                jax.random.PRNGKey(1), assets, ex, eye, eye, one,
+                jnp.ones((1, 2)), one, one)
+
+        self._cam_infer = jax.jit(self._cam_forward)
+        self._spec_infer = jax.jit(self._spec_forward)
+
+    # -- jitted bodies ------------------------------------------------------
+
+    def _cam_forward(self, images):
+        from spec_tpu.core import bins
+        logits = self.camcalib.apply(self.cc_vars, images)
+        return bins.convert_preds_to_angles(*logits,
+                                            loss_type=self.loss_type)
+
+    def _spec_forward(self, crops, rotmat, K, scale, center, img_w, img_h):
+        return self.spec.apply(self.spec_vars, self.assets, crops, rotmat,
+                               K, scale, center, img_w, img_h)
+
+    # -- stage 1 ------------------------------------------------------------
+
+    def estimate_cameras(
+        self, frames: Sequence[np.ndarray]
+    ) -> List[Dict[str, float]]:
+        """CamCalib over raw RGB frames (uint8/float HWC, any sizes).
+
+        Returns one dict per frame: {vfov, f_pix, pitch, roll} in the
+        reference pickle's units (radians; f_pix w.r.t. the ORIGINAL
+        frame height, scripts/camcalib_demo.py:129).
+        """
+        from PIL import Image
+
+        jnp = self._jnp
+        prepped, buckets = [], defaultdict(list)
+        for i, fr in enumerate(frames):
+            pil = Image.fromarray(np.asarray(fr).astype(np.uint8))
+            w, h = pil.size
+            s = self.min_size / min(w, h)
+            pil = pil.resize((round(w * s), round(h * s)), Image.BILINEAR)
+            img = np.asarray(pil, np.float32) / 255.0
+            img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(
+                np.float32)
+            prepped.append((img, h))
+            buckets[img.shape[:2]].append(i)
+
+        out: List[Optional[dict]] = [None] * len(frames)
+        for _, idxs in buckets.items():
+            for s0 in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s0:s0 + self.batch_size]
+                n_valid = len(chunk)
+                pad = chunk + [chunk[-1]] * (self.batch_size - n_valid)
+                batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
+                vfov, pitch, roll = self._cam_infer(batch)
+                vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
+                                     np.asarray(roll))
+                for k, i in enumerate(chunk):
+                    orig_h = prepped[i][1]
+                    out[i] = {
+                        'vfov': float(vfov[k]),
+                        'f_pix': float(orig_h / 2.0
+                                       / np.tan(vfov[k] / 2.0)),
+                        'pitch': float(pitch[k]),
+                        'roll': float(roll[k]),
+                    }
+        return out  # type: ignore[return-value]
+
+    # -- full pipeline --------------------------------------------------------
+
+    def predict(
+        self,
+        frames: Sequence[np.ndarray],
+        boxes: Sequence[np.ndarray],
+        cameras: Optional[Sequence[dict]] = None,
+    ) -> List[List[dict]]:
+        """Two-stage inference.
+
+        Args:
+          frames: RGB images (HWC, uint8 or float in [0, 255]).
+          boxes: per-frame (N_i, 4) [cx, cy, w, h] person boxes (N_i may
+            be 0).
+          cameras: optional precomputed stage-1 outputs (dicts like
+            :meth:`estimate_cameras` returns) — e.g. GT cameras.
+        Returns:
+          Per frame, a list of per-person dicts: the SPEC output tensors
+          (smpl_vertices, smpl_joints3d, smpl_joints2d, pred_cam_t,
+          pred_pose, pred_shape, pred_cam) plus the frame 'camera'.
+        """
+        from spec_tpu import native
+        from spec_tpu.core import geometry as G
+        from spec_tpu.data.detection import bbox_to_center_scale
+        from spec_tpu.data.transforms import crop as spin_crop, normalize_img
+
+        jnp = self._jnp
+        if cameras is None:
+            cameras = self.estimate_cameras(frames)
+
+        # Flatten (frame, person) work items.
+        work = []
+        for fi, bx in enumerate(boxes):
+            bx = np.asarray(bx, np.float32).reshape(-1, 4)
+            if len(bx) == 0:
+                continue
+            cam = cameras[fi]
+            h, w = np.asarray(frames[fi]).shape[:2]
+            rotmat = np.asarray(G.euler_to_rotmat(jnp.asarray(
+                [[cam['pitch'], 0.0, cam['roll']]], np.float32)))[0]
+            K = np.asarray(G.build_cam_intrinsics(
+                jnp.asarray([cam['f_pix']], np.float32),
+                jnp.asarray([float(w)]), jnp.asarray([float(h)])))[0]
+            centers, scales = bbox_to_center_scale(bx)
+            for pi in range(len(centers)):
+                work.append((fi, centers[pi], scales[pi], rotmat, K, w, h))
+
+        results: List[List[dict]] = [[] for _ in frames]
+        use_native = native.available()
+        for s0 in range(0, len(work), self.batch_size):
+            chunk = work[s0:s0 + self.batch_size]
+            n_valid = len(chunk)
+            while len(chunk) < self.batch_size:
+                chunk = chunk + [chunk[-1]]
+            crops = []
+            for (fi, center, scale, *_rest) in chunk:
+                frame = np.asarray(frames[fi], np.float32)
+                if use_native:
+                    crops.append(native.spin_crop_batch(
+                        frame, np.asarray([center], np.float32),
+                        np.asarray([scale], np.float32),
+                        res=self.img_res)[0])
+                else:
+                    crops.append(normalize_img(spin_crop(
+                        frame, center, scale,
+                        [self.img_res, self.img_res]) / 255.0))
+            out = self._spec_infer(
+                jnp.asarray(np.stack(crops)),
+                jnp.asarray(np.stack([c[3] for c in chunk])),
+                jnp.asarray(np.stack([c[4] for c in chunk])),
+                jnp.asarray(np.array([c[2] for c in chunk], np.float32)),
+                jnp.asarray(np.stack([c[1] for c in chunk]).astype(
+                    np.float32)),
+                jnp.asarray(np.array([c[5] for c in chunk], np.float32)),
+                jnp.asarray(np.array([c[6] for c in chunk], np.float32)))
+            out_np = {k: np.asarray(v) for k, v in out.items()}
+            for bi in range(n_valid):
+                fi = chunk[bi][0]
+                person = {k: v[bi] for k, v in out_np.items()}
+                person['camera'] = cameras[fi]
+                results[fi].append(person)
+        return results
