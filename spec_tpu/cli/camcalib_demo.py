@@ -56,6 +56,22 @@ def run_camcalib_on_folder(
     if image_list is None:
         image_list = list_images(img_folder)
     dataset = ImageFolder(image_list, min_size=min_size)
+
+    # Output names: path relative to the input root with separators
+    # flattened, so nested dataset imgnames (e.g. 3dpw
+    # imageFiles/<seq>/image_00000.jpg) cannot collide. For a flat
+    # --img_folder this reduces to the basename (the reference's naming,
+    # scripts/camcalib_demo.py:97).
+    if img_folder is not None:
+        name_root = img_folder
+    elif len(image_list) > 1:
+        name_root = os.path.commonpath([os.path.dirname(p)
+                                        for p in image_list])
+    else:
+        name_root = os.path.dirname(image_list[0]) if image_list else '.'
+
+    def out_name(imgname: str) -> str:
+        return os.path.relpath(imgname, name_root).replace(os.sep, '_')
     os.makedirs(out_folder, exist_ok=True)
 
     model = CameraRegressorNetwork(backbone=backbone, num_fc_layers=1)
@@ -96,7 +112,7 @@ def run_camcalib_on_folder(
                     'pitch': np.float32(pitch[k]),
                     'roll': np.float32(roll[k]),
                 }
-                base = os.path.basename(it['imgname'])
+                base = out_name(it['imgname'])
                 gt = (gt_angles or {}).get(it['imgname'])
                 if gt is not None:
                     gt_vfov, gt_pitch, gt_roll = (float(x) for x in gt)
@@ -202,6 +218,9 @@ def main(argv=None):
                         help='save raw bin-distribution bar plots')
     args = parser.parse_args(argv)
 
+    if args.img_folder is None and args.dataset is None:
+        parser.error("give --img_folder DIR, --dataset NAME, or "
+                     "--img_folder - (pano val split with GT comparison)")
     img_folder = None if args.img_folder == '-' else args.img_folder
     image_list, gt_angles = None, None
     if img_folder is None:

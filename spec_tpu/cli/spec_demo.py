@@ -85,26 +85,14 @@ def run_spec_on_folder(
         dets = full_image_bboxes(shapes)
 
     # SMPL assets + model.
-    smpl_dir = smpl_model_dir or paths.smpl_model_dir()
-    if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
-        assets = S.load_smpl_assets(
-            smpl_dir, gender='neutral',
-            j_regressor_extra_path=paths.j_regressor_extra_path(),
-            j_regressor_h36m_path=paths.j_regressor_h36m_path())
-    else:
-        print(f'[spec] WARNING: SMPL assets not found at {smpl_dir}; '
-              'using synthetic test assets (meshes will be meaningless)')
-        assets = S.create_test_assets()
+    assets = S.load_assets_or_test(smpl_model_dir, tag='spec')
 
     # Model hyperparams from the config shipped with the checkpoint
     # (reference builds the tester's HMR from --cfg, spec/tester.py:49-61).
     backbone, use_cam_feats = 'resnet50', False
     if cfg_file:
-        from spec_tpu.utils.config import spec_default_config
-        cfg = spec_default_config()
-        cfg.merge_from_file(cfg_file)
-        backbone = cfg.HMR.BACKBONE
-        use_cam_feats = bool(cfg.HMR.USE_CAM_FEATS)
+        from spec_tpu.utils.config import hmr_hparams_from_cfg
+        backbone, use_cam_feats = hmr_hparams_from_cfg(cfg_file)
     model = HMR(backbone=backbone, use_cam=True, use_cam_feats=use_cam_feats)
     spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
     if os.path.exists(spec_ckpt):

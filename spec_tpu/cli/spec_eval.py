@@ -94,8 +94,8 @@ def main(argv=None):
             jnp.tile(jnp.eye(3), (B, 1, 1)), jnp.tile(jnp.eye(3), (B, 1, 1)),
             jnp.ones((B,)), jnp.ones((B, 2)), jnp.ones((B,)), jnp.ones((B,)))
 
-    val_ds = cfg.DATASET.VAL_DS
-    val_ds = val_ds if isinstance(val_ds, list) else val_ds.split('_')
+    from spec_tpu.utils.config import split_ds_names
+    val_ds = split_ds_names(cfg.DATASET.VAL_DS)
     all_results = {}
     for ds_name in val_ds:
         annot = paths.dataset_files().get(ds_name)

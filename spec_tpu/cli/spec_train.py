@@ -120,8 +120,8 @@ def main(argv=None):
         return build_cam_dataset(cfg.DATASET.TRAIN_DS, True)
 
     def make_val_loaders():
-        val_ds = cfg.DATASET.VAL_DS
-        names = val_ds if isinstance(val_ds, list) else val_ds.split('_')
+        from spec_tpu.utils.config import split_ds_names
+        names = split_ds_names(cfg.DATASET.VAL_DS)
         out = {}
         for n in names:
             annot = paths.dataset_files().get(n)

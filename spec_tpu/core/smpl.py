@@ -448,6 +448,24 @@ def regress_h36m_joints(
     return j17[:, C.H36M_TO_J14]
 
 
+def load_assets_or_test(smpl_model_dir: str = '',
+                        tag: str = 'smpl') -> SMPLAssets:
+    """Neutral SMPL assets from the registry dir, or synthetic test
+    assets (with a loud warning) when the released files are absent —
+    the shared fallback of the demo/serving surfaces."""
+    from spec_tpu.utils import paths
+
+    smpl_dir = smpl_model_dir or paths.smpl_model_dir()
+    if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
+        return load_smpl_assets(
+            smpl_dir, gender='neutral',
+            j_regressor_extra_path=paths.j_regressor_extra_path(),
+            j_regressor_h36m_path=paths.j_regressor_h36m_path())
+    print(f'[{tag}] WARNING: SMPL assets not found at {smpl_dir}; '
+          'using synthetic test assets (meshes will be meaningless)')
+    return create_test_assets()
+
+
 def with_packed_lbs(assets: SMPLAssets) -> SMPLAssets:
     """Return a copy of the assets carrying the fused-kernel operands —
     every :func:`smpl_forward` over it then uses the Pallas LBS path."""

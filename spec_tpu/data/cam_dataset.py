@@ -114,12 +114,12 @@ class CamDataset:
         if num_images > 0:
             n0 = len(self.imgname)
             sel = np.random.RandomState(seed).randint(0, n0, size=num_images)
-            data = _NpzView({
-                k: (np.asarray(data[k])[sel]
-                    if (np.asarray(data[k]).ndim >= 1
-                        and np.asarray(data[k]).shape[0] == n0)
-                    else data[k])
-                for k in data.files})
+            sub = {}
+            for k in data.files:
+                arr = np.asarray(data[k])  # decompress each member ONCE
+                sub[k] = arr[sel] if arr.ndim >= 1 and arr.shape[0] == n0 \
+                    else arr
+            data = _NpzView(sub)
             self.imgname = data['imgname']
         self.scale = data['scale'].astype(np.float32)
         self.center = data['center'].astype(np.float32)

@@ -198,9 +198,16 @@ def _fused_core_bwd(interpret, res, g):
                     preferred_element_type=jnp.float32
                     ).reshape(12, g.shape[1], 24)
 
-    # The packed operands are model constants (buffers, not trainables);
-    # their zero cotangents are DCE'd by XLA.
-    return jnp.zeros_like(dirs), jnp.zeros_like(wt), dcoeffs, da
+    # True cotangents for the packed operands too (template/skinning
+    # fitting differentiates them; zeros here would silently no-op such
+    # training). In the standard pipelines they are constants and XLA
+    # DCEs these einsums.
+    ddirs = jnp.einsum('bm,cbv->cmv', coeffs, dposed, precision=hi,
+                       preferred_element_type=jnp.float32)
+    dwt = jnp.einsum('ikbj,ikbv->jv',
+                     a_packed.reshape(3, 4, *a_packed.shape[1:]), dt4,
+                     precision=hi, preferred_element_type=jnp.float32)
+    return ddirs, dwt, dcoeffs, da
 
 
 _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)

@@ -32,6 +32,16 @@ from spec_tpu.core import constants as C
 from spec_tpu.utils import paths
 
 
+def _pad_size(n: int, cap: int) -> int:
+    """Smallest power of two >= n, capped at ``cap`` — bounds the number
+    of compiled batch shapes to log2(cap) while keeping small calls
+    cheap."""
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, cap)
+
+
 class SpecPredictor:
     """Persistent camera-aware human mesh recovery predictor.
 
@@ -77,6 +87,14 @@ class SpecPredictor:
             load_spec_variables,
         )
 
+        # Remote TPU compiles take minutes through the tunnel; the
+        # persistent cache makes every later process start instant.
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update('jax_compilation_cache_dir',
+                              os.path.expanduser('~/.cache/spec_tpu_xla'))
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 1.0)
+
         self._jax = jax
         self._jnp = jnp
         self.img_res = img_res
@@ -86,23 +104,10 @@ class SpecPredictor:
         dtype = dtype or jnp.float32
 
         if cfg_file:
-            from spec_tpu.utils.config import spec_default_config
-            cfg = spec_default_config()
-            cfg.merge_from_file(cfg_file)
-            backbone = cfg.HMR.BACKBONE
-            use_cam_feats = bool(cfg.HMR.USE_CAM_FEATS)
+            from spec_tpu.utils.config import hmr_hparams_from_cfg
+            backbone, use_cam_feats = hmr_hparams_from_cfg(cfg_file)
 
-        # SMPL assets.
-        smpl_dir = smpl_model_dir or paths.smpl_model_dir()
-        if os.path.isdir(smpl_dir) and os.listdir(smpl_dir):
-            assets = S.load_smpl_assets(
-                smpl_dir, gender='neutral',
-                j_regressor_extra_path=paths.j_regressor_extra_path(),
-                j_regressor_h36m_path=paths.j_regressor_h36m_path())
-        else:
-            print(f'[serving] WARNING: SMPL assets not found at '
-                  f'{smpl_dir}; synthetic test assets')
-            assets = S.create_test_assets()
+        assets = S.load_assets_or_test(smpl_model_dir, tag='serving')
         if use_fused_lbs is None:
             use_fused_lbs = jax.default_backend() == 'tpu'
         if use_fused_lbs:
@@ -168,14 +173,15 @@ class SpecPredictor:
         """
         from PIL import Image
 
+        from spec_tpu.data.image_folder import resize_min_side
+
         jnp = self._jnp
         prepped, buckets = [], defaultdict(list)
         for i, fr in enumerate(frames):
             pil = Image.fromarray(np.asarray(fr).astype(np.uint8))
-            w, h = pil.size
-            s = self.min_size / min(w, h)
-            pil = pil.resize((round(w * s), round(h * s)), Image.BILINEAR)
-            img = np.asarray(pil, np.float32) / 255.0
+            h = pil.size[1]
+            img = np.asarray(resize_min_side(pil, self.min_size),
+                             np.float32) / 255.0
             img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(
                 np.float32)
             prepped.append((img, h))
@@ -186,7 +192,11 @@ class SpecPredictor:
             for s0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s0:s0 + self.batch_size]
                 n_valid = len(chunk)
-                pad = chunk + [chunk[-1]] * (self.batch_size - n_valid)
+                # Pad to the next power of two (capped at batch_size):
+                # bounded compile count per bucket without paying a full
+                # batch of stage-1 ResNet for a one-frame call.
+                bp = _pad_size(n_valid, self.batch_size)
+                pad = chunk + [chunk[-1]] * (bp - n_valid)
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
                 vfov, pitch, roll = self._cam_infer(batch)
                 vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
@@ -251,14 +261,18 @@ class SpecPredictor:
 
         results: List[List[dict]] = [[] for _ in frames]
         use_native = native.available()
+        f32_frames: Dict[int, np.ndarray] = {}  # per-call frame cache
         for s0 in range(0, len(work), self.batch_size):
             chunk = work[s0:s0 + self.batch_size]
             n_valid = len(chunk)
-            while len(chunk) < self.batch_size:
+            bp = _pad_size(n_valid, self.batch_size)
+            while len(chunk) < bp:
                 chunk = chunk + [chunk[-1]]
             crops = []
             for (fi, center, scale, *_rest) in chunk:
-                frame = np.asarray(frames[fi], np.float32)
+                if fi not in f32_frames:
+                    f32_frames[fi] = np.asarray(frames[fi], np.float32)
+                frame = f32_frames[fi]
                 if use_native:
                     crops.append(native.spin_crop_batch(
                         frame, np.asarray([center], np.float32),

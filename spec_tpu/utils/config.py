@@ -120,6 +120,25 @@ def _unflatten(d: dict) -> dict:
     return out
 
 
+def hmr_hparams_from_cfg(cfg_file: str) -> tuple:
+    """(backbone, use_cam_feats) from a SPEC config yaml — the model
+    hyperparams shipped next to a checkpoint (reference builds the
+    tester's HMR from --cfg, spec/tester.py:49-61)."""
+    cfg = spec_default_config()
+    cfg.merge_from_file(cfg_file)
+    return cfg.HMR.BACKBONE, bool(cfg.HMR.USE_CAM_FEATS)
+
+
+def split_ds_names(value: Union[str, list]) -> List[str]:
+    """``'a_b'`` or ``['a_b', 'c']`` -> ``['a', 'b', 'c']``.
+
+    Dataset names never contain '_' (it is the reference's separator,
+    spec/trainer.py:625); grid-search may deliver excluded keys as lists.
+    """
+    items = value if isinstance(value, list) else [value]
+    return [n for it in items for n in str(it).split('_') if n]
+
+
 def get_grid_search_configs(config: dict, excluded_keys: List[str] = ()):
     """Expand list-valued leaves into the cartesian product of configs.
 
@@ -129,11 +148,15 @@ def get_grid_search_configs(config: dict, excluded_keys: List[str] = ()):
     """
     flat = _flatten(config)
     hyper_params = []
+    joined_excluded = set()
 
     for k, v in flat.items():
         if isinstance(v, list):
             if k in excluded_keys:
+                # Protect a genuinely list-valued excluded leaf from the
+                # cartesian product; round-tripped through '+' below.
                 flat[k] = ['+'.join(str(x) for x in v)]
+                joined_excluded.add(k)
             elif len(v) > 1:
                 hyper_params.append(k)
             if v and isinstance(v[0], bool):
@@ -148,7 +171,11 @@ def get_grid_search_configs(config: dict, excluded_keys: List[str] = ()):
                    for combo in itertools.product(*values)]
 
     for exp in experiments:
-        for param in excluded_keys:
+        # Only keys that were actually '+'-joined get split back — a
+        # scalar excluded key (e.g. the default VAL_DS string) must stay
+        # a scalar, or downstream '_'-splitting consumers silently see a
+        # one-element list.
+        for param in joined_excluded:
             if param in exp:
                 exp[param] = str(exp[param]).strip().split('+')
         for k, v in exp.items():

@@ -90,6 +90,23 @@ def test_grid_search_excluded_keys():
     assert exps[0]['T']['DS'] == ['a_b', '0.5_0.5']
 
 
+def test_grid_search_excluded_scalar_stays_scalar():
+    """Regression: a scalar excluded key (the default multi-dataset
+    VAL_DS string) must NOT be wrapped into a one-element list — the
+    '_'-splitting consumers would then silently resolve zero datasets."""
+    from spec_tpu.utils.config import split_ds_names
+
+    cfg = {'DATASET': {'VAL_DS': 'spec-syn_spec-mtp_3dpw-test-cam'}}
+    exps, _ = get_grid_search_configs(cfg,
+                                      excluded_keys=['DATASET/VAL_DS'])
+    v = exps[0]['DATASET']['VAL_DS']
+    assert v == 'spec-syn_spec-mtp_3dpw-test-cam'
+    assert split_ds_names(v) == ['spec-syn', 'spec-mtp', '3dpw-test-cam']
+    # And the list form (grid-search protected) splits the same way.
+    assert split_ds_names(['spec-syn_spec-mtp', '3dpw-test-cam']) == [
+        'spec-syn', 'spec-mtp', '3dpw-test-cam']
+
+
 def test_run_grid_search_experiments(tmp_path):
     yml = tmp_path / 'c.yaml'
     yml.write_text('OPTIMIZER:\n  LR: [0.001, 0.0001]\n')

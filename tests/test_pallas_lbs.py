@@ -81,3 +81,39 @@ def test_fused_lbs_gradients_match_jnp_path(rng):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_r),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_fused_core_full_vjp_all_operands(rng):
+    """Every cotangent of the kernel's custom VJP (including the packed
+    dirs/weights operands, used by template/skinning fitting) must match
+    autodiff of a pure-jnp twin of the kernel math."""
+    import jax
+
+    from spec_tpu.ops.pallas.lbs import _fused_core
+
+    Bp, C, Vp, J = 8, 219, 512, 24
+    dirs = jnp.asarray(rng.randn(3, C, Vp).astype('f4') * 0.1)
+    wt = jnp.asarray(np.abs(rng.randn(J, Vp)).astype('f4'))
+    coeffs = jnp.asarray(rng.randn(Bp, C).astype('f4') * 0.1)
+    a = jnp.asarray(rng.randn(12, Bp, J).astype('f4') * 0.1)
+    gw = jnp.asarray(rng.randn(3, Bp, Vp).astype('f4'))
+
+    def ref_core(dirs, wt, coeffs, a):
+        posed = jnp.einsum('bm,cmv->cbv', coeffs, dirs)
+        t = jnp.einsum('kbj,jv->kbv', a, wt).reshape(3, 4, Bp, Vp)
+        return jnp.stack([
+            t[i, 0] * posed[0] + t[i, 1] * posed[1]
+            + t[i, 2] * posed[2] + t[i, 3] for i in range(3)])
+
+    def loss_fused(*args):
+        return jnp.sum(_fused_core(True, *args) * gw)
+
+    def loss_ref(*args):
+        return jnp.sum(ref_core(*args) * gw)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(dirs, wt, coeffs, a)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(dirs, wt, coeffs, a)
+    for name, a_, b_ in zip(('dirs', 'wt', 'coeffs', 'a'), gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=2e-3, rtol=2e-4,
+            err_msg=name)
