@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument('--cfg_id', type=int, default=0)
     parser.add_argument('--ckpt', type=str, default='')
     parser.add_argument('--log_root', type=str, default='logs')
+    parser.add_argument('--fdr', action='store_true',
+                        help='fast dev run: one batch per dataset '
+                             '(reference scripts/spec_eval.py:102)')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.config import (
@@ -104,9 +107,15 @@ def main(argv=None):
             print(f'[eval] dataset {ds_name}: annotations not found '
                   f'({annot}); skipping')
             continue
+        # NUM_IMAGES > 0 subsamples (reference config key); --fdr = one
+        # batch.
+        num_images = max(int(cfg.DATASET.get('NUM_IMAGES', -1)), 0)
+        if args.fdr:
+            num_images = int(cfg.DATASET.BATCH_SIZE)
         ds = CamDataset(annot, img_dir, dataset=ds_name, is_train=False,
                         img_res=cfg.DATASET.IMG_RES,
                         render_res=cfg.DATASET.RENDER_RES,
+                        num_images=num_images,
                         emit_disp_img=cfg.TESTING.SAVE_IMAGES)
         loader = DataLoader(ds, batch_size=cfg.DATASET.BATCH_SIZE,
                             num_workers=cfg.DATASET.NUM_WORKERS)

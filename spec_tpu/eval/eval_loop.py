@@ -109,6 +109,15 @@ def evaluate_dataset(
     import joblib
 
     protocol = 'j17' if dataset_name == 'mpi-inf-3dhp' else 'j14'
+    # In-the-wild datasets carry no 3D GT: qualitative renders only, and
+    # running them without image saving is an operator error (reference
+    # trainer.py:260-269 logs and exits).
+    qualitative = dataset_name in ('mpii', 'coco')
+    if qualitative and not save_images:
+        raise SystemExit(
+            f'{dataset_name} is an in-the-wild dataset (no 3D GT): set '
+            'TESTING.SAVE_IMAGES True — its evaluation is qualitative '
+            'only (reference spec/trainer.py:262-269)')
     step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
                           use_gender=use_gender, protocol=protocol)
     acc = MetricAccumulator(save_results=save_results)
@@ -133,6 +142,15 @@ def evaluate_dataset(
                 batch['cam_int'] if use_gt_cam else batch['pred_cam_int']),
         }
         out, j14, j24, v2v = step(variables, dev)
+        if qualitative:
+            # Zero errors, like the reference's ITW branch
+            # (trainer.py:263-265) — the pass exists for the renders.
+            B = len(batch['imgname'])
+            zj = {'per_joint_mpjpe': np.zeros((B, 14)),
+                  'per_joint_pa': np.zeros((B, 14))}
+            zj24 = {'per_joint_mpjpe': np.zeros((B, 24)),
+                    'per_joint_pa': np.zeros((B, 24))}
+            j14, j24, v2v = zj, zj24, np.zeros((B,))
         acc.add_batch(
             batch['imgname'], batch['dataset_name'], j14, j24, v2v,
             pred=out, valid_count=batch.get('_valid_count'))

@@ -214,3 +214,28 @@ def test_camcalib_demo_pano_val_gt_mode(tmp_path, rng, monkeypatch):
     assert np.isclose(res['gt_vfov'], 1.2, atol=1e-6)  # crop2.json
     overlays = sorted(out.glob('*.jpg'))
     assert len(overlays) == 2
+
+
+def test_spec_eval_fdr(data_root, tmp_path):
+    """--fdr subsamples each dataset to one batch (reference fast-dev-run
+    flag, scripts/spec_eval.py:102)."""
+    from spec_tpu.cli import spec_eval
+
+    results = spec_eval.main([
+        '--fdr', '--log_root', str(tmp_path / 'logs'),
+        '--opts', 'DATASET.VAL_DS', '3dpw-test-cam',
+        'DATASET.BATCH_SIZE', '3', 'DATASET.NUM_WORKERS', '1',
+        'HMR.BACKBONE', 'resnet18'])
+    r = results['3dpw-test-cam']
+    assert np.isfinite(r['val_mpjpe'])
+
+
+def test_spec_eval_fdr_subsamples(data_root):
+    """The --fdr path subsamples through CamDataset.num_images."""
+    from spec_tpu.data.cam_dataset import CamDataset
+    from spec_tpu.utils import paths
+
+    annot = paths.dataset_files()['3dpw-test-cam']
+    ds = CamDataset(annot, paths.dataset_folders()['3dpw-test-cam'],
+                    dataset='3dpw-test-cam', num_images=3)
+    assert len(ds) == 3

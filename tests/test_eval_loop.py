@@ -97,3 +97,15 @@ def test_spec_demo_cli_end_to_end(tmp_path, rng, monkeypatch):
     assert os.path.exists(tmp_path / 'out' / 'spec_images' / 'p0.jpg')
     assert os.path.exists(tmp_path / 'out' / 'meshes' / 'p0' / '000000.obj')
     assert os.path.exists(tmp_path / 'out' / 'camcalib' / 'p0.jpg.pkl')
+
+
+def test_itw_dataset_requires_save_images():
+    """In-the-wild datasets (no 3D GT) must refuse a metrics-only eval
+    (reference spec/trainer.py:262-269 logs and exits)."""
+    import pytest as _pytest
+
+    from spec_tpu.eval.eval_loop import evaluate_dataset
+
+    with _pytest.raises(SystemExit):
+        evaluate_dataset(None, None, None, {}, None,
+                         dataset_name='coco', save_images=False)
