@@ -101,9 +101,11 @@ def rodrigues(aa: jnp.ndarray) -> jnp.ndarray:
     cos_t = jnp.cos(t)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
     R_exact = eye + sin_t * K + (1.0 - cos_t) * (K @ K)
-    # First-order expansion exp([aa]_x) ~ I + [aa]_x for tiny angles.
-    aa_x = K * t  # un-normalized skew matrix
-    R_taylor = eye + aa_x
+    # First-order expansion exp([aa]_x) ~ I + [aa]_x for tiny angles. In
+    # the small branch the "axis" above is the UN-normalized aa (divided
+    # by 1), so K already IS [aa]_x — multiplying by theta again would
+    # shrink the linear term (and its gradient) by an extra theta.
+    R_taylor = eye + K
     return jnp.where(small[..., None], R_taylor, R_exact)
 
 
@@ -185,8 +187,10 @@ def euler_to_rotmat(euler: jnp.ndarray) -> jnp.ndarray:
     Matches the camera-rotation convention of the reference's
     ``batch_euler2matrix`` as consumed at ``spec/utils/cam_params.py:37``:
     ``R = euler([pitch, 0, roll])`` maps world coordinates into the tilted
-    camera frame. Composition order: R = Rz(roll) @ Rx(pitch) @ Ry(yaw),
-    i.e. yaw applied first, roll last (in-plane).
+    camera frame. Composition order: **R = Rx(pitch) @ Ry(yaw) @ Rz(roll)**
+    — PARE's implementation goes euler -> quaternion ``qx ⊗ qy ⊗ qz`` ->
+    matrix, which composes x-rotation outermost (verified numerically
+    against that construction to 2e-7; see test_geometry cross-check).
 
     Args:
       euler: (..., 3) angles in radians ordered (pitch, yaw, roll) —
@@ -206,7 +210,7 @@ def euler_to_rotmat(euler: jnp.ndarray) -> jnp.ndarray:
     Rx = mat([[one, zero, zero], [zero, cp, -sp], [zero, sp, cp]])
     Ry = mat([[cy, zero, sy], [zero, one, zero], [-sy, zero, cy]])
     Rz = mat([[cr, -sr, zero], [sr, cr, zero], [zero, zero, one]])
-    return Rz @ Rx @ Ry
+    return Rx @ Ry @ Rz
 
 
 batch_euler2matrix = euler_to_rotmat  # reference-parity alias

@@ -325,7 +325,6 @@ def lbs(
 
 
 @fp32_matmuls
-@fp32_matmuls
 def lbs_fused(
     assets: SMPLAssets,
     betas: jnp.ndarray,
@@ -411,10 +410,19 @@ def smpl_forward(
     if joint_set == 'native':
         joints = joints24
     else:
+        # The 54/49-joint supersets index up to slot 53; a missing extra
+        # regressor would leave 45 joints and jnp's out-of-range take
+        # CLAMPS under jit (silent garbage), so fail loudly instead.
+        if assets.j_regressor_extra is None:
+            raise ValueError(
+                f'joint_set={joint_set!r} requires assets.j_regressor_extra '
+                '(load assets with j_regressor_extra_path)')
         parts = [joints24]
         if assets.extra_vertex_ids is not None:
             parts.append(verts[:, np.asarray(assets.extra_vertex_ids)])
-        if assets.j_regressor_extra is not None:
+        # Metric-path matmul: pin to fp32 HIGHEST (bf16 passes cost ~1e-3
+        # relative on mesh-scale coordinates — above the parity budget).
+        with jax.default_matmul_precision('highest'):
             parts.append(jnp.einsum(
                 'jv,bvc->bjc', assets.j_regressor_extra, verts,
                 preferred_element_type=jnp.float32))

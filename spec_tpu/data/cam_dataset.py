@@ -411,13 +411,15 @@ class CamDataset:
 
 
 def _euler_pitch_roll(pitch, roll):
-    """R = Rz(roll) @ Rx(pitch) — the reference's pred-cam rotation
-    (cam_dataset.py:637-639 via batch_euler2matrix([pitch, 0, roll]))."""
+    """R = Rx(pitch) @ Rz(roll) — the reference's pred-cam rotation
+    (cam_dataset.py:637-639 via batch_euler2matrix([pitch, 0, roll]);
+    PARE's euler->quaternion composition is qx ⊗ qy ⊗ qz, i.e. the
+    x-rotation outermost — verified numerically in test_geometry)."""
     cp, sp = np.cos(pitch), np.sin(pitch)
     cr, sr = np.cos(roll), np.sin(roll)
     Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
     Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    return (Rz @ Rx).astype(np.float32)
+    return (Rx @ Rz).astype(np.float32)
 
 
 def _rotate_global_aa(rotmat, aa):

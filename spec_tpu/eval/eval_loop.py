@@ -157,7 +157,8 @@ def evaluate_dataset(
         if save_images and logdir and (batch_idx % save_freq == 0):
             _save_val_render(batch, out,
                              assets_by_gender['neutral'], logdir,
-                             dataset_name, batch_idx)
+                             dataset_name, batch_idx,
+                             use_gt_cam=use_gt_cam)
         batch_idx += 1
 
     summary = acc.summary()
@@ -170,13 +171,19 @@ def evaluate_dataset(
     return summary, acc
 
 
-def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx):
-    """Overlay + 270-degree sideview for the first sample of a batch."""
+def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx,
+                     use_gt_cam: bool = False):
+    """Overlay + 270-degree sideview for the first sample of a batch —
+    rendered with the SAME camera the metrics pass used (GT when
+    use_gt_cam, else the CamCalib prediction)."""
     from spec_tpu.utils.renderer import render_image_group
 
     img = batch.get('disp_img', batch['img'])[0]
     res = img.shape[0]
-    K = np.asarray(batch.get('pred_cam_int', batch['cam_int'])[0])
+    if use_gt_cam:
+        K = np.asarray(batch['cam_int'][0])
+    else:
+        K = np.asarray(batch.get('pred_cam_int', batch['cam_int'])[0])
     # Rescale intrinsics from the original image to the crop frame.
     orig_h = float(batch['orig_shape'][0][0])
     scale = res / max(orig_h, 1.0)
@@ -187,7 +194,8 @@ def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx):
         camera_translation=np.asarray(out['pred_cam_t'])[0],
         vertices=np.asarray(out['smpl_vertices'])[0],
         camera_rotation=np.asarray(
-            batch.get('pred_cam_rotmat', batch['cam_rotmat'])[0]),
+            batch['cam_rotmat'][0] if use_gt_cam
+            else batch.get('pred_cam_rotmat', batch['cam_rotmat'])[0]),
         focal_length=(K[0, 0] * scale, K[1, 1] * scale),
         camera_center=(res / 2.0, res / 2.0),
         faces=np.asarray(assets.faces),

@@ -142,22 +142,29 @@ def _offline_chunk(
         out['wv2v'] = w['v2v']
         out['v2v'] = c['v2v']
     else:  # j24
-        pred_j24 = jnp.einsum(
-            'jv,bvc->bjc', assets.j_regressor, pred_vertices,
-            preferred_element_type=jnp.float32)
-        pred_j24_c = jnp.einsum(
-            'jv,bvc->bjc', assets.j_regressor, pred_verts_c,
-            preferred_element_type=jnp.float32)
+        # Metric-path matmuls: fp32 HIGHEST (CLAUDE.md precision rule;
+        # preferred_element_type alone only fixes the accumulator).
+        with jax.default_matmul_precision('highest'):
+            pred_j24 = jnp.einsum(
+                'jv,bvc->bjc', assets.j_regressor, pred_vertices,
+                preferred_element_type=jnp.float32)
+            pred_j24_c = jnp.einsum(
+                'jv,bvc->bjc', assets.j_regressor, pred_verts_c,
+                preferred_element_type=jnp.float32)
         w = M.eval_joints_24(pred_j24, gt_j24_w)
         c = M.eval_joints_24(pred_j24_c, gt_j24_c)
         out['wmpjpe'] = w['mpjpe']
         out['pampjpe'] = w['pa_mpjpe']
         out['mpjpe'] = c['mpjpe']
-        # V2V always via the mesh protocol (compute_error 190-191).
-        wj = M.eval_mesh_j14(pred_vertices, gt_verts_w, j_reg_h36m)
-        cj = M.eval_mesh_j14(pred_verts_c, gt_verts_c, j_reg_h36m)
-        out['wv2v'] = wj['v2v']
-        out['v2v'] = cj['v2v']
+        # V2V always via the mesh protocol: pelvis = H36M joint 0
+        # (compute_error 190-191) — computed directly, without the
+        # discarded J14 metrics/Procrustes of eval_mesh_j14.
+        pp = M.regress_h36m(pred_vertices, j_reg_h36m)[:, 0:1]
+        ppc = M.regress_h36m(pred_verts_c, j_reg_h36m)[:, 0:1]
+        gp = M.regress_h36m(gt_verts_w, j_reg_h36m)[:, 0:1]
+        gpc = M.regress_h36m(gt_verts_c, j_reg_h36m)[:, 0:1]
+        out['wv2v'] = M.v2v_error(pred_vertices - pp, gt_verts_w - gp)
+        out['v2v'] = M.v2v_error(pred_verts_c - ppc, gt_verts_c - gpc)
     return out
 
 

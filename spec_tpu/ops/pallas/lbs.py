@@ -10,8 +10,8 @@ vertex pipeline so only the operands (read once) and the output
 
 Design (structure-of-arrays, MXU-shaped):
   * All blendshapes + the template collapse into ONE GEMM:
-    ``coeffs (B, 219) @ dirs (219, V)`` per coordinate, where
-    coeffs = [betas(10) | pose_feat(207) | 1] and dirs stacks
+    ``coeffs (B, 218) @ dirs (218, V)`` per coordinate, where
+    coeffs = [betas(10) | pose_feat(207) | 1] (218 rows) and dirs stacks
     [shapedirs | posedirs | v_template] — x/y/z kept as separate lanes-
     major planes so a vertex never straddles lanes.
   * Skinning coefficients come from 12 small MXU matmuls
@@ -52,7 +52,7 @@ def _round_up(x: int, m: int) -> int:
 class PackedLBSOperands:
     """Kernel-ready SMPL tensors (see :func:`pack_lbs_operands`)."""
 
-    dirs: jnp.ndarray         # (3, 219, Vp) [shapedirs|posedirs|template]
+    dirs: jnp.ndarray         # (3, 218, Vp) [shapedirs|posedirs|template]
     weights_t: jnp.ndarray    # (24, Vp)
     joints_template: jnp.ndarray  # (24, 3)
     shapedirs_j: jnp.ndarray  # (10, 72) regressor-projected shape dirs
@@ -98,7 +98,7 @@ def pack_lbs_operands(assets) -> PackedLBSOperands:
 def _lbs_kernel(dirs_ref, wt_ref, coef_ref, a_ref, out_ref):
     """One (vertex-tile, batch-tile) step.
 
-    dirs_ref: (3, 219, Vt); wt_ref: (24, Vt); coef_ref: (Bt, 219);
+    dirs_ref: (3, 218, Vt); wt_ref: (24, Vt); coef_ref: (Bt, 218);
     a_ref: (12, Bt, 24); out_ref: (3, Bt, Vt).
     """
     coef = coef_ref[:]
@@ -216,7 +216,7 @@ _fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
 @functools.partial(jax.jit, static_argnames=('interpret',))
 def fused_lbs_vertices(
     packed: PackedLBSOperands,
-    coeffs: jnp.ndarray,     # (B, 219) [betas | pose_feat | 1]
+    coeffs: jnp.ndarray,     # (B, 218) [betas | pose_feat | 1]
     rel_tf: jnp.ndarray,     # (B, 24, 3, 4) rest-corrected transforms
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -245,7 +245,7 @@ def fused_lbs_vertices(
 
 
 def lbs_coeffs(betas: jnp.ndarray, rotmats: jnp.ndarray) -> jnp.ndarray:
-    """[betas | (R - I) pose features | 1] -> (B, 219)."""
+    """[betas | (R - I) pose features | 1] -> (B, 218)."""
     B = betas.shape[0]
     eye = jnp.eye(3, dtype=jnp.float32)
     pose_feat = (rotmats[:, 1:].astype(jnp.float32) - eye).reshape(B, -1)

@@ -27,7 +27,8 @@ def read_cam_params(pkl_path: str, img_w: float, img_h: float):
     cr, sr = np.cos(roll), np.sin(roll)
     Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
     Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    rotmat = (Rz @ Rx).astype(np.float32)
+    # PARE batch_euler2matrix order: Rx(pitch) @ Rz(roll)
+    rotmat = (Rx @ Rz).astype(np.float32)
 
     K = np.array([[f_pix, 0, img_w / 2.0],
                   [0, f_pix, img_h / 2.0],

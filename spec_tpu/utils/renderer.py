@@ -228,7 +228,7 @@ def render_mesh_overlay(image_uint8, vertices_batch, cam_t_batch, faces,
     cr, sr = np.cos(roll), np.sin(roll)
     Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
     Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    R = Rz @ Rx
+    R = Rx @ Rz  # PARE batch_euler2matrix order
     out = image_uint8.astype(np.float32) / 255.0
     for verts, cam_t in zip(vertices_batch, cam_t_batch):
         out = render_overlay_image(

@@ -88,13 +88,73 @@ class TestEuler:
         expected = np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
         np.testing.assert_allclose(R, expected, atol=1e-6)
 
-    def test_roll_applied_last(self):
-        """roll is in-plane (about z, applied after pitch)."""
+    def test_composition_order(self):
+        """R = Rx(pitch) @ Ry(yaw) @ Rz(roll) — pitch outermost."""
         R = np.asarray(
             G.euler_to_rotmat(jnp.asarray([[0.2, 0.0, 0.1]])))[0]
         Rp = np.asarray(G.euler_to_rotmat(jnp.asarray([[0.2, 0.0, 0.0]])))[0]
         Rr = np.asarray(G.euler_to_rotmat(jnp.asarray([[0.0, 0.0, 0.1]])))[0]
-        np.testing.assert_allclose(R, Rr @ Rp, atol=1e-6)
+        np.testing.assert_allclose(R, Rp @ Rr, atol=1e-6)
+
+    def test_matches_pare_quaternion_construction(self):
+        """Cross-check against an independent torch reconstruction of the
+        reference's batch_euler2matrix (PARE: euler -> quaternion
+        qx ⊗ qy ⊗ qz -> matrix). The composition order is the observable
+        reference contract for every camera rotation (consumed at
+        spec/utils/cam_params.py:37, cam_dataset.py:637-639)."""
+        import torch
+
+        def euler_to_quaternion(r):
+            x, y, z = r[..., 0] / 2, r[..., 1] / 2, r[..., 2] / 2
+            cz, sz = torch.cos(z), torch.sin(z)
+            cy, sy = torch.cos(y), torch.sin(y)
+            cx, sx = torch.cos(x), torch.sin(x)
+            q = torch.zeros_like(r.repeat(1, 2))[..., :4]
+            q[..., 0] += cx * cy * cz - sx * sy * sz
+            q[..., 1] += cz * sx * cy + sz * cx * sy
+            q[..., 2] += cz * cx * sy - sz * sx * cy
+            q[..., 3] += cx * cy * sz + sx * cz * sy
+            return q
+
+        def quat_to_rotmat(quat):
+            q = quat / quat.norm(p=2, dim=1, keepdim=True)
+            w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+            B = quat.size(0)
+            return torch.stack([
+                w * w + x * x - y * y - z * z, 2 * x * y - 2 * w * z,
+                2 * w * y + 2 * x * z,
+                2 * w * z + 2 * x * y, w * w - x * x + y * y - z * z,
+                2 * y * z - 2 * w * x,
+                2 * x * z - 2 * w * y, 2 * w * x + 2 * y * z,
+                w * w - x * x - y * y + z * z], dim=1).reshape(B, 3, 3)
+
+        angles = np.array([[0.2, 0.0, 0.1],
+                           [0.1, 0.3, -0.2],
+                           [-0.35, 0.05, 0.25]], np.float32)
+        ref = quat_to_rotmat(
+            euler_to_quaternion(torch.from_numpy(angles))).numpy()
+        ours = np.asarray(G.euler_to_rotmat(jnp.asarray(angles)))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_rodrigues_small_angle_linear_term(self):
+        """Taylor branch: R ~ I + [aa]_x with unit-slope gradients —
+        regression for the extra-theta bug (gradients vanished at
+        theta -> 0, breaking e.g. differentiable pose fitting)."""
+        import jax
+
+        aa = jnp.asarray([[[5e-5, -3e-5, 2e-5]]])
+        R = np.asarray(G.rodrigues(aa))[0, 0]
+        np.testing.assert_allclose(R[2, 1], 5e-5, rtol=1e-3)
+        np.testing.assert_allclose(R[0, 2], -3e-5, rtol=1e-3)
+
+        g = jax.grad(
+            lambda a: G.rodrigues(a)[0, 0, 2, 1])(aa)
+        np.testing.assert_allclose(float(np.asarray(g)[0, 0, 0]), 1.0,
+                                   atol=1e-3)
+        # Continuity across the branch threshold.
+        lo = np.asarray(G.rodrigues(jnp.asarray([[[9.9e-5, 0, 0]]])))
+        hi = np.asarray(G.rodrigues(jnp.asarray([[[1.01e-4, 0, 0]]])))
+        np.testing.assert_allclose(lo, hi, atol=1e-5)
 
 
 class TestProjection:
