@@ -1,3 +1,7 @@
+from spec_tpu.losses.aux import (  # noqa: F401
+    joints_mse_loss,
+    pixelwise_cross_entropy,
+)
 from spec_tpu.losses.camcalib import (  # noqa: F401
     camera_regressor_loss,
     cross_entropy_loss,

@@ -159,3 +159,50 @@ def test_camcalib_losses(rng):
     np.testing.assert_allclose(
         float(total),
         float(d['vfov_loss'] + d['pitch_loss'] + d['roll_loss']), rtol=1e-6)
+
+
+def test_joints_mse_loss_torch_parity(rng):
+    """aux.joints_mse_loss vs the torch JointsMSELoss recipe (per-joint
+    0.5*MSE of weighted heatmaps, averaged over joints)."""
+    pred = rng.randn(4, 6, 16, 16).astype('f4')
+    gt = rng.randn(4, 6, 16, 16).astype('f4')
+    w = (rng.rand(4, 6) > 0.3).astype('f4')
+
+    tp, tg = torch.from_numpy(pred), torch.from_numpy(gt)
+    tw = torch.from_numpy(w)[..., None]
+    crit = torch.nn.MSELoss()
+    ref = 0.0
+    for j in range(6):
+        ref = ref + 0.5 * crit(tp[:, j].reshape(4, -1) * tw[:, j],
+                               tg[:, j].reshape(4, -1) * tw[:, j])
+    ref = float(ref) / 6
+
+    got = float(L.joints_mse_loss(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(w)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+    # Unweighted path
+    got_nw = float(L.joints_mse_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    ref_nw = float(0.5 * torch.nn.functional.mse_loss(tp, tg))
+    np.testing.assert_allclose(got_nw, ref_nw, rtol=1e-5)
+
+
+def test_pixelwise_cross_entropy_torch_parity(rng):
+    logits = rng.randn(3, 5, 8, 8).astype('f4')
+    target = rng.randint(0, 5, (3, 8, 8))
+    target[0, :2, :2] = -1  # void pixels
+    cw = rng.rand(5).astype('f4') + 0.5
+
+    ref = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(target),
+        ignore_index=-1)
+    got = float(L.pixelwise_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(got, float(ref), rtol=1e-5)
+
+    ref_w = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(target),
+        weight=torch.from_numpy(cw), ignore_index=-1)
+    got_w = float(L.pixelwise_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(target),
+        class_weights=jnp.asarray(cw)))
+    np.testing.assert_allclose(got_w, float(ref_w), rtol=1e-5)

@@ -107,3 +107,52 @@ def test_merge_with_template_shape_tolerance(rng):
     assert float(out['params']['head']['kernel'].sum()) == 0.0   # re-init
     assert float(out['params']['head']['bias'].sum()) == 8.0     # loaded
     assert out['params']['trunk']['w'].shape == (3, 3)
+
+
+def test_euler_rotation_sites_agree(tmp_path):
+    """Every euler(pitch, 0, roll) construction site — geometry
+    euler_to_rotmat, cam_params.read_cam_params, cam_dataset's pred-cam
+    helper — must build the SAME rotation (PARE batch_euler2matrix order).
+    Regression for a divergence where geometry used Rz@Rx while the data
+    paths used the transposed composition."""
+    import joblib
+    import jax.numpy as jnp
+    from spec_tpu.core import geometry as G
+    from spec_tpu.utils.cam_params import read_cam_params
+    from spec_tpu.data.cam_dataset import _euler_pitch_roll
+
+    pitch, roll, vfov = 0.23, -0.11, 1.1
+    R_geo = np.asarray(G.euler_to_rotmat(
+        jnp.asarray([[pitch, 0.0, roll]], jnp.float32)))[0]
+
+    pkl = tmp_path / 'img.pkl'
+    joblib.dump({'vfov': vfov, 'f_pix': 500.0, 'pitch': pitch,
+                 'roll': roll}, pkl)
+    R_io = read_cam_params(str(pkl), img_w=640.0, img_h=480.0)[0]
+    np.testing.assert_allclose(R_io, R_geo, atol=1e-6)
+
+    R_ds = _euler_pitch_roll(pitch, roll)
+    np.testing.assert_allclose(R_ds, R_geo, atol=1e-6)
+
+
+def test_joint_error_uncertainty_heatmap_vis():
+    from spec_tpu.utils import vis as V
+
+    img = np.zeros((64, 48, 3), np.uint8)
+    kp = np.array([[10.0, 10.0, 1.0], [30.0, 40.0, 1.0]], np.float32)
+    out = V.draw_joint_errors(img, kp, np.array([0.0, 50.0]))
+    assert out.shape == img.shape
+    # low-error joint is green-dominant, high-error joint red-dominant
+    assert out[10, 10, 1] > out[10, 10, 0]
+    assert out[40, 30, 0] > out[40, 30, 1]
+
+    out_u = V.draw_joint_uncertainties(img, kp, np.array([0.1, 2.0]))
+    assert out_u.sum() > 0
+
+    hm = np.zeros((2, 16, 12), np.float32)
+    hm[0, 4, 4] = 1.0
+    out_h = V.visualize_heatmaps(img, hm)
+    assert out_h.shape == img.shape
+    # the heatmap peak region is reddened
+    assert out_h[:32, :24, 0].max() > 100
+    assert out_h[48:, 36:, :].max() == 0
