@@ -59,8 +59,18 @@ def rasterize_mesh(
     image_hw: Tuple[int, int],
     base_color=(0.7, 0.5, 0.5),
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (rgb float [0,1] HxWx3, mask HxW bool). Painter's algorithm with
-    back-face culling (matches opaque single-body rendering)."""
+    """-> (rgb float [0,1] HxWx3, mask HxW bool). Back-face culled, flat
+    Lambertian shading. Fast path: the native C++ z-buffer rasterizer
+    (native/raster.cpp, ~3 ms/frame); fallback: painter's algorithm via
+    cv2 polygon fills (~220 ms/frame)."""
+    from spec_tpu import native
+
+    if native.available():
+        return native.raster_mesh(
+            np.asarray(verts_cam, np.float32),
+            np.asarray(faces, np.int32), np.asarray(K, np.float32),
+            image_hw, np.asarray(base_color, np.float32), _LIGHT_DIRS)
+
     H, W = image_hw
     rgb = np.zeros((H, W, 3), np.float32)
     mask = np.zeros((H, W), bool)
