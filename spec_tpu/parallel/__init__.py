@@ -57,6 +57,49 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def fsdp_leaf_sharding(
+    mesh: Mesh, shape, axis_name: str = DATA_AXIS,
+    min_size: int = 2 ** 14,
+) -> NamedSharding:
+    """ZeRO/FSDP-style sharding for one array: shard the LARGEST axis that
+    divides the mesh over the data axis; replicate small or indivisible
+    leaves.
+
+    With params + optimizer state laid out this way and the step jitted
+    with matching in/out shardings, XLA inserts the all-gather (param use)
+    and reduce-scatter (grad update) collectives automatically — the
+    standard JAX FSDP recipe. Per-device param+opt memory drops ~Nx; at
+    ResNet-50 scale this is a capacity knob (bigger per-chip batches /
+    activation headroom), not a throughput one — replication is the
+    default (module docstring).
+    """
+    n_dev = mesh.shape[axis_name]
+    size = int(np.prod(shape)) if shape else 0
+    if size < min_size:
+        return NamedSharding(mesh, P())
+    divisible = [d for d in range(len(shape)) if shape[d] % n_dev == 0]
+    if not divisible:
+        return NamedSharding(mesh, P())
+    axis = max(divisible, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[axis] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_shardings(tree, mesh: Mesh, axis_name: str = DATA_AXIS,
+                   min_size: int = 2 ** 14):
+    """Pytree of NamedShardings mirroring ``tree`` (arrays or
+    ShapeDtypeStructs), leaf-wise :func:`fsdp_leaf_sharding`."""
+    return jax.tree_util.tree_map(
+        lambda x: fsdp_leaf_sharding(mesh, np.shape(x), axis_name,
+                                     min_size), tree)
+
+
+def shard_like(tree, shardings):
+    """Device-put each leaf of ``tree`` with the matching sharding."""
+    return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     """Smallest multiple of k >= n (global batch must divide the mesh)."""
     return ((n + k - 1) // k) * k

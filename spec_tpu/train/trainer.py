@@ -68,17 +68,25 @@ class SpecTrainer:
         step = make_spec_train_step(
             model, assets_by_gender['neutral'], self.tx, loss_cfg)
         rep = par.replicated(self.mesh)
-        self.jit_step = jax.jit(
-            step,
-            in_shardings=(rep, par.batch_sharding(self.mesh), rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,))  # reuse the old state's buffers in place
         self.rep = rep
 
         if init_variables is None:
             raise ValueError('provide init_variables (pretrained or init)')
-        self.state = par.replicate(
-            create_train_state(init_variables, self.tx), self.mesh)
+        state = create_train_state(init_variables, self.tx)
+        if getattr(cfg.TRAINING, 'FSDP', False):
+            # ZeRO/FSDP: params + optimizer state sharded leaf-wise over
+            # the data axis; XLA inserts all-gather/reduce-scatter from
+            # the sharding annotations (see parallel.fsdp_leaf_sharding).
+            state_sh = par.fsdp_shardings(state, self.mesh)
+            self.state = par.shard_like(state, state_sh)
+        else:
+            state_sh = rep
+            self.state = par.replicate(state, self.mesh)
+        self.jit_step = jax.jit(
+            step,
+            in_shardings=(state_sh, par.batch_sharding(self.mesh), rep),
+            out_shardings=(state_sh, rep),
+            donate_argnums=(0,))  # reuse the old state's buffers in place
 
         self.writer = None
         if cfg.LOGDIR:

@@ -321,6 +321,9 @@ def spec_default_config() -> CfgNode:
             'SAVE_IMAGES': False,
             'USE_PART_SEGM_LOSS': False,
             'USE_AMP': False,
+            # ZeRO/FSDP-style param+optimizer sharding over the data mesh
+            # (capacity knob; off = replicated, the throughput default).
+            'FSDP': False,
         },
         'TESTING': {
             'SAVE_IMAGES': False,

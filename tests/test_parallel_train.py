@@ -115,3 +115,59 @@ def test_spec_train_step_sharded_matches_single_device(rng):
     np.testing.assert_allclose(
         float(d_single['loss/total_loss']),
         float(d_shard['loss/total_loss']), rtol=1e-5)
+
+
+def test_camcalib_train_step_fsdp_matches_replicated(rng):
+    """FSDP (ZeRO) param/opt sharding is a pure layout change: the jitted
+    step under fsdp shardings must match the replicated run exactly, and
+    large leaves must actually be sharded over the data axis."""
+    mesh = par.create_mesh()
+    model = CameraRegressorNetwork(backbone='resnet18')
+    B = 16
+    batch = {
+        'img': jnp.asarray(rng.randn(B, 64, 64, 3).astype('f4')),
+        'vfov': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+        'pitch': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+        'roll': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+    }
+    # SGD: Adam's normalized update amplifies all-reduce-vs-
+    # reduce-scatter summation-order noise (~1e-7 grad) into ~1e-4 param
+    # drift, masking real bugs; with SGD layouts must agree to float32.
+    import optax
+    tx = optax.sgd(1e-2)
+    variables = model.init(jax.random.PRNGKey(0), batch['img'])
+    step = make_camcalib_train_step(model, tx)
+    rep = par.replicated(mesh)
+    sharded_batch = par.shard_batch(batch, mesh)
+
+    # Replicated reference (2 steps).
+    st_rep = par.replicate(create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), tx), mesh)
+    jit_rep = jax.jit(step, in_shardings=(rep, par.batch_sharding(mesh)),
+                      out_shardings=(rep, rep))
+    for _ in range(2):
+        st_rep, d_rep = jit_rep(st_rep, sharded_batch)
+
+    # FSDP.
+    st = create_train_state(variables, tx)
+    st_sh = par.fsdp_shardings(st, mesh)
+    # at least one large leaf must be non-replicated
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, st_sh),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    assert any(any(ax is not None for ax in sp) for sp in specs)
+
+    st_fsdp = par.shard_like(st, st_sh)
+    jit_fsdp = jax.jit(step,
+                       in_shardings=(st_sh, par.batch_sharding(mesh)),
+                       out_shardings=(st_sh, rep))
+    for _ in range(2):
+        st_fsdp, d_fsdp = jit_fsdp(st_fsdp, sharded_batch)
+
+    np.testing.assert_allclose(float(d_fsdp['loss']),
+                               float(d_rep['loss']), rtol=1e-5)
+    # params updated identically
+    p_rep = jax.tree_util.tree_leaves(st_rep.params)[0]
+    p_fsdp = jax.tree_util.tree_leaves(st_fsdp.params)[0]
+    np.testing.assert_allclose(np.asarray(p_rep), np.asarray(p_fsdp),
+                               atol=1e-6)
