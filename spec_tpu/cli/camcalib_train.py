@@ -26,7 +26,11 @@ def main(argv=None):
     parser.add_argument('--opts', nargs='*', default=[])
     parser.add_argument('--cfg_id', type=int, default=0)
     parser.add_argument('--log_root', type=str, default='logs')
+    parser.add_argument('--resume', action='store_true',
+                        help='resume from the latest orbax checkpoint')
     parser.add_argument('--fdr', action='store_true')
+    from spec_tpu.cli._compat import add_cluster_flags
+    add_cluster_flags(parser, num_gpus=True)
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.config import (
@@ -88,6 +92,13 @@ def main(argv=None):
                        out_shardings=(rep, rep), donate_argnums=(0,))
 
     ckpt_dir = os.path.join(cfg.LOGDIR, 'checkpoints')
+    if args.resume:
+        from spec_tpu.utils.checkpoints import restore_checkpoint
+        try:
+            state = restore_checkpoint(ckpt_dir, state)
+            print(f'[camcalib-train] resumed from step {int(state.step)}')
+        except FileNotFoundError:
+            pass
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
     global_step = 0
 

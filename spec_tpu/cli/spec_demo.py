@@ -244,7 +244,7 @@ def _render_overlays(imgname, merged, cam_out, img_out, assets):
                 cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser(description='SPEC demo (TPU)')
     parser.add_argument('--image_folder', type=str, required=True)
     parser.add_argument('--output_folder', type=str, default='logs/demo')
@@ -268,13 +268,49 @@ def main():
                              'scripts/spec_demo.py:39-42)')
     parser.add_argument('--mode', type=str, default='folder',
                         choices=['folder', 'video', 'webcam'])
-    args = parser.parse_args()
+    # --- reference flag-surface compatibility (scripts/spec_demo.py:94-166).
+    # '--ckpt' is the reference's name for the SPEC checkpoint; '--exp'
+    # suffixes the output directory (reference :46). The detector/tracker
+    # group configures the external YOLOv3/MPT detector — detection here is
+    # a pluggable input (--bbox_file, or full-frame fallback), so they are
+    # accepted no-ops; the render-extra and smoothing flags are accepted
+    # and unused exactly as in the reference tester (spec/tester.py).
+    parser.add_argument('--ckpt', type=str, default='',
+                        help='alias for --spec_ckpt (reference name)')
+    parser.add_argument('--exp', type=str, default='',
+                        help='experiment suffix appended to the output dir')
+    for noop in ('--tracking_method', '--detector', '--staf_dir'):
+        parser.add_argument(noop, type=str, default=None,
+                            help='accepted for reference CLI parity; '
+                                 'detection is pluggable via --bbox_file')
+    for noop in ('--yolo_img_size', '--tracker_batch_size'):
+        parser.add_argument(noop, type=int, default=None,
+                            help='accepted for reference CLI parity')
+    parser.add_argument('--min_cutoff', type=float, default=None,
+                        help='accepted; unused (as in the reference)')
+    parser.add_argument('--beta', type=float, default=None,
+                        help='accepted; unused (as in the reference)')
+    for noop in ('--display', '--smooth', '--wireframe', '--sideview',
+                 '--draw_keypoints'):
+        parser.add_argument(noop, action='store_true',
+                            help='accepted; unused (as in the reference '
+                                 'tester) or headless here')
+    args = parser.parse_args(argv)
     if args.mode != 'folder' or args.vid_file:
         raise NotImplementedError(
             'video/webcam demo modes are not implemented (parity with the '
             'reference, scripts/spec_demo.py:39-42,67-68)')
+    if args.ckpt and not args.spec_ckpt:
+        args.spec_ckpt = args.ckpt
+    out_folder = args.output_folder
+    if args.exp:
+        # Reference layout: <output>/<input-basename>_<exp>
+        # (scripts/spec_demo.py:46).
+        out_folder = os.path.join(
+            out_folder,
+            args.image_folder.rstrip('/').split('/')[-1] + '_' + args.exp)
     run_spec_on_folder(
-        args.image_folder, args.output_folder, spec_ckpt=args.spec_ckpt,
+        args.image_folder, out_folder, spec_ckpt=args.spec_ckpt,
         camcalib_ckpt=args.camcalib_ckpt, bbox_file=args.bbox_file,
         batch_size=args.batch_size, save_results=not args.no_save,
         render=not args.no_render, smpl_model_dir=args.smpl_model_dir,

@@ -30,9 +30,16 @@ def main(argv=None):
     parser.add_argument('--cfg_id', type=int, default=0)
     parser.add_argument('--ckpt', type=str, default='')
     parser.add_argument('--log_root', type=str, default='logs')
+    parser.add_argument('--resume', action='store_true',
+                        help='accepted for reference CLI parity (eval '
+                             'loads --ckpt / config checkpoints)')
+    parser.add_argument('--resume_wo_optimizer', action='store_true',
+                        help='accepted for reference CLI parity')
     parser.add_argument('--fdr', action='store_true',
                         help='fast dev run: one batch per dataset '
                              '(reference scripts/spec_eval.py:102)')
+    from spec_tpu.cli._compat import add_cluster_flags
+    add_cluster_flags(parser)
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.config import (

@@ -23,11 +23,17 @@ def main(argv=None):
     parser.add_argument('--opts', nargs='*', default=[])
     parser.add_argument('--cfg_id', type=int, default=0)
     parser.add_argument('--resume', action='store_true')
+    parser.add_argument('--resume_wo_optimizer', action='store_true',
+                        help='resume params/batch_stats only, fresh '
+                             'optimizer (reference '
+                             'scripts/spec_train.py:147-149)')
     parser.add_argument('--ckpt', type=str, default='',
                         help='pretrained torch ckpt to start from')
     parser.add_argument('--log_root', type=str, default='logs')
     parser.add_argument('--fdr', action='store_true',
                         help='fast dev run: 1 epoch on a tiny slice')
+    from spec_tpu.cli._compat import add_cluster_flags
+    add_cluster_flags(parser)
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.config import (
@@ -157,8 +163,8 @@ def main(argv=None):
     trainer = SpecTrainer(
         cfg, model, assets_by_gender, jreg,
         make_train_dataset, make_val_loaders, init_variables=variables)
-    if args.resume:
-        trainer.resume()
+    if args.resume or args.resume_wo_optimizer:
+        trainer.resume(wo_optimizer=args.resume_wo_optimizer)
     trainer.fit(max_epochs=1 if args.fdr else None)
     return trainer
 

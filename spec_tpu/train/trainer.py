@@ -16,6 +16,7 @@ training aborts on non-finite loss (the reference relies on Lightning's
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -101,12 +102,24 @@ class SpecTrainer:
 
     # ------------------------------------------------------------------
 
-    def resume(self):
+    def resume(self, wo_optimizer: bool = False):
+        """Restore the latest checkpoint. ``wo_optimizer`` keeps the fresh
+        optimizer state (+ step 0) and takes only params/batch_stats —
+        the reference's ``--resume_wo_optimizer``
+        (scripts/spec_train.py:147-149)."""
         try:
-            self.state = restore_checkpoint(self.ckpt_dir, self.state)
-            print(f'[train] resumed from step {int(self.state.step)}')
+            restored = restore_checkpoint(self.ckpt_dir, self.state)
         except FileNotFoundError:
-            pass
+            return
+        if wo_optimizer:
+            self.state = dataclasses.replace(
+                self.state, params=restored.params,
+                batch_stats=restored.batch_stats)
+            print('[train] resumed params/batch_stats only (fresh '
+                  f'optimizer) from step {int(restored.step)}')
+        else:
+            self.state = restored
+            print(f'[train] resumed from step {int(self.state.step)}')
 
     def _device_batch(self, batch):
         mean = C.IMG_NORM_MEAN

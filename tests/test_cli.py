@@ -239,3 +239,30 @@ def test_spec_eval_fdr_subsamples(data_root):
     ds = CamDataset(annot, paths.dataset_folders()['3dpw-test-cam'],
                     dataset='3dpw-test-cam', num_images=3)
     assert len(ds) == 3
+
+
+def test_reference_flag_surface_accepted(capsys):
+    """The reference CLIs' full flag surfaces parse: cluster-submission
+    stubs (no-ops, as in the reference), --resume_wo_optimizer, demo
+    detector/render/smoothing flags, --ckpt/--exp aliases."""
+    import importlib
+
+    for mod, flags in [
+        ('spec_tpu.cli.spec_train',
+         ['--resume_wo_optimizer', '--cluster', '--bid', '--gpu_min_mem',
+          '--disable_comet']),
+        ('spec_tpu.cli.spec_eval', ['--cluster', '--resume']),
+        ('spec_tpu.cli.camcalib_train', ['--num_gpus', '--resume']),
+        ('spec_tpu.cli.spec_demo',
+         ['--ckpt', '--exp', '--tracking_method', '--detector',
+          '--yolo_img_size', '--tracker_batch_size', '--staf_dir',
+          '--display', '--smooth', '--min_cutoff', '--beta',
+          '--wireframe', '--sideview', '--draw_keypoints']),
+    ]:
+        main = importlib.import_module(mod).main
+        with pytest.raises(SystemExit) as e:
+            main(['--help'])
+        assert e.value.code == 0
+        helptext = capsys.readouterr().out
+        for flag in flags:
+            assert flag in helptext, (mod, flag)
