@@ -93,12 +93,18 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(cfg.LOGDIR, 'checkpoints')
     if args.resume:
-        from spec_tpu.utils.checkpoints import restore_checkpoint
-        try:
-            state = restore_checkpoint(ckpt_dir, state)
-            print(f'[camcalib-train] resumed from step {int(state.step)}')
-        except FileNotFoundError:
-            pass
+        from spec_tpu.utils.checkpoints import (
+            find_resume_checkpoint_dir, latest_step, restore_checkpoint)
+        src = ckpt_dir if latest_step(ckpt_dir) is not None else \
+            find_resume_checkpoint_dir(
+                cfg.LOGDIR, explicit=cfg.TRAINING.get('RESUME') or None)
+        if src is None:
+            print('[camcalib-train] WARNING: --resume requested but no '
+                  'checkpoint found — starting from scratch')
+        else:
+            state = restore_checkpoint(src, state)
+            print(f'[camcalib-train] resumed from {src} at step '
+                  f'{int(state.step)}')
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
     global_step = 0
 

@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
 
@@ -82,10 +83,15 @@ def rodrigues(aa: jnp.ndarray) -> jnp.ndarray:
     ``spec/losses.py:419`` (GT pose aa -> rotmat for the SMPL param loss).
     """
     aa = aa.astype(jnp.float32)
-    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
-    small = theta < 1e-4
-    # Safe normalized axis.
-    axis = aa / jnp.where(small, jnp.ones_like(theta), theta)
+    # norm() is non-differentiable at 0 and its NaN leaks through the
+    # UNSELECTED where-branch gradient (0 * nan = nan), so theta must be
+    # computed from an input masked away from 0: the Taylor branch gets a
+    # dummy theta = 1 (finite grads, never used in its output).
+    sq = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    small = sq < jnp.asarray(1e-8, aa.dtype)
+    theta = jnp.sqrt(jnp.where(small, jnp.ones_like(sq), sq))
+    # Safe normalized axis (divided by 1 in the small branch).
+    axis = aa / theta
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
     zeros = jnp.zeros_like(x)
     K = jnp.stack(
@@ -214,6 +220,18 @@ def euler_to_rotmat(euler: jnp.ndarray) -> jnp.ndarray:
 
 
 batch_euler2matrix = euler_to_rotmat  # reference-parity alias
+
+
+def euler_pitch_roll_np(pitch: float, roll: float) -> 'np.ndarray':
+    """Host-side (numpy) twin of ``euler_to_rotmat([pitch, 0, roll])`` —
+    the camera rotation built from CamCalib predictions. ONE definition for
+    every host call site (data pipeline, pickle IO, renderer): these copies
+    diverged once (Rz@Rx vs Rx@Rz), see test_euler_rotation_sites_agree."""
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cr, sr = np.cos(roll), np.sin(roll)
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
+    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
+    return (Rx @ Rz).astype(np.float32)
 
 
 @fp32_matmuls

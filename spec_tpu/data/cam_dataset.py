@@ -414,12 +414,9 @@ def _euler_pitch_roll(pitch, roll):
     """R = Rx(pitch) @ Rz(roll) — the reference's pred-cam rotation
     (cam_dataset.py:637-639 via batch_euler2matrix([pitch, 0, roll]);
     PARE's euler->quaternion composition is qx ⊗ qy ⊗ qz, i.e. the
-    x-rotation outermost — verified numerically in test_geometry)."""
-    cp, sp = np.cos(pitch), np.sin(pitch)
-    cr, sr = np.cos(roll), np.sin(roll)
-    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
-    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    return (Rx @ Rz).astype(np.float32)
+    x-rotation outermost). One shared definition in core.geometry."""
+    from spec_tpu.core.geometry import euler_pitch_roll_np
+    return euler_pitch_roll_np(pitch, roll)
 
 
 def _rotate_global_aa(rotmat, aa):

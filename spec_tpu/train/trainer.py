@@ -106,11 +106,33 @@ class SpecTrainer:
         """Restore the latest checkpoint. ``wo_optimizer`` keeps the fresh
         optimizer state (+ step 0) and takes only params/batch_stats —
         the reference's ``--resume_wo_optimizer``
-        (scripts/spec_train.py:147-149)."""
-        try:
-            restored = restore_checkpoint(self.ckpt_dir, self.state)
-        except FileNotFoundError:
+        (scripts/spec_train.py:147-149).
+
+        Each invocation mints a fresh timestamped LOGDIR, so the crashed
+        run's checkpoints are never in ``self.ckpt_dir`` — fall back to
+        ``TRAINING.RESUME`` (explicit path) and then to the latest
+        sibling run with checkpoints; fail LOUDLY when nothing is found."""
+        from spec_tpu.utils.checkpoints import (
+            find_resume_checkpoint_dir, latest_step)
+
+        ckpt_dir = self.ckpt_dir
+        if latest_step(ckpt_dir) is None:
+            ckpt_dir = find_resume_checkpoint_dir(
+                self.cfg.LOGDIR,
+                explicit=self.cfg.TRAINING.get('RESUME') or None)
+        if ckpt_dir is None:
+            print('[train] WARNING: --resume requested but no checkpoint '
+                  'found (no TRAINING.RESUME path and no prior run with '
+                  'checkpoints next to this logdir) — starting from '
+                  'scratch')
             return
+        try:
+            restored = restore_checkpoint(ckpt_dir, self.state)
+        except FileNotFoundError:
+            print(f'[train] WARNING: no checkpoints in {ckpt_dir} — '
+                  'starting from scratch')
+            return
+        print(f'[train] restoring from {ckpt_dir}')
         if wo_optimizer:
             self.state = dataclasses.replace(
                 self.state, params=restored.params,

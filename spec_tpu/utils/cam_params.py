@@ -23,12 +23,10 @@ def read_cam_params(pkl_path: str, img_w: float, img_h: float):
     vfov = float(data['vfov'])
     f_pix = float(data['f_pix'])
 
-    cp, sp = np.cos(pitch), np.sin(pitch)
-    cr, sr = np.cos(roll), np.sin(roll)
-    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
-    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    # PARE batch_euler2matrix order: Rx(pitch) @ Rz(roll)
-    rotmat = (Rx @ Rz).astype(np.float32)
+    # PARE batch_euler2matrix order: Rx(pitch) @ Rz(roll) — shared
+    # definition (core.geometry.euler_pitch_roll_np).
+    from spec_tpu.core.geometry import euler_pitch_roll_np
+    rotmat = euler_pitch_roll_np(pitch, roll)
 
     K = np.array([[f_pix, 0, img_w / 2.0],
                   [0, f_pix, img_h / 2.0],

@@ -158,3 +158,37 @@ def _keep_latest(directory: str, keep: int):
         d for d in os.listdir(directory) if d.startswith('step_'))
     for d in steps[:-keep]:
         shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
+
+
+def find_resume_checkpoint_dir(current_logdir: str,
+                               explicit: Optional[str] = None):
+    """Locate a ``checkpoints`` directory to resume from.
+
+    Every CLI invocation mints a fresh timestamped logdir
+    (``logs/<script>/<exp>/<timestamp>_...``), so a crashed run's
+    checkpoints never live in the CURRENT logdir. Search order (the
+    reference's ``resume_training`` helper performs the same
+    latest-run search): an explicit path if given (``TRAINING.RESUME``
+    — a checkpoints dir, a run dir containing one, or a step dir),
+    else the most recently modified SIBLING run of ``current_logdir``
+    that actually has checkpoints. Returns None when nothing is found.
+    """
+    if explicit:
+        cand = [explicit, os.path.join(explicit, 'checkpoints'),
+                os.path.dirname(explicit)]
+        for c in cand:
+            if c and latest_step(c) is not None:
+                return c
+        return None
+    parent = os.path.dirname(os.path.abspath(current_logdir))
+    if not os.path.isdir(parent):
+        return None
+    runs = [os.path.join(parent, d) for d in os.listdir(parent)
+            if os.path.join(parent, d) != os.path.abspath(current_logdir)]
+    runs = [r for r in runs if os.path.isdir(r)]
+    runs.sort(key=os.path.getmtime, reverse=True)
+    for r in runs:
+        ck = os.path.join(r, 'checkpoints')
+        if latest_step(ck) is not None:
+            return ck
+    return None

@@ -233,12 +233,10 @@ def render_mesh_overlay(image_uint8, vertices_batch, cam_t_batch, faces,
                         focal_length, pitch=0.0, roll=0.0):
     """Multi-person overlay helper for the demo CLI: camera rotation from
     (pitch, roll), principal point at the image center."""
+    from spec_tpu.core.geometry import euler_pitch_roll_np
+
     H, W = image_uint8.shape[:2]
-    cp, sp = np.cos(pitch), np.sin(pitch)
-    cr, sr = np.cos(roll), np.sin(roll)
-    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]], np.float32)
-    Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
-    R = Rx @ Rz  # PARE batch_euler2matrix order
+    R = euler_pitch_roll_np(pitch, roll)  # PARE batch_euler2matrix order
     out = image_uint8.astype(np.float32) / 255.0
     for verts, cam_t in zip(vertices_batch, cam_t_batch):
         out = render_overlay_image(

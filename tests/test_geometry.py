@@ -156,6 +156,22 @@ class TestEuler:
         hi = np.asarray(G.rodrigues(jnp.asarray([[[1.01e-4, 0, 0]]])))
         np.testing.assert_allclose(lo, hi, atol=1e-5)
 
+    def test_rodrigues_gradient_finite_at_exact_zero(self):
+        """grad through rodrigues at aa == 0 exactly (identity-pose init,
+        the standard starting point for pose fitting) must be finite:
+        norm() is non-differentiable at 0 and its NaN leaks through the
+        unselected where-branch unless theta is computed from a masked
+        input."""
+        import jax
+
+        g = jax.grad(lambda a: G.rodrigues(a).sum())(jnp.zeros((1, 1, 3)))
+        assert np.isfinite(np.asarray(g)).all(), np.asarray(g)
+        # d(R[2,1])/d(aa_x) = 1 at the origin (linear term)
+        g21 = jax.grad(lambda a: G.rodrigues(a)[0, 0, 2, 1])(
+            jnp.zeros((1, 1, 3)))
+        np.testing.assert_allclose(np.asarray(g21)[0, 0],
+                                   [1.0, 0.0, 0.0], atol=1e-6)
+
 
 class TestProjection:
     def test_identity_cam_center_point(self):

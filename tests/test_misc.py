@@ -134,6 +134,11 @@ def test_euler_rotation_sites_agree(tmp_path):
     R_ds = _euler_pitch_roll(pitch, roll)
     np.testing.assert_allclose(R_ds, R_geo, atol=1e-6)
 
+    # The renderer's overlay rotation and the shared numpy twin.
+    from spec_tpu.core.geometry import euler_pitch_roll_np
+    np.testing.assert_allclose(euler_pitch_roll_np(pitch, roll), R_geo,
+                               atol=1e-6)
+
 
 def test_joint_error_uncertainty_heatmap_vis():
     from spec_tpu.utils import vis as V
@@ -156,3 +161,45 @@ def test_joint_error_uncertainty_heatmap_vis():
     # the heatmap peak region is reddened
     assert out_h[:32, :24, 0].max() > 100
     assert out_h[48:, 36:, :].max() == 0
+
+
+def test_find_resume_checkpoint_dir(tmp_path):
+    """--resume must locate the previous run's checkpoints: each CLI
+    invocation mints a fresh timestamped logdir, so resume searches the
+    explicit TRAINING.RESUME path first, then the latest sibling run."""
+    import time as _time
+    import jax.numpy as jnp
+    from spec_tpu.utils.checkpoints import (
+        find_resume_checkpoint_dir, save_checkpoint)
+
+    exp = tmp_path / 'logs' / 'spec_train' / 'spec'
+    old_run = exp / '01-01-2026_00-00-00'
+    older_run = exp / '01-01-2025_00-00-00'
+    cur_run = exp / '02-01-2026_12-00-00'
+    for d in (old_run, older_run, cur_run):
+        (d / 'checkpoints').mkdir(parents=True)
+
+    state = {'w': jnp.ones((3,)), 'step': jnp.asarray(7)}
+    save_checkpoint(str(older_run / 'checkpoints'), state, step=3)
+    _time.sleep(0.05)
+    save_checkpoint(str(old_run / 'checkpoints'), state, step=7)
+    os.utime(older_run)  # dir mtimes: make old_run newest among siblings
+    _time.sleep(0.05)
+    os.utime(old_run)
+
+    # Latest sibling with checkpoints (current run has none).
+    found = find_resume_checkpoint_dir(str(cur_run))
+    assert found == str(old_run / 'checkpoints')
+
+    # Explicit path: run dir or checkpoints dir both resolve.
+    assert find_resume_checkpoint_dir(
+        str(cur_run), explicit=str(older_run)) == \
+        os.path.join(str(older_run), 'checkpoints')
+    assert find_resume_checkpoint_dir(
+        str(cur_run), explicit=str(older_run / 'checkpoints')) == \
+        str(older_run / 'checkpoints')
+
+    # Nothing anywhere -> None (caller warns loudly).
+    lonely = tmp_path / 'logs2' / 'spec_train' / 'spec' / 'run'
+    lonely.mkdir(parents=True)
+    assert find_resume_checkpoint_dir(str(lonely)) is None
