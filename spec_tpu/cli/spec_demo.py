@@ -208,6 +208,63 @@ def run_spec_on_folder(
     return outputs_per_image
 
 
+def run_spec_on_video(
+    vid_file: str,
+    output_folder: str,
+    keep_frames: bool = False,
+    **folder_kwargs,
+):
+    """Video demo: decode frames -> the folder pipeline -> re-encode an
+    annotated video (``spec_video_output.mp4`` at the source fps).
+
+    The reference declares ``--mode video`` but raises NotImplementedError
+    (scripts/spec_demo.py:39-42,67-68); implemented here on top of the
+    folder path so detection/camcalib/crops/rendering behave identically.
+    Returns the output video path.
+    """
+    import shutil
+
+    import cv2
+
+    cap = cv2.VideoCapture(vid_file)
+    if not cap.isOpened():
+        raise FileNotFoundError(f'cannot open video: {vid_file}')
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    frames_dir = os.path.join(output_folder, 'frames')
+    os.makedirs(frames_dir, exist_ok=True)
+    names = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        name = f'{len(names):06d}.png'  # png: lossless round-trip
+        cv2.imwrite(os.path.join(frames_dir, name), frame)
+        names.append(name)
+    cap.release()
+    if not names:
+        raise ValueError(f'no frames decoded from {vid_file}')
+
+    run_spec_on_folder(frames_dir, output_folder, **folder_kwargs)
+
+    img_out = os.path.join(output_folder, 'spec_images')
+    first = cv2.imread(os.path.join(frames_dir, names[0]))
+    h, w = first.shape[:2]
+    out_path = os.path.join(output_folder, 'spec_video_output.mp4')
+    vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
+                         fps, (w, h))
+    for name in names:
+        rend = os.path.join(img_out, name)
+        frame = cv2.imread(
+            rend if os.path.exists(rend)
+            else os.path.join(frames_dir, name))
+        vw.write(frame)
+    vw.release()
+    if not keep_frames:
+        shutil.rmtree(frames_dir, ignore_errors=True)
+    print(f'[spec] wrote {out_path} ({len(names)} frames @ {fps:.1f} fps)')
+    return out_path
+
+
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
     """Wavefront OBJ export (the reference's --save_obj path,
     spec/tester.py:183-189 + camera translation sidecar .npy)."""
@@ -246,7 +303,8 @@ def _render_overlays(imgname, merged, cam_out, img_out, assets):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description='SPEC demo (TPU)')
-    parser.add_argument('--image_folder', type=str, required=True)
+    parser.add_argument('--image_folder', type=str, default='',
+                        help='input folder (folder mode)')
     parser.add_argument('--output_folder', type=str, default='logs/demo')
     parser.add_argument('--spec_ckpt', type=str, default='')
     parser.add_argument('--cfg', type=str, default='',
@@ -296,25 +354,37 @@ def main(argv=None):
                             help='accepted; unused (as in the reference '
                                  'tester) or headless here')
     args = parser.parse_args(argv)
-    if args.mode != 'folder' or args.vid_file:
+    if args.vid_file and args.mode == 'folder':
+        args.mode = 'video'
+    if args.mode == 'webcam':
         raise NotImplementedError(
-            'video/webcam demo modes are not implemented (parity with the '
-            'reference, scripts/spec_demo.py:39-42,67-68)')
+            'webcam mode needs a camera; headless environment '
+            '(the reference also stubs it, scripts/spec_demo.py:67-68)')
+    if args.mode == 'video' and not args.vid_file:
+        raise SystemExit('--mode video requires --vid_file')
+    if args.mode == 'folder' and not args.image_folder:
+        raise SystemExit('--image_folder is required in folder mode')
     if args.ckpt and not args.spec_ckpt:
         args.spec_ckpt = args.ckpt
     out_folder = args.output_folder
     if args.exp:
         # Reference layout: <output>/<input-basename>_<exp>
         # (scripts/spec_demo.py:46).
+        src = args.vid_file if args.mode == 'video' else args.image_folder
         out_folder = os.path.join(
             out_folder,
-            args.image_folder.rstrip('/').split('/')[-1] + '_' + args.exp)
-    run_spec_on_folder(
-        args.image_folder, out_folder, spec_ckpt=args.spec_ckpt,
-        camcalib_ckpt=args.camcalib_ckpt, bbox_file=args.bbox_file,
-        batch_size=args.batch_size, save_results=not args.no_save,
-        render=not args.no_render, smpl_model_dir=args.smpl_model_dir,
-        save_obj=args.save_obj, cfg_file=args.cfg)
+            os.path.basename(src.rstrip('/')).rsplit('.', 1)[0]
+            + '_' + args.exp)
+    common = dict(
+        spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
+        bbox_file=args.bbox_file, batch_size=args.batch_size,
+        save_results=not args.no_save, render=not args.no_render,
+        smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
+        cfg_file=args.cfg)
+    if args.mode == 'video':
+        run_spec_on_video(args.vid_file, out_folder, **common)
+    else:
+        run_spec_on_folder(args.image_folder, out_folder, **common)
 
 
 if __name__ == '__main__':

@@ -266,3 +266,36 @@ def test_reference_flag_surface_accepted(capsys):
         helptext = capsys.readouterr().out
         for flag in flags:
             assert flag in helptext, (mod, flag)
+
+
+def test_spec_demo_video_mode(tmp_path):
+    """--mode video: frames -> full pipeline -> annotated mp4 at the
+    source fps (the reference stubs this with NotImplementedError)."""
+    import cv2
+    from spec_tpu.cli.spec_demo import main
+
+    vid = tmp_path / 'clip.mp4'
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*'mp4v'),
+                        12, (64, 48))
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        w.write((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out = tmp_path / 'out'
+    main(['--vid_file', str(vid), '--output_folder', str(out),
+          '--batch_size', '2', '--exp', 'v1'])
+
+    exp_dir = out / 'clip_v1'
+    video = exp_dir / 'spec_video_output.mp4'
+    assert video.exists()
+    cap = cv2.VideoCapture(str(video))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 12) < 0.5
+    # per-frame results written through the folder pipeline
+    assert len(list((exp_dir / 'spec_results').glob('*.pkl'))) == 3
+    # frames dir cleaned up by default
+    assert not (exp_dir / 'frames').exists()
