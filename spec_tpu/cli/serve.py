@@ -1,0 +1,143 @@
+"""HTTP serving front-end over :class:`spec_tpu.serving.SpecPredictor`.
+
+The reference has no serving layer (SURVEY.md §0 — demo scripts only);
+this exposes the persistent in-process two-stage predictor over HTTP with
+zero extra dependencies (stdlib ``http.server`` + npz payloads). The
+device work stays batched inside the predictor; the server only does IO.
+
+Protocol (numpy .npz over POST, self-describing):
+  GET  /healthz            -> 200 'ok'
+  POST /predict            body: npz with either
+                             frame  (H, W, 3) uint8   + boxes (N, 4) f32
+                           or multi-frame pairs
+                             frame_0, boxes_0, frame_1, boxes_1, ...
+                           boxes are [cx, cy, w, h] (reference
+                           scale = max_side/200 convention).
+       response: npz with n_frames, and per person arrays named
+                 f{frame}_p{person}_{key} for the SPEC output tensors
+                 (smpl_vertices, smpl_joints3d, smpl_joints2d,
+                 pred_cam_t, pred_pose, pred_shape, pred_cam) plus
+                 f{frame}_camera = [vfov, pitch, roll, f_pix].
+
+Example client:
+    buf = io.BytesIO()
+    np.savez(buf, frame=img, boxes=np.array([[320, 240, 100, 200]], 'f4'))
+    r = urllib.request.urlopen('http://host:8080/predict', buf.getvalue())
+    out = np.load(io.BytesIO(r.read()))
+    out['f0_p0_smpl_vertices']        # (6890, 3)
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _decode_request(body: bytes):
+    data = np.load(io.BytesIO(body), allow_pickle=False)
+    if 'frame' in data:
+        return [data['frame']], [data['boxes']]
+    frames, boxes = [], []
+    i = 0
+    while f'frame_{i}' in data:
+        frames.append(data[f'frame_{i}'])
+        boxes.append(data[f'boxes_{i}'])
+        i += 1
+    if not frames:
+        raise ValueError("npz must contain 'frame'+'boxes' or "
+                         "'frame_0'+'boxes_0', ...")
+    return frames, boxes
+
+
+def _encode_response(results) -> bytes:
+    out = {'n_frames': np.asarray(len(results), np.int32)}
+    for fi, persons in enumerate(results):
+        if persons:
+            cam = persons[0].get('camera', {})
+            out[f'f{fi}_camera'] = np.asarray(
+                [cam.get('vfov', 0.0), cam.get('pitch', 0.0),
+                 cam.get('roll', 0.0), cam.get('f_pix', 0.0)], np.float32)
+        out[f'f{fi}_n_persons'] = np.asarray(len(persons), np.int32)
+        for pi, person in enumerate(persons):
+            for k, v in person.items():
+                if k == 'camera':
+                    continue
+                out[f'f{fi}_p{pi}_{k}'] = np.asarray(v)
+    buf = io.BytesIO()
+    np.savez(buf, **out)
+    return buf.getvalue()
+
+
+def create_server(predictor, host: str = '0.0.0.0', port: int = 8080):
+    """ThreadingHTTPServer serving ``predictor`` (device calls are
+    serialized behind a lock — one chip, one queue)."""
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _send(self, code, body, ctype='application/octet-stream'):
+            self.send_response(code)
+            self.send_header('Content-Type', ctype)
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == '/healthz':
+                self._send(200, b'ok', 'text/plain')
+            else:
+                self._send(404, b'not found', 'text/plain')
+
+        def do_POST(self):
+            if self.path != '/predict':
+                self._send(404, b'not found', 'text/plain')
+                return
+            try:
+                n = int(self.headers.get('Content-Length', 0))
+                frames, boxes = _decode_request(self.rfile.read(n))
+                with lock:
+                    results = predictor.predict(frames, boxes)
+                self._send(200, _encode_response(results))
+            except Exception as e:  # client gets the reason, server lives
+                msg = json.dumps({'error': str(e)}).encode()
+                self._send(400, msg, 'application/json')
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description='SPEC HTTP serving (two-stage predictor)')
+    parser.add_argument('--host', type=str, default='0.0.0.0')
+    parser.add_argument('--port', type=int, default=8080)
+    parser.add_argument('--spec_ckpt', type=str, default='')
+    parser.add_argument('--camcalib_ckpt', type=str, default='')
+    parser.add_argument('--smpl_model_dir', type=str, default='')
+    parser.add_argument('--cfg', type=str, default='',
+                        help='model config yaml shipped with the ckpt')
+    parser.add_argument('--batch_size', type=int, default=32)
+    args = parser.parse_args(argv)
+
+    from spec_tpu.serving import SpecPredictor
+
+    predictor = SpecPredictor(
+        spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
+        smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
+        cfg_file=args.cfg)
+    server = create_server(predictor, args.host, args.port)
+    print(f'[serve] listening on {args.host}:{server.server_address[1]}')
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == '__main__':
+    main()

@@ -61,3 +61,51 @@ def test_predictor_batch_padding(rng):
     v0 = results[0][0]['smpl_vertices']
     v2 = results[0][2]['smpl_vertices']
     assert not np.allclose(v0, v2)  # distinct crops -> distinct meshes
+
+
+def test_http_serving_roundtrip(rng):
+    """HTTP front-end: npz request -> predictor -> npz response, plus
+    healthz and malformed-payload error handling."""
+    import io
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from spec_tpu.cli.serve import create_server
+
+    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                         batch_size=2, min_size=64)
+    server = create_server(pred, host='127.0.0.1', port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+        with urllib.request.urlopen(base + '/healthz', timeout=30) as r:
+            assert r.read() == b'ok'
+
+        frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        boxes = np.array([[64, 48, 60, 80]], np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, frame=frame, boxes=boxes)
+        req = urllib.request.Request(base + '/predict', data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert int(out['n_frames']) == 1
+        assert int(out['f0_n_persons']) == 1
+        V = pred.assets.num_vertices
+        assert out['f0_p0_smpl_vertices'].shape == (V, 3)
+        assert out['f0_camera'].shape == (4,)
+        assert np.isfinite(out['f0_p0_smpl_vertices']).all()
+
+        # malformed payload -> 400 with a JSON error, server stays up
+        bad = urllib.request.Request(base + '/predict', data=b'not-an-npz')
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(base + '/healthz', timeout=30) as r:
+            assert r.read() == b'ok'
+    finally:
+        server.shutdown()
