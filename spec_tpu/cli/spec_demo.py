@@ -246,6 +246,29 @@ def run_spec_on_video(
 
     run_spec_on_folder(frames_dir, output_folder, **folder_kwargs)
 
+    # Person-identity tracking across frames (the reference ecosystem
+    # gets this from multi_person_tracker/SORT; greedy IoU here).
+    from spec_tpu.data.tracking import track_video_boxes
+
+    h, w = cv2.imread(os.path.join(frames_dir, names[0])).shape[:2]
+    if folder_kwargs.get('bbox_file'):
+        dets = load_bboxes_file(folder_kwargs['bbox_file'])
+    else:
+        dets = full_image_bboxes({n: (h, w) for n in names})
+    per_frame = [np.asarray(dets.get(n, np.zeros((0, 4), np.float32)),
+                            np.float32).reshape(-1, 4) for n in names]
+    ids = track_video_boxes(per_frame)
+    tracks: dict = {}
+    for fi, (bx, tid_arr) in enumerate(zip(per_frame, ids)):
+        for b, tid in zip(bx, tid_arr):
+            tr = tracks.setdefault(int(tid), {'frames': [], 'bboxes': []})
+            tr['frames'].append(fi)
+            tr['bboxes'].append(np.asarray(b))
+    tracks = {tid: {'frames': np.asarray(t['frames']),
+                    'bboxes': np.stack(t['bboxes'])}
+              for tid, t in tracks.items()}
+    joblib.dump(tracks, os.path.join(output_folder, 'tracking.pkl'))
+
     img_out = os.path.join(output_folder, 'spec_images')
     first = cv2.imread(os.path.join(frames_dir, names[0]))
     h, w = first.shape[:2]

@@ -299,3 +299,9 @@ def test_spec_demo_video_mode(tmp_path):
     assert len(list((exp_dir / 'spec_results').glob('*.pkl'))) == 3
     # frames dir cleaned up by default
     assert not (exp_dir / 'frames').exists()
+    # person tracks dumped (full-frame boxes -> one stable track)
+    import joblib
+    tracks = joblib.load(exp_dir / 'tracking.pkl')
+    assert list(tracks) == [0]
+    assert tracks[0]['frames'].tolist() == [0, 1, 2]
+    assert tracks[0]['bboxes'].shape == (3, 4)

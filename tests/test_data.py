@@ -188,3 +188,39 @@ def test_loader_batches_and_padding(synthetic_dataset):
     assert batches[1]['_valid_count'] == 4
     assert len(batches[0]['imgname']) == 8
     assert isinstance(batches[0]['imgname'][0], str)
+
+
+
+def test_iou_tracker():
+    """Greedy IoU tracking: stable ids across motion, occlusion grace
+    period (max_age), new ids for new people."""
+    from spec_tpu.data.tracking import IoUTracker, iou_matrix, \
+        track_video_boxes
+
+    m = iou_matrix(np.array([[50, 50, 20, 20]], 'f4'),
+                   np.array([[50, 50, 20, 20], [200, 200, 10, 10]], 'f4'))
+    np.testing.assert_allclose(m, [[1.0, 0.0]], atol=1e-6)
+
+    t = IoUTracker(iou_threshold=0.3, max_age=2)
+    a0 = t.update(np.array([[50, 50, 30, 60], [150, 50, 30, 60]], 'f4'))
+    assert sorted(a0.tolist()) == [0, 1]
+    # both move slightly -> same ids
+    a1 = t.update(np.array([[54, 51, 30, 60], [146, 50, 30, 60]], 'f4'))
+    assert a1.tolist() == a0.tolist()
+    # person 0 occluded for 2 frames (within max_age) then returns
+    a2 = t.update(np.array([[146, 50, 30, 60]], 'f4'))
+    assert a2.tolist() == [a0[1]]
+    a3 = t.update(np.array([[56, 52, 30, 60], [146, 50, 30, 60]], 'f4'))
+    assert set(a3.tolist()) == {a0[0], a0[1]}  # gap 2 <= max_age
+    # unseen for LONGER than max_age -> retired, a comeback gets a new id
+    for _ in range(3):
+        t.update(np.array([[146, 50, 30, 60]], 'f4'))
+    a4 = t.update(np.array([[56, 52, 30, 60], [146, 50, 30, 60]], 'f4'))
+    assert a0[0] not in a4.tolist()
+    # a genuinely new person gets a new id
+    a5 = t.update(np.array([[56, 52, 30, 60], [146, 50, 30, 60],
+                            [300, 80, 30, 60]], 'f4'))
+    assert a5[2] not in a4.tolist()  # brand-new person, fresh id
+
+    ids = track_video_boxes([np.array([[10, 10, 8, 8]], 'f4')] * 3)
+    assert all(i.tolist() == [0] for i in ids)
