@@ -84,8 +84,12 @@ def run_camcalib_on_folder(
             jax.random.PRNGKey(0),
             jnp.zeros((1, min_size, min_size, 3), jnp.float32))
 
+    # Variables go in as ARGUMENTS, not closure constants: closed-over
+    # arrays are baked into the HLO, so every fresh init would miss the
+    # persistent compile cache (minutes through the remote-compile
+    # tunnel) and bloat the compile payload.
     @jax.jit
-    def infer(batch_img):
+    def infer(variables, batch_img):
         logits = model.apply(variables, batch_img)
         return logits, bins.convert_preds_to_angles(
             *logits, loss_type=loss_type)
@@ -100,7 +104,7 @@ def run_camcalib_on_folder(
             # Pad the tail batch so every bucket compiles exactly once.
             padded = items + [items[-1]] * (batch_size - len(items))
             imgs = np.stack([it['img'] for it in padded])
-            logits, (vfov, pitch, roll) = infer(jnp.asarray(imgs))
+            logits, (vfov, pitch, roll) = infer(variables, jnp.asarray(imgs))
             vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
                                  np.asarray(roll))
             for k, it in enumerate(items):

@@ -107,8 +107,11 @@ def run_spec_on_folder(
             jax.random.PRNGKey(0), assets, ex, eye, eye, one,
             jnp.ones((1, 2)), one, one)
 
+    # Variables as ARGUMENTS (closure arrays bake into the HLO: compile-
+    # cache misses across runs + bloated remote-compile payloads).
     @jax.jit
-    def infer(images, cam_rotmat, K, scale, center, img_w, img_h):
+    def infer(variables, images, cam_rotmat, K, scale, center, img_w,
+              img_h):
         return model.apply(variables, assets, images, cam_rotmat, K,
                            scale, center, img_w, img_h)
 
@@ -167,7 +170,7 @@ def run_spec_on_folder(
         hs = jnp.asarray(np.array([m[7] for m in metas], np.float32))
 
         t0 = time.perf_counter()
-        out = infer(arr, rot, Ks, scl, ctr, ws, hs)
+        out = infer(variables, arr, rot, Ks, scl, ctr, ws, hs)
         jax.block_until_ready(out['smpl_vertices'])
         n_model_time += time.perf_counter() - t0
 

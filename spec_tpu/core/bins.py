@@ -15,6 +15,7 @@ is the batch-1 bottleneck the TPU pipeline removes.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 NUM_BINS = 256  # logits per head
@@ -68,17 +69,24 @@ _roll_edges_np = np.linspace(*ROLL_RANGE, NUM_EDGES)
 _horizon_edges_np = np.linspace(*HORIZON_RANGE, NUM_EDGES)
 _legacy_roll_edges_np = _legacy_roll_edges()
 
-VFOV_EDGES = jnp.asarray(_vfov_edges_np, jnp.float32)
-PITCH_EDGES = jnp.asarray(_pitch_edges_np, jnp.float32)
-ROLL_EDGES = jnp.asarray(_roll_edges_np, jnp.float32)
-HORIZON_EDGES = jnp.asarray(_horizon_edges_np, jnp.float32)
-LEGACY_ROLL_EDGES = jnp.asarray(_legacy_roll_edges_np, jnp.float32)
+# ensure_compile_time_eval: if this module's FIRST import happens inside a
+# jitted function (e.g. a lazy import in a traced body), plain jnp.asarray
+# would stage these constants onto the trace — the module globals would be
+# LEAKED TRACERS poisoning every later caller. Forcing compile-time eval
+# makes them concrete regardless of import context.
+with jax.ensure_compile_time_eval():
+    VFOV_EDGES = jnp.asarray(_vfov_edges_np, jnp.float32)
+    PITCH_EDGES = jnp.asarray(_pitch_edges_np, jnp.float32)
+    ROLL_EDGES = jnp.asarray(_roll_edges_np, jnp.float32)
+    HORIZON_EDGES = jnp.asarray(_horizon_edges_np, jnp.float32)
+    LEGACY_ROLL_EDGES = jnp.asarray(_legacy_roll_edges_np, jnp.float32)
 
-VFOV_CENTERS = jnp.asarray(_centers(_vfov_edges_np), jnp.float32)
-PITCH_CENTERS = jnp.asarray(_centers(_pitch_edges_np), jnp.float32)
-ROLL_CENTERS = jnp.asarray(_centers(_roll_edges_np), jnp.float32)
-HORIZON_CENTERS = jnp.asarray(_centers(_horizon_edges_np), jnp.float32)
-LEGACY_ROLL_CENTERS = jnp.asarray(_centers(_legacy_roll_edges_np), jnp.float32)
+    VFOV_CENTERS = jnp.asarray(_centers(_vfov_edges_np), jnp.float32)
+    PITCH_CENTERS = jnp.asarray(_centers(_pitch_edges_np), jnp.float32)
+    ROLL_CENTERS = jnp.asarray(_centers(_roll_edges_np), jnp.float32)
+    HORIZON_CENTERS = jnp.asarray(_centers(_horizon_edges_np), jnp.float32)
+    LEGACY_ROLL_CENTERS = jnp.asarray(
+        _centers(_legacy_roll_edges_np), jnp.float32)
 
 # ---------------------------------------------------------------------------
 # Decoders

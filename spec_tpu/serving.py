@@ -28,6 +28,7 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
+from spec_tpu.core import bins
 from spec_tpu.core import constants as C
 from spec_tpu.utils import paths
 
@@ -145,19 +146,26 @@ class SpecPredictor:
                 jax.random.PRNGKey(1), assets, ex, eye, eye, one,
                 jnp.ones((1, 2)), one, one)
 
+        # Variables enter the jitted bodies as ARGUMENTS: closure arrays
+        # bake into the HLO, so compile-cache keys would change with every
+        # fresh init and the remote-compile payload would carry the full
+        # weight tensors.
         self._cam_infer = jax.jit(self._cam_forward)
         self._spec_infer = jax.jit(self._spec_forward)
 
     # -- jitted bodies ------------------------------------------------------
 
-    def _cam_forward(self, images):
-        from spec_tpu.core import bins
-        logits = self.camcalib.apply(self.cc_vars, images)
+    def _cam_forward(self, cc_vars, images):
+        # NB: bins is imported at module scope — importing it here (inside
+        # a traced body) would create its module-level tables under the
+        # trace on first import (leaked tracers).
+        logits = self.camcalib.apply(cc_vars, images)
         return bins.convert_preds_to_angles(*logits,
                                             loss_type=self.loss_type)
 
-    def _spec_forward(self, crops, rotmat, K, scale, center, img_w, img_h):
-        return self.spec.apply(self.spec_vars, self.assets, crops, rotmat,
+    def _spec_forward(self, spec_vars, crops, rotmat, K, scale, center,
+                      img_w, img_h):
+        return self.spec.apply(spec_vars, self.assets, crops, rotmat,
                                K, scale, center, img_w, img_h)
 
     # -- stage 1 ------------------------------------------------------------
@@ -198,7 +206,7 @@ class SpecPredictor:
                 bp = _pad_size(n_valid, self.batch_size)
                 pad = chunk + [chunk[-1]] * (bp - n_valid)
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
-                vfov, pitch, roll = self._cam_infer(batch)
+                vfov, pitch, roll = self._cam_infer(self.cc_vars, batch)
                 vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
                                      np.asarray(roll))
                 for k, i in enumerate(chunk):
@@ -283,6 +291,7 @@ class SpecPredictor:
                         frame, center, scale,
                         [self.img_res, self.img_res]) / 255.0))
             out = self._spec_infer(
+                self.spec_vars,
                 jnp.asarray(np.stack(crops)),
                 jnp.asarray(np.stack([c[3] for c in chunk])),
                 jnp.asarray(np.stack([c[4] for c in chunk])),
