@@ -143,6 +143,37 @@ class SpecTrainer:
             self.state = restored
             print(f'[train] resumed from step {int(self.state.step)}')
 
+    def _run_smplify(self, dev):
+        """SPIN in-the-loop fitting (``TRAINING.RUN_SMPLIFY`` — the knobs
+        the reference carries as unimplemented stubs,
+        spec/config.py:131-133): predict SMPL params with the current
+        network, refine them against the 2D keypoints with the jitted
+        smplify loop, and swap in the fit as supervision where its
+        per-joint reprojection loss beats ``SMPLIFY_THRESHOLD``."""
+        from spec_tpu.core.geometry import rotmat_to_aa
+        from spec_tpu.train.smplify import apply_smplify_update, smplify_fit
+
+        if not hasattr(self, '_jit_predict'):
+            def predict(variables, img, rotmat, K, scale, center, w, h):
+                return self.model.apply(
+                    variables, self.assets['neutral'], img, rotmat, K,
+                    scale, center, w, h)
+            self._jit_predict = jax.jit(predict)
+
+        h = dev['orig_shape'][:, 0].astype(np.float32)
+        w = dev['orig_shape'][:, 1].astype(np.float32)
+        out = self._jit_predict(
+            self.state.variables(), dev['img'], dev['cam_rotmat'],
+            dev['cam_intrinsics'], dev['scale'], dev['center'], w, h)
+        aa = rotmat_to_aa(out['pred_pose'])          # (B, 24, 3)
+        res = smplify_fit(
+            self.assets['neutral'], aa[:, :1], aa[:, 1:],
+            out['pred_shape'], out['pred_cam_t'], dev['keypoints_orig'],
+            dev['cam_rotmat'], dev['cam_intrinsics'],
+            num_iters=int(self.cfg.TRAINING.NUM_SMPLIFY_ITERS))
+        return apply_smplify_update(
+            dev, res, float(self.cfg.TRAINING.SMPLIFY_THRESHOLD))
+
     def _device_batch(self, batch):
         mean = C.IMG_NORM_MEAN
         std = C.IMG_NORM_STD
@@ -191,6 +222,9 @@ class SpecTrainer:
                 rng, step_rng = jax.random.split(rng)
                 with timer('h2d'):
                     dev = self._device_batch(batch)
+                if self.cfg.TRAINING.RUN_SMPLIFY:
+                    with timer('smplify'):
+                        dev = self._run_smplify(dev)
                 with timer('step'):
                     self.state, metrics = self.jit_step(
                         self.state, dev, jax.device_put(step_rng, self.rep))

@@ -1,0 +1,170 @@
+"""In-graph SMPLify fitting (train/smplify.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spec_tpu.core import smpl as S
+from spec_tpu.train.smplify import (
+    SMPLifyResult,
+    apply_smplify_update,
+    angle_prior,
+    gmof,
+    smplify_fit,
+)
+
+
+def _project_np(joints, cam_t, R, K):
+    pts = joints @ R.T + cam_t
+    proj = pts @ K.T
+    return proj[:, :2] / proj[:, 2:3]
+
+
+def test_gmof_and_angle_prior():
+    x = jnp.asarray([0.0, 1.0, 1e6])
+    g = np.asarray(gmof(x, rho=100.0))
+    assert g[0] == 0.0
+    assert g[1] < 1.0 + 1e-6
+    np.testing.assert_allclose(g[2], 100.0 ** 2, rtol=1e-3)  # saturates
+    ap = angle_prior(jnp.zeros((2, 23, 3)))
+    assert ap.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(ap), 1.0)  # exp(0)^2
+
+    # hyper-extended left knee (positive x-rotation) costs less than the
+    # valid bending direction... sign convention: negative sign for knees
+    bent = jnp.zeros((1, 23, 3)).at[0, 3, 0].set(1.0)   # joint 4, comp 0
+    hyper = jnp.zeros((1, 23, 3)).at[0, 3, 0].set(-1.0)
+    assert float(angle_prior(hyper).sum()) > float(angle_prior(bent).sum())
+
+
+def test_smplify_recovers_perturbed_pose(rng):
+    """Synthetic fitting problem: project GT joints to 2D, start from a
+    perturbed init, and check the optimizer drives reprojection error
+    way down and moves the mesh toward GT."""
+    B, V = 4, 256
+    assets = S.create_test_assets(num_vertices=V)
+    gt_go = rng.randn(B, 1, 3).astype('f4') * 0.2
+    gt_bp = rng.randn(B, 23, 3).astype('f4') * 0.2
+    gt_betas = rng.randn(B, 10).astype('f4') * 0.5
+    gt_t = np.tile(np.array([[0.0, 0.0, 5.0]], 'f4'), (B, 1))
+    R = np.tile(np.eye(3, dtype='f4'), (B, 1, 1))
+    K = np.tile(np.array([[1000.0, 0, 500], [0, 1000.0, 500],
+                          [0, 0, 1]], 'f4'), (B, 1, 1))
+
+    gt_out = S.smpl_forward(assets, jnp.asarray(gt_betas),
+                            jnp.asarray(gt_bp), jnp.asarray(gt_go),
+                            pose2rot=True, joint_set='spin49')
+    kp = np.stack([
+        np.concatenate([_project_np(np.asarray(gt_out.joints)[b],
+                                    gt_t[b], R[b], K[b]),
+                        np.ones((49, 1), 'f4')], -1)
+        for b in range(B)])
+
+    init_bp = gt_bp + rng.randn(*gt_bp.shape).astype('f4') * 0.15
+    init_go = gt_go + rng.randn(*gt_go.shape).astype('f4') * 0.1
+    init_t = gt_t + rng.randn(B, 3).astype('f4') * 0.2
+
+    res = smplify_fit(
+        assets, jnp.asarray(init_go), jnp.asarray(init_bp),
+        jnp.zeros((B, 10)), jnp.asarray(init_t), jnp.asarray(kp),
+        jnp.asarray(R), jnp.asarray(K), num_iters=150, lr=2e-2,
+        pose_prior_weight=1.0, shape_prior_weight=1.0,
+        angle_prior_weight=0.0)
+    assert isinstance(res, SMPLifyResult)
+
+    # initial reprojection loss for comparison
+    init_out = S.smpl_forward(assets, jnp.zeros((B, 10)),
+                              jnp.asarray(init_bp), jnp.asarray(init_go),
+                              pose2rot=True, joint_set='spin49')
+    init_err = np.stack([
+        np.linalg.norm(_project_np(np.asarray(init_out.joints)[b],
+                                   init_t[b], R[b], K[b]) - kp[b, :, :2],
+                       axis=-1).mean() for b in range(B)])
+    fit_joints = np.asarray(S.smpl_forward(
+        assets, res.betas, res.body_pose, res.global_orient,
+        pose2rot=True, joint_set='spin49').joints)
+    fit_err = np.stack([
+        np.linalg.norm(_project_np(fit_joints[b],
+                                   np.asarray(res.cam_t)[b], R[b], K[b])
+                       - kp[b, :, :2], axis=-1).mean() for b in range(B)])
+    assert (fit_err < init_err * 0.35).all(), (init_err, fit_err)
+    assert np.isfinite(np.asarray(res.reproj_loss)).all()
+
+
+def test_apply_smplify_update():
+    B = 3
+    batch = {
+        'pose': np.zeros((B, 72), 'f4'),
+        'betas': np.zeros((B, 10), 'f4'),
+        'has_smpl': np.array([0.0, 1.0, 0.0], 'f4'),
+        'keypoints_orig': np.concatenate(
+            [np.zeros((B, 49, 2), 'f4'), np.ones((B, 49, 1), 'f4')], -1),
+    }
+    res = SMPLifyResult(
+        global_orient=np.full((B, 1, 3), 0.5, 'f4'),
+        body_pose=np.full((B, 23, 3), 0.25, 'f4'),
+        betas=np.full((B, 10), 2.0, 'f4'),
+        cam_t=np.zeros((B, 3), 'f4'),
+        reproj_loss=np.array([49 * 5.0, 49 * 500.0, 49 * 5.0], 'f4'),
+        vertices=np.zeros((B, 8, 3), 'f4'))
+    out = apply_smplify_update(batch, res, threshold=100.0)
+    # samples 0 and 2 accepted (per-joint 5 < 100), sample 1 rejected
+    np.testing.assert_allclose(out['pose'][0, :3], 0.5)
+    np.testing.assert_allclose(out['pose'][1], 0.0)
+    np.testing.assert_allclose(out['betas'][2], 2.0)
+    np.testing.assert_allclose(out['has_smpl'], [1.0, 1.0, 1.0])
+    # original batch untouched
+    assert batch['has_smpl'][0] == 0.0
+
+
+def test_trainer_run_smplify_hook(rng):
+    """SpecTrainer._run_smplify: predict -> fit -> acceptance swap, on the
+    trainer's real batch contract."""
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.core import geometry as G
+    from spec_tpu.models import HMR
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = ''
+    cfg.TRAINING.RUN_SMPLIFY = True
+    cfg.TRAINING.NUM_SMPLIFY_ITERS = 3
+    cfg.TRAINING.SMPLIFY_THRESHOLD = 1e9  # accept everything
+
+    B, res = 4, 64
+    assets = S.create_test_assets(num_vertices=128)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=False)
+    images = jnp.asarray(rng.randn(B, res, res, 3).astype('f4'))
+    R = G.euler_to_rotmat(jnp.asarray(rng.randn(B, 3).astype('f4') * 0.1))
+    w = jnp.full((B,), 640.0)
+    h = jnp.full((B,), 480.0)
+    K = G.build_cam_intrinsics(jnp.full((B,), 800.0), w, h)
+    center = jnp.asarray(rng.rand(B, 2).astype('f4') * 200 + 100)
+    scale = jnp.asarray(rng.rand(B).astype('f4') + 1.0)
+    variables = model.init(jax.random.PRNGKey(0), assets, images, R, K,
+                           scale, center, w, h)
+
+    trainer = SpecTrainer(
+        cfg, model, {'neutral': assets}, np.asarray(assets.j_regressor_h36m),
+        make_train_dataset=lambda e: None, make_val_loaders=lambda: {},
+        init_variables=variables)
+
+    dev = {
+        'img': images,
+        'pose': np.zeros((B, 72), 'f4'),
+        'betas': np.zeros((B, 10), 'f4'),
+        'has_smpl': np.zeros((B,), 'f4'),
+        'keypoints_orig': np.concatenate(
+            [rng.rand(B, 49, 2).astype('f4') * 400,
+             np.ones((B, 49, 1), 'f4')], -1),
+        'orig_shape': np.tile(np.array([[480.0, 640.0]], 'f4'), (B, 1)),
+        'scale': scale, 'center': center,
+        'cam_rotmat': R, 'cam_intrinsics': K,
+    }
+    out = trainer._run_smplify(dict(dev))
+    # everything accepted -> supervision swapped to the fit
+    np.testing.assert_allclose(out['has_smpl'], 1.0)
+    assert not np.allclose(out['pose'], 0.0)
+    assert np.isfinite(out['pose']).all()
+    assert out['pose'].shape == (B, 72)
