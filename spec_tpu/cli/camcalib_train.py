@@ -95,20 +95,30 @@ def main(argv=None):
     if args.resume:
         from spec_tpu.utils.checkpoints import (
             find_resume_checkpoint_dir, latest_step, restore_checkpoint)
-        src = ckpt_dir if latest_step(ckpt_dir) is not None else \
-            find_resume_checkpoint_dir(
+        if latest_step(ckpt_dir) is not None:
+            src, pinned = ckpt_dir, None
+        else:
+            found = find_resume_checkpoint_dir(
                 cfg.LOGDIR, explicit=cfg.TRAINING.get('RESUME') or None)
+            src, pinned = found if found else (None, None)
         if src is None:
             print('[camcalib-train] WARNING: --resume requested but no '
                   'checkpoint found — starting from scratch')
         else:
-            state = restore_checkpoint(src, state)
+            state = restore_checkpoint(src, state, step=pinned)
             print(f'[camcalib-train] resumed from {src} at step '
                   f'{int(state.step)}')
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
-    global_step = 0
+    # Continue the true training step count (checkpoint numbering, logs)
+    # and skip epochs the restored run already completed.
+    global_step = int(state.step)
+    steps_per_epoch = max(len(train_ds) // cfg.DATASET.BATCH_SIZE, 1)
+    start_epoch = min(global_step // steps_per_epoch, max_epochs)
+    if start_epoch:
+        print(f'[camcalib-train] skipping {start_epoch} completed '
+              f'epoch(s) ({steps_per_epoch} steps/epoch)')
 
-    for epoch in range(max_epochs):
+    for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         for batch in _bucketed_batches(
                 train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,

@@ -54,14 +54,15 @@ def _decode_request(body: bytes):
     return frames, boxes
 
 
-def _encode_response(results) -> bytes:
+def _encode_response(results, cameras) -> bytes:
     out = {'n_frames': np.asarray(len(results), np.int32)}
     for fi, persons in enumerate(results):
-        if persons:
-            cam = persons[0].get('camera', {})
-            out[f'f{fi}_camera'] = np.asarray(
-                [cam.get('vfov', 0.0), cam.get('pitch', 0.0),
-                 cam.get('roll', 0.0), cam.get('f_pix', 0.0)], np.float32)
+        cam = cameras[fi]
+        # camera present for EVERY frame (stage 1 runs on all frames,
+        # even ones with zero detections — documented contract).
+        out[f'f{fi}_camera'] = np.asarray(
+            [cam.get('vfov', 0.0), cam.get('pitch', 0.0),
+             cam.get('roll', 0.0), cam.get('f_pix', 0.0)], np.float32)
         out[f'f{fi}_n_persons'] = np.asarray(len(persons), np.int32)
         for pi, person in enumerate(persons):
             for k, v in person.items():
@@ -102,12 +103,19 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080):
             try:
                 n = int(self.headers.get('Content-Length', 0))
                 frames, boxes = _decode_request(self.rfile.read(n))
+            except Exception as e:      # malformed payload -> client error
+                self._send(400, json.dumps({'error': str(e)}).encode(),
+                           'application/json')
+                return
+            try:
                 with lock:
-                    results = predictor.predict(frames, boxes)
-                self._send(200, _encode_response(results))
-            except Exception as e:  # client gets the reason, server lives
-                msg = json.dumps({'error': str(e)}).encode()
-                self._send(400, msg, 'application/json')
+                    cameras = predictor.estimate_cameras(frames)
+                    results = predictor.predict(frames, boxes,
+                                                cameras=cameras)
+                self._send(200, _encode_response(results, cameras))
+            except Exception as e:      # predictor failure -> server error
+                self._send(500, json.dumps({'error': str(e)}).encode(),
+                           'application/json')
 
     return ThreadingHTTPServer((host, port), Handler)
 

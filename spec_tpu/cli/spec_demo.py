@@ -215,6 +215,7 @@ def run_spec_on_video(
     vid_file: str,
     output_folder: str,
     keep_frames: bool = False,
+    chunk_size: int = 500,
     **folder_kwargs,
 ):
     """Video demo: decode frames -> the folder pipeline -> re-encode an
@@ -223,7 +224,12 @@ def run_spec_on_video(
     The reference declares ``--mode video`` but raises NotImplementedError
     (scripts/spec_demo.py:39-42,67-68); implemented here on top of the
     folder path so detection/camcalib/crops/rendering behave identically.
-    Returns the output video path.
+
+    Disk use is bounded: frames are processed in ``chunk_size`` windows
+    (decode chunk -> pipeline -> append to the output video -> delete the
+    chunk's pngs) so a long clip never materializes in full on disk.
+    ``keep_frames`` moves processed frames to ``frames/`` instead of
+    deleting them. Returns the output video path.
     """
     import shutil
 
@@ -233,27 +239,65 @@ def run_spec_on_video(
     if not cap.isOpened():
         raise FileNotFoundError(f'cannot open video: {vid_file}')
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
-    frames_dir = os.path.join(output_folder, 'frames')
-    os.makedirs(frames_dir, exist_ok=True)
-    names = []
+    work_dir = os.path.join(output_folder, 'frames_chunk')
+    kept_dir = os.path.join(output_folder, 'frames')
+    os.makedirs(work_dir, exist_ok=True)
+    if keep_frames:
+        os.makedirs(kept_dir, exist_ok=True)
+
+    img_out = os.path.join(output_folder, 'spec_images')
+    out_path = os.path.join(output_folder, 'spec_video_output.mp4')
+    vw = None
+    names: list = []          # all frame names, in order
+    chunk: list = []          # names of the current undecoded-yet chunk
+
+    def flush(chunk_names):
+        nonlocal vw
+        if not chunk_names:
+            return
+        run_spec_on_folder(work_dir, output_folder, **folder_kwargs)
+        for name in chunk_names:
+            src = os.path.join(work_dir, name)
+            rend = os.path.join(img_out, name)
+            frame = cv2.imread(rend if os.path.exists(rend) else src)
+            if vw is None:
+                fh, fw = frame.shape[:2]
+                vw = cv2.VideoWriter(
+                    out_path, cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                    (fw, fh))
+            vw.write(frame)
+            if keep_frames:
+                shutil.move(src, os.path.join(kept_dir, name))
+            else:
+                os.remove(src)
+
+    first_hw = None
     while True:
         ok, frame = cap.read()
         if not ok:
             break
+        if first_hw is None:
+            first_hw = frame.shape[:2]
         name = f'{len(names):06d}.png'  # png: lossless round-trip
-        cv2.imwrite(os.path.join(frames_dir, name), frame)
+        cv2.imwrite(os.path.join(work_dir, name), frame)
         names.append(name)
+        chunk.append(name)
+        if len(chunk) >= chunk_size:
+            flush(chunk)
+            chunk = []
     cap.release()
+    flush(chunk)
     if not names:
+        shutil.rmtree(work_dir, ignore_errors=True)
         raise ValueError(f'no frames decoded from {vid_file}')
-
-    run_spec_on_folder(frames_dir, output_folder, **folder_kwargs)
+    vw.release()
+    shutil.rmtree(work_dir, ignore_errors=True)
 
     # Person-identity tracking across frames (the reference ecosystem
     # gets this from multi_person_tracker/SORT; greedy IoU here).
     from spec_tpu.data.tracking import track_video_boxes
 
-    h, w = cv2.imread(os.path.join(frames_dir, names[0])).shape[:2]
+    h, w = first_hw
     if folder_kwargs.get('bbox_file'):
         dets = load_bboxes_file(folder_kwargs['bbox_file'])
     else:
@@ -272,21 +316,6 @@ def run_spec_on_video(
               for tid, t in tracks.items()}
     joblib.dump(tracks, os.path.join(output_folder, 'tracking.pkl'))
 
-    img_out = os.path.join(output_folder, 'spec_images')
-    first = cv2.imread(os.path.join(frames_dir, names[0]))
-    h, w = first.shape[:2]
-    out_path = os.path.join(output_folder, 'spec_video_output.mp4')
-    vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
-                         fps, (w, h))
-    for name in names:
-        rend = os.path.join(img_out, name)
-        frame = cv2.imread(
-            rend if os.path.exists(rend)
-            else os.path.join(frames_dir, name))
-        vw.write(frame)
-    vw.release()
-    if not keep_frames:
-        shutil.rmtree(frames_dir, ignore_errors=True)
     print(f'[spec] wrote {out_path} ({len(names)} frames @ {fps:.1f} fps)')
     return out_path
 
@@ -352,6 +381,11 @@ def main(argv=None):
                              'scripts/spec_demo.py:39-42)')
     parser.add_argument('--mode', type=str, default='folder',
                         choices=['folder', 'video', 'webcam'])
+    parser.add_argument('--chunk_size', type=int, default=500,
+                        help='video mode: frames decoded/processed per '
+                             'window (bounds disk use on long clips)')
+    parser.add_argument('--keep_frames', action='store_true',
+                        help='video mode: keep decoded frames on disk')
     # --- reference flag-surface compatibility (scripts/spec_demo.py:94-166).
     # '--ckpt' is the reference's name for the SPEC checkpoint; '--exp'
     # suffixes the output directory (reference :46). The detector/tracker
@@ -408,7 +442,9 @@ def main(argv=None):
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
         cfg_file=args.cfg)
     if args.mode == 'video':
-        run_spec_on_video(args.vid_file, out_folder, **common)
+        run_spec_on_video(args.vid_file, out_folder,
+                          chunk_size=args.chunk_size,
+                          keep_frames=args.keep_frames, **common)
     else:
         run_spec_on_folder(args.image_folder, out_folder, **common)
 

@@ -34,12 +34,17 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from spec_tpu.core.geometry import perspective_projection
 from spec_tpu.core.smpl import smpl_forward
 
 
 # SMPL kinematic joint indices for elbows/knees in the 23-joint body pose.
-_BEND_JOINTS = (4, 5, 18, 19)   # knees L/R, elbows L/R (1-indexed minus 1)
-_BEND_SIGNS = (-1.0, -1.0, -1.0, 1.0)  # SMPLify convention
+# SPIN convention (smplify angle prior): x-rotation of the knees and
+# y-rotation of the elbows, signs [-1, -1, +1, -1] for
+# [L-knee-x, R-knee-x, L-elbow-y, R-elbow-y] — exp(sign*theta) is small in
+# the valid bending direction and large under hyper-extension.
+_BEND_JOINTS = (4, 5, 18, 19)   # knees L/R, elbows L/R (SMPL joint ids)
+_BEND_SIGNS = (-1.0, -1.0, 1.0, -1.0)
 
 
 def gmof(x: jnp.ndarray, rho: float) -> jnp.ndarray:
@@ -72,10 +77,11 @@ class SMPLifyResult(NamedTuple):
 
 
 def _project(joints3d, cam_t, cam_rotmat, K):
-    """Full-perspective projection of camera-frame joints to pixels."""
-    pts = jnp.einsum('brc,bjc->bjr', cam_rotmat, joints3d) + cam_t[:, None]
-    proj = jnp.einsum('brc,bjc->bjr', K, pts)
-    return proj[..., :2] / jnp.maximum(proj[..., 2:3], 1e-6)
+    """Projection via geometry.perspective_projection — fp32_matmuls
+    guarded (CLAUDE.md precision rule; a bare einsum here would run the
+    rotation/K matmuls as bf16 passes on TPU through all fitting
+    iterations AND their gradients)."""
+    return perspective_projection(joints3d, cam_rotmat, cam_t, K)
 
 
 @functools.partial(
@@ -149,10 +155,21 @@ def smplify_fit(
 
 
 def apply_smplify_update(batch: dict, result: SMPLifyResult,
-                         threshold: float) -> dict:
-    """SPIN acceptance rule: where the fitted reprojection loss (per
-    visible joint) beats ``threshold``, replace the batch's SMPL
-    supervision with the fitted parameters and mark has_smpl.
+                         threshold: float,
+                         min_visible: float = 6.0) -> dict:
+    """Acceptance rule for in-the-loop fitting: fill in SMPL supervision
+    from the fit where (a) the sample has NO genuine GT (``has_smpl`` is
+    0 — mocap/scan annotations are never overwritten by a fit), (b) the
+    fit's per-visible-joint reprojection loss beats ``threshold``, and
+    (c) at least ``min_visible`` keypoint confidence mass exists —
+    without real 2D evidence the "fit" is just the network's own
+    prediction pulled by priors, and accepting it would self-distill on
+    unlabeled samples.
+
+    (SPIN additionally compares against the loss of previously-fitted
+    params kept in a persistent per-sample dictionary; the never-
+    overwrite-GT + threshold + visibility gates are the stateless
+    equivalent.)
 
     ``batch`` uses the trainer contract: ``pose`` (B, 72 aa), ``betas``
     (B, 10), ``has_smpl`` (B,), ``keypoints_orig`` (B, 49, 3). Returns a
@@ -160,10 +177,12 @@ def apply_smplify_update(batch: dict, result: SMPLifyResult,
     """
     import numpy as np
 
-    n_vis = np.maximum(
-        np.asarray(batch['keypoints_orig'])[..., 2].sum(-1), 1.0)
+    conf_mass = np.asarray(batch['keypoints_orig'])[..., 2].sum(-1)
+    n_vis = np.maximum(conf_mass, 1.0)
     per_joint = np.asarray(result.reproj_loss) / n_vis
-    accept = per_joint < threshold
+    accept = ((per_joint < threshold)
+              & (np.asarray(batch['has_smpl']) < 0.5)
+              & (conf_mass >= min_visible))
 
     pose_fit = np.concatenate(
         [np.asarray(result.global_orient).reshape(-1, 3),

@@ -115,11 +115,12 @@ class SpecTrainer:
         from spec_tpu.utils.checkpoints import (
             find_resume_checkpoint_dir, latest_step)
 
-        ckpt_dir = self.ckpt_dir
+        ckpt_dir, step = self.ckpt_dir, None
         if latest_step(ckpt_dir) is None:
-            ckpt_dir = find_resume_checkpoint_dir(
+            found = find_resume_checkpoint_dir(
                 self.cfg.LOGDIR,
                 explicit=self.cfg.TRAINING.get('RESUME') or None)
+            ckpt_dir, step = found if found else (None, None)
         if ckpt_dir is None:
             print('[train] WARNING: --resume requested but no checkpoint '
                   'found (no TRAINING.RESUME path and no prior run with '
@@ -127,12 +128,13 @@ class SpecTrainer:
                   'scratch')
             return
         try:
-            restored = restore_checkpoint(ckpt_dir, self.state)
+            restored = restore_checkpoint(ckpt_dir, self.state, step=step)
         except FileNotFoundError:
             print(f'[train] WARNING: no checkpoints in {ckpt_dir} — '
                   'starting from scratch')
             return
-        print(f'[train] restoring from {ckpt_dir}')
+        print(f'[train] restoring from {ckpt_dir}'
+              + (f' (pinned step {step})' if step is not None else ''))
         if wo_optimizer:
             self.state = dataclasses.replace(
                 self.state, params=restored.params,

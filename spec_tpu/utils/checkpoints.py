@@ -162,23 +162,36 @@ def _keep_latest(directory: str, keep: int):
 
 def find_resume_checkpoint_dir(current_logdir: str,
                                explicit: Optional[str] = None):
-    """Locate a ``checkpoints`` directory to resume from.
+    """Locate a checkpoint to resume from.
 
     Every CLI invocation mints a fresh timestamped logdir
     (``logs/<script>/<exp>/<timestamp>_...``), so a crashed run's
     checkpoints never live in the CURRENT logdir. Search order (the
     reference's ``resume_training`` helper performs the same
     latest-run search): an explicit path if given (``TRAINING.RESUME``
-    — a checkpoints dir, a run dir containing one, or a step dir),
-    else the most recently modified SIBLING run of ``current_logdir``
-    that actually has checkpoints. Returns None when nothing is found.
+    — a checkpoints dir, a run dir containing one, or a single
+    ``step_NNNNNNNN`` dir which PINS that step), else the most recently
+    modified SIBLING run of ``current_logdir`` that actually has
+    checkpoints.
+
+    Returns ``(checkpoints_dir, step)`` — ``step`` is the pinned step
+    number from an explicit step dir, else None (= latest) — or None
+    when nothing is found.
     """
     if explicit:
-        cand = [explicit, os.path.join(explicit, 'checkpoints'),
-                os.path.dirname(explicit)]
-        for c in cand:
-            if c and latest_step(c) is not None:
-                return c
+        base = os.path.basename(os.path.normpath(explicit))
+        if base.startswith('step_') and os.path.isdir(explicit):
+            # An explicit step dir pins THAT step — resolving to the
+            # parent without it would silently load the latest instead.
+            try:
+                step = int(base.split('_')[1])
+            except (IndexError, ValueError):
+                step = None
+            if step is not None:
+                return os.path.dirname(os.path.abspath(explicit)), step
+        for c in (explicit, os.path.join(explicit, 'checkpoints')):
+            if latest_step(c) is not None:
+                return c, None
         return None
     parent = os.path.dirname(os.path.abspath(current_logdir))
     if not os.path.isdir(parent):
@@ -190,5 +203,5 @@ def find_resume_checkpoint_dir(current_logdir: str,
     for r in runs:
         ck = os.path.join(r, 'checkpoints')
         if latest_step(ck) is not None:
-            return ck
+            return ck, None
     return None

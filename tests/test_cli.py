@@ -283,8 +283,9 @@ def test_spec_demo_video_mode(tmp_path):
     w.release()
 
     out = tmp_path / 'out'
+    # chunk_size 2 < 3 frames: exercises the multi-chunk decode path
     main(['--vid_file', str(vid), '--output_folder', str(out),
-          '--batch_size', '2', '--exp', 'v1'])
+          '--batch_size', '2', '--exp', 'v1', '--chunk_size', '2'])
 
     exp_dir = out / 'clip_v1'
     video = exp_dir / 'spec_video_output.mp4'

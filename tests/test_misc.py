@@ -189,15 +189,22 @@ def test_find_resume_checkpoint_dir(tmp_path):
 
     # Latest sibling with checkpoints (current run has none).
     found = find_resume_checkpoint_dir(str(cur_run))
-    assert found == str(old_run / 'checkpoints')
+    assert found == (str(old_run / 'checkpoints'), None)
 
-    # Explicit path: run dir or checkpoints dir both resolve.
+    # Explicit path: run dir or checkpoints dir both resolve (latest).
     assert find_resume_checkpoint_dir(
         str(cur_run), explicit=str(older_run)) == \
-        os.path.join(str(older_run), 'checkpoints')
+        (os.path.join(str(older_run), 'checkpoints'), None)
     assert find_resume_checkpoint_dir(
         str(cur_run), explicit=str(older_run / 'checkpoints')) == \
-        str(older_run / 'checkpoints')
+        (str(older_run / 'checkpoints'), None)
+
+    # An explicit step dir PINS that step (not silently the latest).
+    step_dir = older_run / 'checkpoints' / 'step_00000003'
+    assert step_dir.is_dir()
+    assert find_resume_checkpoint_dir(
+        str(cur_run), explicit=str(step_dir)) == \
+        (str(older_run / 'checkpoints'), 3)
 
     # Nothing anywhere -> None (caller warns loudly).
     lonely = tmp_path / 'logs2' / 'spec_train' / 'spec' / 'run'

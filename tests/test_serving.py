@@ -87,15 +87,20 @@ def test_http_serving_roundtrip(rng):
         frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
         boxes = np.array([[64, 48, 60, 80]], np.float32)
         buf = io.BytesIO()
-        np.savez(buf, frame=frame, boxes=boxes)
+        # second frame with ZERO detections: its camera must still come
+        # back (stage 1 runs on every frame)
+        np.savez(buf, frame_0=frame, boxes_0=boxes,
+                 frame_1=frame, boxes_1=np.zeros((0, 4), np.float32))
         req = urllib.request.Request(base + '/predict', data=buf.getvalue())
         with urllib.request.urlopen(req, timeout=300) as r:
             out = np.load(io.BytesIO(r.read()))
-        assert int(out['n_frames']) == 1
+        assert int(out['n_frames']) == 2
         assert int(out['f0_n_persons']) == 1
+        assert int(out['f1_n_persons']) == 0
         V = pred.assets.num_vertices
         assert out['f0_p0_smpl_vertices'].shape == (V, 3)
         assert out['f0_camera'].shape == (4,)
+        assert out['f1_camera'].shape == (4,)
         assert np.isfinite(out['f0_p0_smpl_vertices']).all()
 
         # malformed payload -> 400 with a JSON error, server stays up

@@ -29,11 +29,17 @@ def test_gmof_and_angle_prior():
     assert ap.shape == (2, 4)
     np.testing.assert_allclose(np.asarray(ap), 1.0)  # exp(0)^2
 
-    # hyper-extended left knee (positive x-rotation) costs less than the
-    # valid bending direction... sign convention: negative sign for knees
-    bent = jnp.zeros((1, 23, 3)).at[0, 3, 0].set(1.0)   # joint 4, comp 0
-    hyper = jnp.zeros((1, 23, 3)).at[0, 3, 0].set(-1.0)
-    assert float(angle_prior(hyper).sum()) > float(angle_prior(bent).sum())
+    # SPIN sign convention: valid bending is cheap, hyper-extension is
+    # expensive. Knees: positive x-rotation = bend. L-elbow: negative
+    # y-rotation = bend; R-elbow: positive y-rotation = bend.
+    def cost(j, c, val):
+        p = jnp.zeros((1, 23, 3)).at[0, j - 1, c].set(val)
+        return float(angle_prior(p).sum())
+
+    assert cost(4, 0, -1.0) > cost(4, 0, 1.0)     # L knee
+    assert cost(5, 0, -1.0) > cost(5, 0, 1.0)     # R knee
+    assert cost(18, 1, 1.0) > cost(18, 1, -1.0)   # L elbow: +y is hyper
+    assert cost(19, 1, -1.0) > cost(19, 1, 1.0)   # R elbow: -y is hyper
 
 
 def test_smplify_recovers_perturbed_pose(rng):
@@ -91,27 +97,36 @@ def test_smplify_recovers_perturbed_pose(rng):
 
 
 def test_apply_smplify_update():
-    B = 3
+    B = 4
+    kp_conf = np.ones((B, 49, 1), 'f4')
+    kp_conf[3] = 0.0  # sample 3: no visible keypoints at all
     batch = {
         'pose': np.zeros((B, 72), 'f4'),
         'betas': np.zeros((B, 10), 'f4'),
-        'has_smpl': np.array([0.0, 1.0, 0.0], 'f4'),
+        'has_smpl': np.array([0.0, 1.0, 0.0, 0.0], 'f4'),
         'keypoints_orig': np.concatenate(
-            [np.zeros((B, 49, 2), 'f4'), np.ones((B, 49, 1), 'f4')], -1),
+            [np.zeros((B, 49, 2), 'f4'), kp_conf], -1),
     }
     res = SMPLifyResult(
         global_orient=np.full((B, 1, 3), 0.5, 'f4'),
         body_pose=np.full((B, 23, 3), 0.25, 'f4'),
         betas=np.full((B, 10), 2.0, 'f4'),
         cam_t=np.zeros((B, 3), 'f4'),
-        reproj_loss=np.array([49 * 5.0, 49 * 500.0, 49 * 5.0], 'f4'),
+        reproj_loss=np.array([49 * 5.0, 49 * 5.0, 49 * 500.0, 0.0], 'f4'),
         vertices=np.zeros((B, 8, 3), 'f4'))
     out = apply_smplify_update(batch, res, threshold=100.0)
-    # samples 0 and 2 accepted (per-joint 5 < 100), sample 1 rejected
+    # 0: no GT + good fit -> accepted
     np.testing.assert_allclose(out['pose'][0, :3], 0.5)
+    # 1: genuine GT is NEVER overwritten, even by a good fit
     np.testing.assert_allclose(out['pose'][1], 0.0)
-    np.testing.assert_allclose(out['betas'][2], 2.0)
-    np.testing.assert_allclose(out['has_smpl'], [1.0, 1.0, 1.0])
+    # 2: fit too poor (per-joint 500 > 100) -> rejected
+    np.testing.assert_allclose(out['pose'][2], 0.0)
+    assert out['has_smpl'][2] == 0.0
+    # 3: zero keypoint evidence -> rejected despite zero loss
+    #    (would be self-distillation on an unlabeled sample)
+    np.testing.assert_allclose(out['pose'][3], 0.0)
+    assert out['has_smpl'][3] == 0.0
+    np.testing.assert_allclose(out['has_smpl'], [1.0, 1.0, 0.0, 0.0])
     # original batch untouched
     assert batch['has_smpl'][0] == 0.0
 
