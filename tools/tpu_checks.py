@@ -154,6 +154,39 @@ def main():
     paerr = float(np.abs(pa_chip - pa_ref).max()) * 1000
     check('batched SVD Procrustes (PA-MPJPE) chip vs CPU', paerr, 0.05)
 
+    # ---- 5b. In-graph SMPLify: the fitting loop runs 60+ Adam steps of
+    # grads through LBS + projection on-chip; bf16 leakage anywhere in
+    # that chain diverges the minimum (CPU run is the golden).
+    from spec_tpu.train.smplify import smplify_fit
+
+    B = 2
+    fit_assets = S.create_test_assets(num_vertices=128)
+    go = (rng.randn(B, 1, 3) * 0.1).astype('f4')
+    bp = (rng.randn(B, 23, 3) * 0.1).astype('f4')
+    t = np.tile(np.array([[0, 0, 5]], 'f4'), (B, 1))
+    Rm = np.tile(np.eye(3, dtype='f4'), (B, 1, 1))
+    Km = np.tile(np.array([[1000., 0, 500], [0, 1000., 500],
+                           [0, 0, 1]], 'f4'), (B, 1, 1))
+    gt_fit = S.smpl_forward(fit_assets, jnp.zeros((B, 10)),
+                            jnp.asarray(bp), jnp.asarray(go),
+                            pose2rot=True, joint_set='spin49')
+    jj = np.asarray(gt_fit.joints)
+    pp = np.einsum('brc,bjc->bjr', Rm, jj) + t[:, None]
+    px = np.einsum('brc,bjc->bjr', Km, pp)
+    px = px[..., :2] / px[..., 2:3]
+    kpf = np.concatenate([px, np.ones((B, 49, 1), 'f4')], -1).astype('f4')
+    fit_args = (fit_assets, jnp.asarray(go), jnp.asarray(bp + 0.05),
+                jnp.zeros((B, 10)), jnp.asarray(t), jnp.asarray(kpf),
+                jnp.asarray(Rm), jnp.asarray(Km))
+    fit_kw = dict(num_iters=60, lr=2e-2, pose_prior_weight=1.0,
+                  shape_prior_weight=1.0, angle_prior_weight=0.0)
+    res_chip = smplify_fit(*fit_args, **fit_kw)
+    with jax.default_device(_cpu()):
+        res_cpu = smplify_fit(*fit_args, **fit_kw)
+    fit_err = float(np.abs(np.asarray(res_chip.vertices)
+                           - np.asarray(res_cpu.vertices)).max()) * 1000
+    check('smplify 60-iter fit chip vs CPU (fitted mesh)', fit_err, 5.0)
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
