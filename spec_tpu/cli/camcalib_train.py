@@ -118,12 +118,35 @@ def main(argv=None):
         print(f'[camcalib-train] skipping {start_epoch} completed '
               f'epoch(s) ({steps_per_epoch} steps/epoch)')
 
+    from spec_tpu.utils.preemption import GracefulShutdown
+
+    stop_ctx = GracefulShutdown()
+    stop_ctx.__enter__()
+    try:
+        return _train_epochs(
+            cfg, args, stop_ctx, state, jit_step, mesh, par, jnp, model,
+            train_ds, val_ds, loss_type, B, ckpt_dir, save_checkpoint,
+            jax, max_epochs, start_epoch, global_step)
+    finally:
+        stop_ctx.__exit__(None, None, None)
+
+
+def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
+                  model, train_ds, val_ds, loss_type, B, ckpt_dir,
+                  save_checkpoint, jax, max_epochs, start_epoch,
+                  global_step):
+    import numpy as np
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         for batch in _bucketed_batches(
                 train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,
                 num_workers=cfg.DATASET.NUM_WORKERS,
                 max_res=cfg.DATASET.MAX_RES):
+            if stop_ctx.requested:
+                save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+                print(f'[camcalib-train] preempted at step {global_step}; '
+                      f'checkpoint saved to {ckpt_dir}')
+                return state
             dev = {
                 'img': batch['img'],
                 'vfov': batch['vfov'],

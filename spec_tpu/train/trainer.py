@@ -198,6 +198,12 @@ class SpecTrainer:
         return par.shard_batch(dev, self.mesh)
 
     def fit(self, max_epochs: Optional[int] = None):
+        from spec_tpu.utils.preemption import GracefulShutdown
+
+        with GracefulShutdown() as stop:
+            self._fit(max_epochs, stop)
+
+    def _fit(self, max_epochs, stop):
         from spec_tpu.data import DataLoader
 
         cfg = self.cfg
@@ -221,6 +227,14 @@ class SpecTrainer:
                     batch = next(batch_iter, None)
                 if batch is None:
                     break
+                if stop.requested:
+                    # Preemption (SIGTERM grace window): checkpoint the
+                    # in-flight state so --resume continues from here.
+                    save_checkpoint(self.ckpt_dir,
+                                    jax.device_get(self.state), global_step)
+                    print(f'[train] preempted at step {global_step}; '
+                          f'checkpoint saved to {self.ckpt_dir}')
+                    return
                 rng, step_rng = jax.random.split(rng)
                 with timer('h2d'):
                     dev = self._device_batch(batch)

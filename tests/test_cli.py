@@ -306,3 +306,59 @@ def test_spec_demo_video_mode(tmp_path):
     assert list(tracks) == [0]
     assert tracks[0]['frames'].tolist() == [0, 1, 2]
     assert tracks[0]['bboxes'].shape == (3, 4)
+
+
+def _make_train_data_root(root, rng, n=10):
+    """data_root twin with enough samples for a mesh-divisible batch
+    (the train batch is sharded over the forced 8-device mesh)."""
+    (root / 'dataset_extras').mkdir(parents=True)
+    img_dir = root / 'dataset_folders' / '3dpw'
+    img_dir.mkdir(parents=True)
+    names = []
+    for i in range(n):
+        nm = f'f{i}.jpg'
+        cv2.imwrite(str(img_dir / nm),
+                    (rng.rand(120, 160, 3) * 255).astype('u1'))
+        names.append(nm)
+    np.savez(
+        root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz',
+        imgname=np.array(names),
+        scale=(rng.rand(n) * 0.3 + 0.5).astype('f4'),
+        center=np.stack([rng.rand(n) * 60 + 50,
+                         rng.rand(n) * 40 + 40], 1).astype('f4'),
+        pose_0yaw_inverseyz=(rng.randn(n, 72) * 0.2).astype('f4'),
+        pose_cam=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 100,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        cam_int=np.tile(np.array(
+            [[500, 0, 80], [0, 500, 60], [0, 0, 1]], 'f4'), (n, 1, 1)),
+        camcalib_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        camcalib_roll=(rng.randn(n) * 0.05).astype('f4'),
+        camcalib_vfov=(rng.rand(n) * 0.5 + 0.6).astype('f4'),
+        camcalib_f_pix=(rng.rand(n) * 200 + 400).astype('f4'),
+    )
+
+
+def test_spec_train_cli_fdr(tmp_path, rng, monkeypatch):
+    """End-to-end spec_train CLI fast-dev-run: mixed dataset, sharded
+    jitted steps, checkpoint save, then the post-train test pass —
+    SpecTrainer.fit was previously only covered indirectly."""
+    from spec_tpu.cli import spec_train
+
+    root = tmp_path / 'data'
+    _make_train_data_root(root, rng)
+    monkeypatch.setenv('SPEC_DATA_ROOT', str(root))
+
+    trainer = spec_train.main([
+        '--fdr', '--log_root', str(tmp_path / 'logs'), '--opts',
+        'DATASET.DATASETS_AND_RATIOS', '3dpw-test-cam_1.0',
+        'DATASET.VAL_DS', '3dpw-test-cam',
+        'DATASET.BATCH_SIZE', '8', 'DATASET.NUM_WORKERS', '1',
+        'HMR.BACKBONE', 'resnet18',
+        'TRAINING.LOG_SAVE_INTERVAL', '1'])
+    assert int(trainer.state.step) >= 1
+    # fit() ran under the preemption guard and saved a checkpoint
+    from spec_tpu.utils.checkpoints import latest_step
+    assert latest_step(trainer.ckpt_dir) is not None

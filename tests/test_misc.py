@@ -210,3 +210,24 @@ def test_find_resume_checkpoint_dir(tmp_path):
     lonely = tmp_path / 'logs2' / 'spec_train' / 'spec' / 'run'
     lonely.mkdir(parents=True)
     assert find_resume_checkpoint_dir(str(lonely)) is None
+
+
+def test_graceful_shutdown_latch():
+    """SIGTERM latches the stop flag (cooperative preemption), handlers
+    are restored on exit, and a pre-existing handler comes back."""
+    import signal
+
+    from spec_tpu.utils.preemption import GracefulShutdown
+
+    calls = []
+    old = signal.signal(signal.SIGTERM, lambda s, f: calls.append(s))
+    try:
+        with GracefulShutdown() as stop:
+            assert not stop.requested
+            os.kill(os.getpid(), signal.SIGTERM)
+            assert stop.requested
+        # restored: our sentinel handler receives the next signal
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert calls == [signal.SIGTERM]
+    finally:
+        signal.signal(signal.SIGTERM, old)
