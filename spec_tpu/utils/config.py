@@ -254,6 +254,22 @@ def _copy_code(logdir: str):
 # ---------------------------------------------------------------------------
 
 
+def update_hparams(cfg_file: str = None, dialect: str = 'spec') -> CfgNode:
+    """Defaults merged with a YAML file — the reference's public config
+    entry point (``spec/config.py:173-176`` / ``camcalib/config.py:97-100``).
+
+    Args:
+      cfg_file: optional YAML to overlay (reference dialect tolerated).
+      dialect: 'spec' or 'camcalib' default tree.
+    """
+    base = (camcalib_default_config() if dialect == 'camcalib'
+            else spec_default_config())
+    cfg = base.clone()
+    if cfg_file:
+        cfg.merge_from_file(cfg_file)
+    return cfg
+
+
 def spec_default_config() -> CfgNode:
     return CfgNode.from_dict({
         'EXP_NAME': 'spec',

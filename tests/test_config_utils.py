@@ -146,3 +146,21 @@ def test_check_batch_gradient():
     # batch-coupled fn (mean subtraction) fails
     assert not check_batch_gradient(
         lambda x: x - x.mean(axis=0, keepdims=True), jnp.ones((4, 8)))
+
+
+def test_update_hparams_entry_point(tmp_path):
+    """The reference's public config entry (spec/config.py:173-176):
+    defaults + YAML overlay, both dialects."""
+    import spec_tpu
+
+    cfg = spec_tpu.update_hparams()
+    assert cfg.DATASET.IMG_RES == 224
+
+    y = tmp_path / 'o.yaml'
+    y.write_text('DATASET:\n  BATCH_SIZE: 12\n')
+    cfg = spec_tpu.update_hparams(str(y))
+    assert cfg.DATASET.BATCH_SIZE == 12
+
+    from spec_tpu.utils.config import update_hparams
+    cam = update_hparams(dialect='camcalib')
+    assert cam.MODEL.BACKBONE == 'resnet34'
