@@ -24,6 +24,45 @@ from spec_tpu.utils import paths
 from spec_tpu.utils.vis import draw_horizon_line
 
 
+# Process-level cache: repeated calls (e.g. the chunked video demo runs
+# the folder pipeline once per chunk) must not reload the checkpoint or
+# re-trace the jitted forward every time.
+_MODEL_CACHE: dict = {}
+
+
+def _get_model(ckpt: str, backbone: str, loss_type: str, min_size: int):
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.models import CameraRegressorNetwork
+    from spec_tpu.utils.checkpoints import load_camcalib_variables
+
+    key = (ckpt, backbone, loss_type)
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    model = CameraRegressorNetwork(backbone=backbone, num_fc_layers=1)
+    if os.path.exists(ckpt):
+        variables = load_camcalib_variables(ckpt, backbone=backbone)
+    else:
+        print(f'[camcalib] WARNING: checkpoint {ckpt} not found; '
+              'using random init (angles will be meaningless)')
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, min_size, min_size, 3), jnp.float32))
+
+    # Variables go in as ARGUMENTS, not closure constants: closed-over
+    # arrays are baked into the HLO, so every fresh init would miss the
+    # persistent compile cache (minutes through the remote-compile
+    # tunnel) and bloat the compile payload.
+    @jax.jit
+    def infer(variables, batch_img):
+        logits = model.apply(variables, batch_img)
+        return logits, bins.convert_preds_to_angles(
+            *logits, loss_type=loss_type)
+
+    _MODEL_CACHE[key] = (model, variables, infer)
+    return _MODEL_CACHE[key]
+
+
 def run_camcalib_on_folder(
     img_folder: str,
     out_folder: str,
@@ -74,25 +113,8 @@ def run_camcalib_on_folder(
         return os.path.relpath(imgname, name_root).replace(os.sep, '_')
     os.makedirs(out_folder, exist_ok=True)
 
-    model = CameraRegressorNetwork(backbone=backbone, num_fc_layers=1)
-    if os.path.exists(ckpt):
-        variables = load_camcalib_variables(ckpt, backbone=backbone)
-    else:
-        print(f'[camcalib] WARNING: checkpoint {ckpt} not found; '
-              'using random init (angles will be meaningless)')
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, min_size, min_size, 3), jnp.float32))
-
-    # Variables go in as ARGUMENTS, not closure constants: closed-over
-    # arrays are baked into the HLO, so every fresh init would miss the
-    # persistent compile cache (minutes through the remote-compile
-    # tunnel) and bloat the compile payload.
-    @jax.jit
-    def infer(variables, batch_img):
-        logits = model.apply(variables, batch_img)
-        return logits, bins.convert_preds_to_angles(
-            *logits, loss_type=loss_type)
+    model, variables, infer = _get_model(ckpt, backbone, loss_type,
+                                          min_size)
 
     results = {}
     t0 = time.perf_counter()

@@ -110,9 +110,15 @@ def main(argv=None):
                   f'{int(state.step)}')
     max_epochs = 1 if args.fdr else cfg.TRAINING.MAX_EPOCHS
     # Continue the true training step count (checkpoint numbering, logs)
-    # and skip epochs the restored run already completed.
+    # and skip epochs the restored run already completed. Steps/epoch is
+    # the ACTUAL bucketed-batch count: each shape bucket yields
+    # ceil(len(bucket)/B) padded batches (len(ds)//B would undercount and
+    # over-skip epochs that never ran).
     global_step = int(state.step)
-    steps_per_epoch = max(len(train_ds) // cfg.DATASET.BATCH_SIZE, 1)
+    bsz = cfg.DATASET.BATCH_SIZE
+    steps_per_epoch = max(sum(
+        (len(idxs) + bsz - 1) // bsz
+        for idxs in train_ds.shape_buckets().values()), 1)
     start_epoch = min(global_step // steps_per_epoch, max_epochs)
     if start_epoch:
         print(f'[camcalib-train] skipping {start_epoch} completed '
@@ -120,22 +126,17 @@ def main(argv=None):
 
     from spec_tpu.utils.preemption import GracefulShutdown
 
-    stop_ctx = GracefulShutdown()
-    stop_ctx.__enter__()
-    try:
+    with GracefulShutdown() as stop_ctx:
         return _train_epochs(
             cfg, args, stop_ctx, state, jit_step, mesh, par, jnp, model,
             train_ds, val_ds, loss_type, B, ckpt_dir, save_checkpoint,
             jax, max_epochs, start_epoch, global_step)
-    finally:
-        stop_ctx.__exit__(None, None, None)
 
 
 def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                   model, train_ds, val_ds, loss_type, B, ckpt_dir,
                   save_checkpoint, jax, max_epochs, start_epoch,
                   global_step):
-    import numpy as np
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         for batch in _bucketed_batches(

@@ -39,6 +39,56 @@ from spec_tpu.utils import paths
 from spec_tpu.utils.cam_params import read_cam_params
 
 
+# Process-level cache: the chunked video demo runs the folder pipeline
+# once per chunk — checkpoint loads and jit traces must happen once.
+_MODEL_CACHE: dict = {}
+
+
+def _get_spec_model(smpl_model_dir: str, cfg_file: str, spec_ckpt: str,
+                    img_res: int):
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+    from spec_tpu.utils.checkpoints import load_spec_variables
+
+    spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
+    key = (smpl_model_dir, cfg_file, spec_ckpt, img_res)
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+
+    assets = S.load_assets_or_test(smpl_model_dir, tag='spec')
+    # Model hyperparams from the config shipped with the checkpoint
+    # (reference builds the tester's HMR from --cfg, spec/tester.py:49-61).
+    backbone, use_cam_feats = 'resnet50', False
+    if cfg_file:
+        from spec_tpu.utils.config import hmr_hparams_from_cfg
+        backbone, use_cam_feats = hmr_hparams_from_cfg(cfg_file)
+    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=use_cam_feats)
+    if os.path.exists(spec_ckpt):
+        variables = load_spec_variables(spec_ckpt, backbone=backbone)
+    else:
+        print(f'[spec] WARNING: checkpoint {spec_ckpt} not found; '
+              'using random init')
+        ex = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
+        eye = jnp.tile(jnp.eye(3), (1, 1, 1))
+        one = jnp.ones((1,))
+        variables = model.init(
+            jax.random.PRNGKey(0), assets, ex, eye, eye, one,
+            jnp.ones((1, 2)), one, one)
+
+    # Variables as ARGUMENTS (closure arrays bake into the HLO: compile-
+    # cache misses across runs + bloated remote-compile payloads).
+    @jax.jit
+    def infer(variables, images, cam_rotmat, K, scale, center, img_w,
+              img_h):
+        return model.apply(variables, assets, images, cam_rotmat, K,
+                           scale, center, img_w, img_h)
+
+    _MODEL_CACHE[key] = (assets, model, variables, infer)
+    return _MODEL_CACHE[key]
+
+
 def run_spec_on_folder(
     image_folder: str,
     output_folder: str,
@@ -84,36 +134,8 @@ def run_spec_on_folder(
         print('[spec] no --bbox_file given; using full-frame boxes')
         dets = full_image_bboxes(shapes)
 
-    # SMPL assets + model.
-    assets = S.load_assets_or_test(smpl_model_dir, tag='spec')
-
-    # Model hyperparams from the config shipped with the checkpoint
-    # (reference builds the tester's HMR from --cfg, spec/tester.py:49-61).
-    backbone, use_cam_feats = 'resnet50', False
-    if cfg_file:
-        from spec_tpu.utils.config import hmr_hparams_from_cfg
-        backbone, use_cam_feats = hmr_hparams_from_cfg(cfg_file)
-    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=use_cam_feats)
-    spec_ckpt = spec_ckpt or paths.spec_checkpoint_path()
-    if os.path.exists(spec_ckpt):
-        variables = load_spec_variables(spec_ckpt, backbone=backbone)
-    else:
-        print(f'[spec] WARNING: checkpoint {spec_ckpt} not found; '
-              'using random init')
-        ex = jnp.zeros((1, img_res, img_res, 3), jnp.float32)
-        eye = jnp.tile(jnp.eye(3), (1, 1, 1))
-        one = jnp.ones((1,))
-        variables = model.init(
-            jax.random.PRNGKey(0), assets, ex, eye, eye, one,
-            jnp.ones((1, 2)), one, one)
-
-    # Variables as ARGUMENTS (closure arrays bake into the HLO: compile-
-    # cache misses across runs + bloated remote-compile payloads).
-    @jax.jit
-    def infer(variables, images, cam_rotmat, K, scale, center, img_w,
-              img_h):
-        return model.apply(variables, assets, images, cam_rotmat, K,
-                           scale, center, img_w, img_h)
+    assets, model, variables, infer = _get_spec_model(
+        smpl_model_dir, cfg_file, spec_ckpt, img_res)
 
     t_start = time.perf_counter()
 

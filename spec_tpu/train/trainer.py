@@ -144,6 +144,21 @@ class SpecTrainer:
         else:
             self.state = restored
             print(f'[train] resumed from step {int(self.state.step)}')
+        meta_path = os.path.join(ckpt_dir, 'meta.json')
+        if not wo_optimizer and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    self._resume_epoch = int(json.load(f)['next_epoch'])
+            except (OSError, ValueError, KeyError):
+                pass
+
+    def _write_meta(self, next_epoch: int, step: int):
+        try:
+            with open(os.path.join(self.ckpt_dir, 'meta.json'), 'w') as f:
+                json.dump({'next_epoch': int(next_epoch),
+                           'step': int(step)}, f)
+        except OSError:
+            pass
 
     def _run_smplify(self, dev):
         """SPIN in-the-loop fitting (``TRAINING.RUN_SMPLIFY`` — the knobs
@@ -210,8 +225,15 @@ class SpecTrainer:
         max_epochs = max_epochs or cfg.TRAINING.MAX_EPOCHS
         rng = jax.random.PRNGKey(max(cfg.SEED_VALUE, 0))
         global_step = int(self.state.step)
+        # Epoch-keyed schedules (staged datasets, teacher forcing) must
+        # not replay from 0 after a resume; the sidecar meta written with
+        # every checkpoint records the next epoch to run.
+        start_epoch = min(getattr(self, '_resume_epoch', 0), max_epochs)
+        if start_epoch:
+            print(f'[train] resuming at epoch {start_epoch} '
+                  f'(step {global_step})')
 
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             train_ds = self.make_train_dataset(epoch)
             loader = DataLoader(
                 train_ds, batch_size=cfg.DATASET.BATCH_SIZE,
@@ -230,8 +252,14 @@ class SpecTrainer:
                 if stop.requested:
                     # Preemption (SIGTERM grace window): checkpoint the
                     # in-flight state so --resume continues from here.
+                    # keep=1000 matches the epoch-end path: the default
+                    # recency pruning would delete ranked-retained best
+                    # checkpoints (_prune_ranked keeps top-k by val loss,
+                    # which includes OLD steps).
                     save_checkpoint(self.ckpt_dir,
-                                    jax.device_get(self.state), global_step)
+                                    jax.device_get(self.state), global_step,
+                                    keep=1000)
+                    self._write_meta(epoch, global_step)
                     print(f'[train] preempted at step {global_step}; '
                           f'checkpoint saved to {self.ckpt_dir}')
                     return
@@ -267,6 +295,7 @@ class SpecTrainer:
             val_loss = self.validate(epoch, global_step)
             save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
                             global_step, keep=1000)
+            self._write_meta(epoch + 1, global_step)
             self._prune_ranked(val_loss, global_step)
         if self.writer:
             self.writer.flush()

@@ -362,3 +362,20 @@ def test_spec_train_cli_fdr(tmp_path, rng, monkeypatch):
     # fit() ran under the preemption guard and saved a checkpoint
     from spec_tpu.utils.checkpoints import latest_step
     assert latest_step(trainer.ckpt_dir) is not None
+
+
+def test_demo_model_cache_reused_across_chunks(tmp_path, rng, monkeypatch):
+    """The chunked video path calls the folder pipeline per chunk; model
+    loading / jit tracing must happen once per process (cache keyed on
+    the load parameters)."""
+    from spec_tpu.cli import camcalib_demo, spec_demo
+
+    k1 = spec_demo._get_spec_model('', '', '', 224)
+    k2 = spec_demo._get_spec_model('', '', '', 224)
+    assert k1[3] is k2[3]  # same jitted infer object
+
+    c1 = camcalib_demo._get_model('/nonexistent.ckpt', 'resnet18',
+                                  'softargmax_l2', 64)
+    c2 = camcalib_demo._get_model('/nonexistent.ckpt', 'resnet18',
+                                  'softargmax_l2', 64)
+    assert c1[2] is c2[2]
