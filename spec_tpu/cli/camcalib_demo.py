@@ -86,10 +86,7 @@ def run_camcalib_on_folder(
     (vfov, pitch, roll) in radians; when given, GT fields are added to the
     pickles and a second (GT) horizon is drawn, mirroring the reference's
     dataset-less evaluation mode (:142-171)."""
-    import jax
     import jax.numpy as jnp
-    from spec_tpu.models import CameraRegressorNetwork
-    from spec_tpu.utils.checkpoints import load_camcalib_variables
 
     ckpt = ckpt or paths.camcalib_checkpoint_path()
     if image_list is None:
@@ -243,6 +240,9 @@ def main(argv=None):
     parser.add_argument('--show', action='store_true',
                         help='save raw bin-distribution bar plots')
     args = parser.parse_args(argv)
+
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.img_folder is None and args.dataset is None:
         parser.error("give --img_folder DIR, --dataset NAME, or "

@@ -33,6 +33,9 @@ def main(argv=None):
     add_cluster_flags(parser, num_gpus=True)
     args = parser.parse_args(argv)
 
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
+
     from spec_tpu.utils.config import (
         camcalib_default_config,
         resolve_camcalib_loss,
@@ -137,6 +140,11 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                   model, train_ds, val_ds, loss_type, B, ckpt_dir,
                   save_checkpoint, jax, max_epochs, start_epoch,
                   global_step):
+    @jax.jit
+    def _val_infer(variables, img):
+        logits = model.apply(variables, img)
+        return B.convert_preds_to_angles(*logits, loss_type=loss_type)
+
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         for batch in _bucketed_batches(
@@ -175,17 +183,19 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
             continue
         errs = {'vfov': [], 'pitch': [], 'roll': []}
         variables_now = {
-            'params': jax.device_get(state.params),
-            'batch_stats': jax.device_get(state.batch_stats)}
+            'params': state.params,
+            'batch_stats': state.batch_stats}
         first_val_batch = None
         first_val_pred = None
         for batch in _bucketed_batches(
                 val_ds, cfg.DATASET.BATCH_SIZE, shuffle=False, seed=0,
                 num_workers=cfg.DATASET.NUM_WORKERS,
                 max_res=cfg.DATASET.MAX_RES):
-            logits = model.apply(variables_now, jnp.asarray(batch['img']))
-            vfov, pitch, roll = B.convert_preds_to_angles(
-                *logits, loss_type=loss_type)
+            # Jitted (one compile per shape bucket): eager model.apply
+            # dispatches the whole ResNet op-by-op — catastrophic through
+            # a remote-execution tunnel.
+            vfov, pitch, roll = _val_infer(
+                variables_now, jnp.asarray(batch['img']))
             if first_val_batch is None:
                 first_val_batch = batch
                 first_val_pred = (np.asarray(vfov), np.asarray(pitch),

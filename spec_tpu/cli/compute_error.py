@@ -25,6 +25,9 @@ def main(argv=None):
                              'the filename)')
     args = parser.parse_args(argv)
 
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
+
     import joblib
     from spec_tpu.cli.spec_eval import _pred_rotmats
     from spec_tpu.core import smpl as S

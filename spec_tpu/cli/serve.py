@@ -133,6 +133,9 @@ def main(argv=None):
     parser.add_argument('--batch_size', type=int, default=32)
     args = parser.parse_args(argv)
 
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
+
     from spec_tpu.serving import SpecPredictor
 
     predictor = SpecPredictor(

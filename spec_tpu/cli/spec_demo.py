@@ -89,6 +89,11 @@ def _get_spec_model(smpl_model_dir: str, cfg_file: str, spec_ckpt: str,
     return _MODEL_CACHE[key]
 
 
+# Bounded decoded-frame cache for the crop loop (work items are grouped
+# by image, so a small window suffices even with many crops per image).
+_IMAGE_CACHE_MAX = 32
+
+
 def run_spec_on_folder(
     image_folder: str,
     output_folder: str,
@@ -108,9 +113,6 @@ def run_spec_on_folder(
     import jax
     import jax.numpy as jnp
     from spec_tpu.cli.camcalib_demo import run_camcalib_on_folder
-    from spec_tpu.core import smpl as S
-    from spec_tpu.models import HMR
-    from spec_tpu.utils.checkpoints import load_spec_variables
 
     t_total_start = time.perf_counter()
     os.makedirs(output_folder, exist_ok=True)
@@ -170,16 +172,23 @@ def run_spec_on_folder(
         use_native = native.available()
         for (name, di, center, scale, rotmat, K, w, h) in chunk:
             if name not in images_cache:
-                img = cv2.cvtColor(cv2.imread(name), cv2.COLOR_BGR2RGB)
-                images_cache[name] = img.astype(np.float32)
+                # uint8 + bounded LRU: a float32 never-evicted cache
+                # holds ~25 MB per 1080p frame — a 500-frame video chunk
+                # would pin >12 GB of host RAM.
+                while len(images_cache) >= _IMAGE_CACHE_MAX:
+                    images_cache.pop(next(iter(images_cache)))
+                images_cache[name] = cv2.cvtColor(
+                    cv2.imread(name), cv2.COLOR_BGR2RGB)
+            else:
+                images_cache[name] = images_cache.pop(name)  # LRU touch
+            frame = images_cache[name].astype(np.float32)
             if use_native:
                 c = native.spin_crop_batch(
-                    images_cache[name], np.asarray([center], np.float32),
+                    frame, np.asarray([center], np.float32),
                     np.asarray([scale], np.float32), res=img_res)[0]
             else:
                 c = normalize_img(spin_crop(
-                    images_cache[name], center, scale,
-                    [img_res, img_res]) / 255.0)
+                    frame, center, scale, [img_res, img_res]) / 255.0)
             crops.append(c)
             metas.append((name, di, center, scale, rotmat, K, w, h))
 
@@ -398,9 +407,9 @@ def main(argv=None):
     parser.add_argument('--save_obj', action='store_true')
     parser.add_argument('--smpl_model_dir', type=str, default='')
     parser.add_argument('--vid_file', type=str, default=None,
-                        help='video input (not implemented — folder mode '
-                             'only, matching the reference '
-                             'scripts/spec_demo.py:39-42)')
+                        help='video input: runs the full pipeline per '
+                             'frame and writes an annotated mp4 '
+                             '(implies --mode video)')
     parser.add_argument('--mode', type=str, default='folder',
                         choices=['folder', 'video', 'webcam'])
     parser.add_argument('--chunk_size', type=int, default=500,
@@ -436,6 +445,9 @@ def main(argv=None):
                             help='accepted; unused (as in the reference '
                                  'tester) or headless here')
     args = parser.parse_args(argv)
+
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
     if args.vid_file and args.mode == 'folder':
         args.mode = 'video'
     if args.mode == 'webcam':

@@ -36,6 +36,9 @@ def main(argv=None):
     add_cluster_flags(parser)
     args = parser.parse_args(argv)
 
+    from spec_tpu.utils.paths import enable_compilation_cache
+    enable_compilation_cache()
+
     from spec_tpu.utils.config import (
         run_grid_search_experiments,
         spec_default_config,

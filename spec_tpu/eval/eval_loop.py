@@ -87,6 +87,9 @@ def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
     return step
 
 
+_EVAL_STEP_CACHE: dict = {}
+
+
 def evaluate_dataset(
     model,
     variables,
@@ -118,8 +121,16 @@ def evaluate_dataset(
             f'{dataset_name} is an in-the-wild dataset (no 3D GT): set '
             'TESTING.SAVE_IMAGES True — its evaluation is qualitative '
             'only (reference spec/trainer.py:262-269)')
-    step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
-                          use_gender=use_gender, protocol=protocol)
+    # Memoized per (model, gender-mode, protocol): evaluate_dataset runs
+    # once per dataset per validation epoch, and a fresh make_eval_step
+    # closure would retrace (and, uncached, remote-recompile) the full
+    # model + GT-LBS + metrics graph every time.
+    key = (id(model), id(assets_by_gender), use_gender, protocol)
+    step = _EVAL_STEP_CACHE.get(key)
+    if step is None:
+        step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
+                              use_gender=use_gender, protocol=protocol)
+        _EVAL_STEP_CACHE[key] = step
     acc = MetricAccumulator(save_results=save_results)
 
     mean = jnp.asarray(C.IMG_NORM_MEAN)

@@ -100,6 +100,20 @@ class SpecTrainer:
         self.ckpt_dir = os.path.join(cfg.LOGDIR or '.', 'checkpoints')
         self.best: list = []  # [(val_loss, step)]
 
+        # Fail FAST on an operator error the reference only catches at
+        # validation time (spec/trainer.py:262-269): an in-the-wild val
+        # dataset without image saving would SystemExit AFTER a full
+        # trained epoch, losing it before the checkpoint is written.
+        from spec_tpu.utils.config import split_ds_names
+        itw = [n for n in split_ds_names(cfg.DATASET.VAL_DS)
+               if n in ('mpii', 'coco')]
+        if itw and not cfg.TESTING.SAVE_IMAGES:
+            raise SystemExit(
+                f'{itw} are in-the-wild datasets (no 3D GT): their '
+                'evaluation is qualitative only — set '
+                'TESTING.SAVE_IMAGES True (reference '
+                'spec/trainer.py:262-269)')
+
     # ------------------------------------------------------------------
 
     def resume(self, wo_optimizer: bool = False):
@@ -144,19 +158,40 @@ class SpecTrainer:
         else:
             self.state = restored
             print(f'[train] resumed from step {int(self.state.step)}')
-        meta_path = os.path.join(ckpt_dir, 'meta.json')
-        if not wo_optimizer and os.path.exists(meta_path):
+        if not wo_optimizer:
             try:
-                with open(meta_path) as f:
-                    self._resume_epoch = int(json.load(f)['next_epoch'])
+                with open(os.path.join(ckpt_dir, 'meta.json')) as f:
+                    meta = json.load(f)
+                restored_step = str(int(restored.step))
+                if restored_step in meta.get('epochs', {}):
+                    self._resume_epoch = int(meta['epochs'][restored_step])
+                self.best = [(float(v), int(s))
+                             for v, s in meta.get('ranked', [])]
             except (OSError, ValueError, KeyError):
                 pass
 
+    def _read_meta(self) -> dict:
+        try:
+            with open(os.path.join(self.ckpt_dir, 'meta.json')) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
     def _write_meta(self, next_epoch: int, step: int):
+        """Sidecar keyed BY STEP: resume looks up the epoch of the step
+        it actually restored (ranked pruning can delete the newest
+        checkpoint, so a single latest-epoch record would be wrong), and
+        the top-k ranking survives the process (otherwise a resumed run
+        forgets which old checkpoints it was keeping and never prunes
+        them)."""
+        meta = self._read_meta()
+        epochs = meta.get('epochs', {})
+        epochs[str(int(step))] = int(next_epoch)
+        meta['epochs'] = epochs
+        meta['ranked'] = [[float(v), int(s)] for v, s in self.best]
         try:
             with open(os.path.join(self.ckpt_dir, 'meta.json'), 'w') as f:
-                json.dump({'next_epoch': int(next_epoch),
-                           'step': int(step)}, f)
+                json.dump(meta, f)
         except OSError:
             pass
 

@@ -126,38 +126,53 @@ def save_checkpoint(directory: str, state, step: int, keep: int = 30):
     _keep_latest(directory, keep)
 
 
+def _step_dirs(directory: str) -> dict:
+    """{step: dirname} for COMPLETE checkpoints only. An interrupted
+    save leaves orbax temp dirs named
+    ``step_NNNNNNNN.orbax-checkpoint-tmp-<ts>`` — naive
+    ``int(d.split('_')[1])`` on those raises ValueError and bricks the
+    resume path; they must be skipped (and never counted as restorable).
+    """
+    out = {}
+    try:
+        entries = os.listdir(directory)
+    except (FileNotFoundError, NotADirectoryError):
+        return out
+    for d in entries:
+        if not d.startswith('step_'):
+            continue
+        suffix = d[len('step_'):]
+        if suffix.isdigit():
+            out[int(suffix)] = d
+    return out
+
+
 def restore_checkpoint(directory: str, template, step: Optional[int] = None):
     """Restore the given (or latest) step into the ``template`` pytree."""
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
-    steps = sorted(
-        int(d.split('_')[1]) for d in os.listdir(directory)
-        if d.startswith('step_'))
+    steps = _step_dirs(directory)
     if not steps:
         raise FileNotFoundError(f'no checkpoints in {directory}')
-    step = steps[-1] if step is None else step
+    step = max(steps) if step is None else step
     with ocp.PyTreeCheckpointer() as ckptr:
         return ckptr.restore(
             os.path.join(directory, f'step_{step:08d}'), item=template)
 
 
 def latest_step(directory: str) -> Optional[int]:
-    if not os.path.isdir(directory):
-        return None
-    steps = sorted(
-        int(d.split('_')[1]) for d in os.listdir(directory)
-        if d.startswith('step_'))
-    return steps[-1] if steps else None
+    steps = _step_dirs(directory)
+    return max(steps) if steps else None
 
 
 def _keep_latest(directory: str, keep: int):
     import shutil
 
-    steps = sorted(
-        d for d in os.listdir(directory) if d.startswith('step_'))
-    for d in steps[:-keep]:
-        shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
+    steps = _step_dirs(directory)
+    for n in sorted(steps)[:-keep]:
+        shutil.rmtree(os.path.join(directory, steps[n]),
+                      ignore_errors=True)
 
 
 def find_resume_checkpoint_dir(current_logdir: str,

@@ -204,7 +204,7 @@ def run_grid_search_experiments(
 
     experiments, hyper_params = get_grid_search_configs(
         cfg.to_dict(),
-        excluded_keys=['TRAINING/DATASETS_AND_RATIOS', 'DATASET/VAL_DS'],
+        excluded_keys=['DATASET/DATASETS_AND_RATIOS', 'DATASET/VAL_DS'],
     )
     assert 0 <= cfg_id < len(experiments), (
         f'cfg_id {cfg_id} out of range ({len(experiments)} experiments)')

@@ -62,3 +62,28 @@ def dataset_files() -> dict:
 
 EVAL_MESH_DATASETS = ['3dpw', '3dpw-all', '3dpw-test-cam', 'spec-syn',
                       'spec-mtp']
+
+
+def enable_compilation_cache(cache_dir: str = None) -> str:
+    """Persistent XLA compilation cache for every CLI entry point.
+
+    Remote TPU compiles (e.g. through a remote-compile tunnel) can take
+    10-30 minutes for the fused two-stage graph; the persistent cache
+    makes every rerun load in seconds. Resolution order: explicit arg,
+    ``$SPEC_JAX_CACHE_DIR``, ``~/.cache/spec_tpu/jax``. Returns the
+    directory used (best-effort — failures never block the run).
+    """
+    import jax
+
+    configured = jax.config.jax_compilation_cache_dir
+    if cache_dir is None and configured:
+        return configured  # respect an explicitly configured cache
+    d = cache_dir or os.environ.get('SPEC_JAX_CACHE_DIR') or os.path.join(
+        os.path.expanduser('~'), '.cache', 'spec_tpu', 'jax')
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', d)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception as e:  # pragma: no cover
+        print(f'[paths] compilation cache disabled: {e}')
+    return d

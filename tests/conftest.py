@@ -12,6 +12,8 @@ enough — we must override the env var AND force the platform through
 
 import os
 
+os.environ.setdefault('SPEC_JAX_CACHE_DIR', os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), '.jax_cache'))
+
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

@@ -231,3 +231,17 @@ def test_graceful_shutdown_latch():
         assert calls == [signal.SIGTERM]
     finally:
         signal.signal(signal.SIGTERM, old)
+
+
+def test_step_dirs_skip_orbax_temp(tmp_path):
+    """An interrupted orbax save leaves step_N.orbax-checkpoint-tmp-<ts>
+    dirs; step parsing must skip them instead of raising ValueError
+    (which bricked --resume after a hard kill)."""
+    from spec_tpu.utils.checkpoints import latest_step, restore_checkpoint
+
+    ck = tmp_path / 'checkpoints'
+    (ck / 'step_00000005').mkdir(parents=True)
+    (ck / 'step_00000009.orbax-checkpoint-tmp-1712345').mkdir()
+    assert latest_step(str(ck)) == 5
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(str(tmp_path / 'empty'), {})

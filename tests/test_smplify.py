@@ -183,3 +183,31 @@ def test_trainer_run_smplify_hook(rng):
     assert not np.allclose(out['pose'], 0.0)
     assert np.isfinite(out['pose']).all()
     assert out['pose'].shape == (B, 72)
+
+
+def test_trainer_rejects_itw_val_without_images(rng):
+    """An in-the-wild VAL_DS without TESTING.SAVE_IMAGES must fail at
+    construction — the reference only catches it at validation time,
+    i.e. AFTER a full trained epoch is lost."""
+    import pytest
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.models import HMR
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = ''
+    cfg.DATASET.VAL_DS = 'mpii'
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True)
+    B = 1
+    img = jnp.zeros((B, 64, 64, 3))
+    eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+    one = jnp.ones((B,))
+    variables = model.init(jax.random.PRNGKey(0), assets, img, eye, eye,
+                           one, jnp.ones((B, 2)), one, one)
+    with pytest.raises(SystemExit, match='in-the-wild'):
+        SpecTrainer(cfg, model, {'neutral': assets},
+                    np.asarray(assets.j_regressor_h36m),
+                    lambda e: None, lambda: {}, init_variables=variables)
