@@ -74,9 +74,11 @@ def _encode_response(results, cameras) -> bytes:
     return buf.getvalue()
 
 
-def create_server(predictor, host: str = '0.0.0.0', port: int = 8080):
+def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
+                  max_request_bytes: int = 512 * 1024 * 1024):
     """ThreadingHTTPServer serving ``predictor`` (device calls are
-    serialized behind a lock — one chip, one queue)."""
+    serialized behind a lock — one chip, one queue). Requests above
+    ``max_request_bytes`` are rejected with 413 before being read."""
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -102,6 +104,12 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080):
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
+                if n > max_request_bytes:
+                    self._send(413, json.dumps(
+                        {'error': f'payload {n} bytes exceeds limit '
+                                  f'{max_request_bytes}'}).encode(),
+                        'application/json')
+                    return
                 frames, boxes = _decode_request(self.rfile.read(n))
             except Exception as e:      # malformed payload -> client error
                 self._send(400, json.dumps({'error': str(e)}).encode(),
@@ -131,6 +139,8 @@ def main(argv=None):
     parser.add_argument('--cfg', type=str, default='',
                         help='model config yaml shipped with the ckpt')
     parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--max_request_mb', type=int, default=512,
+                        help='reject request bodies above this size')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.paths import enable_compilation_cache
@@ -142,12 +152,23 @@ def main(argv=None):
         spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
         smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
         cfg_file=args.cfg)
-    server = create_server(predictor, args.host, args.port)
+    server = create_server(predictor, args.host, args.port,
+                           max_request_bytes=args.max_request_mb * 2 ** 20)
     print(f'[serve] listening on {args.host}:{server.server_address[1]}')
+
+    # SIGTERM (pod preemption / orchestrator stop) -> drain and exit 0.
+    import signal
+
+    def _term(signum, frame):
+        print('[serve] SIGTERM received; shutting down')
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         server.shutdown()
+    print('[serve] stopped')
 
 
 if __name__ == '__main__':

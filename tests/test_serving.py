@@ -112,5 +112,22 @@ def test_http_serving_roundtrip(rng):
             assert e.code == 400
         with urllib.request.urlopen(base + '/healthz', timeout=30) as r:
             assert r.read() == b'ok'
+
+        # oversize payload -> 413 (tiny-limit server instance)
+        small_srv = create_server(pred, host='127.0.0.1', port=0,
+                                  max_request_bytes=100)
+        sport = small_srv.server_address[1]
+        t2 = threading.Thread(target=small_srv.serve_forever, daemon=True)
+        t2.start()
+        try:
+            big = urllib.request.Request(
+                f'http://127.0.0.1:{sport}/predict', data=b'x' * 200)
+            try:
+                urllib.request.urlopen(big, timeout=30)
+                raise AssertionError('expected HTTP 413')
+            except urllib.error.HTTPError as e:
+                assert e.code == 413
+        finally:
+            small_srv.shutdown()
     finally:
         server.shutdown()
