@@ -410,13 +410,17 @@ def smpl_forward(
     if joint_set == 'native':
         joints = joints24
     else:
-        # The 54/49-joint supersets index up to slot 53; a missing extra
-        # regressor would leave 45 joints and jnp's out-of-range take
-        # CLAMPS under jit (silent garbage), so fail loudly instead.
-        if assets.j_regressor_extra is None:
+        # The 54/49-joint supersets index up to slot 53; missing extra
+        # rows (either source) would leave too few joints and jnp's
+        # out-of-range take CLAMPS under jit (silent garbage), so fail
+        # loudly instead.
+        if assets.j_regressor_extra is None or assets.extra_vertex_ids is None:
+            missing = ('j_regressor_extra' if assets.j_regressor_extra is None
+                       else 'extra_vertex_ids')
             raise ValueError(
-                f'joint_set={joint_set!r} requires assets.j_regressor_extra '
-                '(load assets with j_regressor_extra_path)')
+                f'joint_set={joint_set!r} requires assets.{missing} '
+                '(load assets with j_regressor_extra_path / default '
+                'extra_vertex_ids)')
         parts = [joints24]
         if assets.extra_vertex_ids is not None:
             parts.append(verts[:, np.asarray(assets.extra_vertex_ids)])

@@ -87,7 +87,11 @@ def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
     return step
 
 
+# Bounded (FIFO) — each entry closes over the model + full SMPL asset
+# pytrees and their compiled executables; unbounded growth would pin
+# device memory for process lifetime in grid-search/eval-sweep loops.
 _EVAL_STEP_CACHE: dict = {}
+_EVAL_STEP_CACHE_MAX = 4
 
 
 def evaluate_dataset(
@@ -125,9 +129,12 @@ def evaluate_dataset(
     # once per dataset per validation epoch, and a fresh make_eval_step
     # closure would retrace (and, uncached, remote-recompile) the full
     # model + GT-LBS + metrics graph every time.
-    key = (id(model), id(assets_by_gender), use_gender, protocol)
+    key = (id(model), id(assets_by_gender), id(j_regressor_h36m),
+           use_gender, protocol)
     step = _EVAL_STEP_CACHE.get(key)
     if step is None:
+        while len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
+            _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
                               use_gender=use_gender, protocol=protocol)
         _EVAL_STEP_CACHE[key] = step

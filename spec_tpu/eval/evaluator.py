@@ -159,10 +159,11 @@ def _offline_chunk(
         # V2V always via the mesh protocol: pelvis = H36M joint 0
         # (compute_error 190-191) — computed directly, without the
         # discarded J14 metrics/Procrustes of eval_mesh_j14.
-        pp = M.regress_h36m(pred_vertices, j_reg_h36m)[:, 0:1]
-        ppc = M.regress_h36m(pred_verts_c, j_reg_h36m)[:, 0:1]
-        gp = M.regress_h36m(gt_verts_w, j_reg_h36m)[:, 0:1]
-        gpc = M.regress_h36m(gt_verts_c, j_reg_h36m)[:, 0:1]
+        pelvis_reg = j_reg_h36m[0:1]  # only the pelvis row is needed
+        pp = M.regress_h36m(pred_vertices, pelvis_reg)
+        ppc = M.regress_h36m(pred_verts_c, pelvis_reg)
+        gp = M.regress_h36m(gt_verts_w, pelvis_reg)
+        gpc = M.regress_h36m(gt_verts_c, pelvis_reg)
         out['wv2v'] = M.v2v_error(pred_vertices - pp, gt_verts_w - gp)
         out['v2v'] = M.v2v_error(pred_verts_c - ppc, gt_verts_c - gpc)
     return out
