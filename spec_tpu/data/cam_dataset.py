@@ -201,6 +201,11 @@ class CamDataset:
         K = np.zeros((3, 3), np.float32)
         K[0, 0], K[1, 1] = fx, fy
         K[0, 2], K[1, 2] = cx, cy
+        # NB deliberate deviation: the reference leaves K[2,2] = 0
+        # (cam_dataset.py:565-576, cam_params.py:38-46 both build a
+        # SINGULAR intrinsics matrix); no consumer reads [2,2], so we
+        # store a proper pinhole K — consistent with utils/cam_params.
+        K[2, 2] = 1.0
         return K
 
     def _pred_cam(self, index, center, orig_shape):

@@ -83,20 +83,49 @@ class DataLoader:
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []
+
+        def _put(item) -> bool:
+            # Bounded put re-checking the stop event: an abandoned
+            # iterator (caller breaks early) sets `stop` while the
+            # producer is blocked on a full queue — a plain q.put would
+            # leak the producer + pool threads forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in self._index_batches():
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, chunk))
-                    valid = len(items)
-                    while len(items) < self.batch_size:
-                        items.append(items[-1])
-                    batch = collate(items)
-                    batch['_valid_count'] = valid
-                    q.put(batch)
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in self._index_batches():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              chunk))
+                        valid = len(items)
+                        while len(items) < self.batch_size:
+                            items.append(items[-1])
+                        batch = collate(items)
+                        batch['_valid_count'] = valid
+                        if not _put(batch):
+                            return
+            except BaseException as e:  # surface in the consumer
+                error.append(e)
+            finally:
+                # ALWAYS enqueue the sentinel — if __getitem__ raised,
+                # a missing sentinel would hang the consumer forever.
+                _put(None)
+                if stop.is_set():
+                    # consumer may never drain; make sure the sentinel
+                    # fits even on a full queue
+                    try:
+                        q.put_nowait(None)
+                    except queue.Full:
+                        pass
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -104,6 +133,8 @@ class DataLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    if error:
+                        raise error[0]
                     return
                 yield batch
         finally:

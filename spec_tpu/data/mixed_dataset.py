@@ -34,7 +34,7 @@ class MixedCamDataset:
         assert len(datasets) == len(ratios)
         self.datasets = list(datasets)
         lengths = np.array([len(d) for d in datasets], np.float64)
-        ratios = np.asarray(ratios, np.float64)
+        ratios = np.array(ratios, np.float64)
 
         # Reference :70-76 — in-the-wild members get their ratio scaled by
         # relative size so small itw sets aren't oversampled.

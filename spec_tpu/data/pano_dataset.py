@@ -62,7 +62,7 @@ def color_jitter(pil_img: Image.Image, rng: np.random.RandomState,
         elif name == 'hue' and abs(f) > 1e-6:
             hsv = np.asarray(pil_img.convert('HSV')).copy()
             hsv[..., 0] = (hsv[..., 0].astype(np.int32)
-                           + int(f * 255)) % 255
+                           + int(f * 255)) % 256
             pil_img = Image.fromarray(hsv, 'HSV').convert('RGB')
     return pil_img
 
@@ -117,8 +117,11 @@ class CameraRegressorDataset:
         self.image_filenames = list(
             joblib.load(os.path.join(dataset_folder, split)))
         if num_images > 0:
+            # Without replacement (duplicates would silently drop other
+            # images from the subset), matching PanoAgoraDataset.
+            n = min(num_images, len(self.image_filenames))
             self.image_filenames = list(self.rng.choice(
-                self.image_filenames, num_images))
+                self.image_filenames, n, replace=False))
 
     def __len__(self):
         return len(self.image_filenames)

@@ -45,8 +45,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or any(
-                os.path.getmtime(_SO) < os.path.getmtime(s) for s in _SRCS):
+        try:
+            stale = not os.path.exists(_SO) or any(
+                os.path.getmtime(_SO) < os.path.getmtime(s)
+                for s in _SRCS)
+        except OSError:
+            # sources stripped from the install: use the prebuilt .so
+            # if present, otherwise degrade gracefully (docstring
+            # contract) instead of raising out of available().
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _build():
                 _failed = True
                 return None

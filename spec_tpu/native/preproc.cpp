@@ -83,20 +83,4 @@ void spin_crop_batch(const float* img, int H, int W,
   }
 }
 
-// Many independent (image, bbox) pairs: images flattened back-to-back
-// with per-image offsets/sizes. Used by the dataloader where every
-// sample has its own source frame.
-void spin_crop_many(const float* imgs, const int64_t* offsets,
-                    const int32_t* heights, const int32_t* widths,
-                    const int32_t* corners, int n,
-                    int res, const float* mean, const float* stdv,
-                    int normalize, float* out) {
-#pragma omp parallel for schedule(dynamic)
-  for (int k = 0; k < n; ++k) {
-    spin_crop_batch(imgs + offsets[k], heights[k], widths[k],
-                    corners + 4 * k, 1, res, mean, stdv,
-                    normalize, out + static_cast<int64_t>(k) * res * res * 3);
-  }
-}
-
 }  // extern "C"

@@ -276,20 +276,32 @@ class SpecPredictor:
             bp = _pad_size(n_valid, self.batch_size)
             while len(chunk) < bp:
                 chunk = chunk + [chunk[-1]]
-            crops = []
-            for (fi, center, scale, *_rest) in chunk:
+            # One native call per FRAME with all of its crops — the
+            # OpenMP kernel parallelizes over crops, so per-person n=1
+            # calls would serialize the host preprocessing.
+            crops: list = [None] * len(chunk)
+            by_frame: Dict[int, list] = defaultdict(list)
+            for ci, (fi, center, scale, *_rest) in enumerate(chunk):
                 if fi not in f32_frames:
                     f32_frames[fi] = np.asarray(frames[fi], np.float32)
+                by_frame[fi].append(ci)
+            for fi, cis in by_frame.items():
                 frame = f32_frames[fi]
                 if use_native:
-                    crops.append(native.spin_crop_batch(
-                        frame, np.asarray([center], np.float32),
-                        np.asarray([scale], np.float32),
-                        res=self.img_res)[0])
+                    batch_crops = native.spin_crop_batch(
+                        frame,
+                        np.asarray([chunk[ci][1] for ci in cis],
+                                   np.float32),
+                        np.asarray([chunk[ci][2] for ci in cis],
+                                   np.float32),
+                        res=self.img_res)
+                    for k, ci in enumerate(cis):
+                        crops[ci] = batch_crops[k]
                 else:
-                    crops.append(normalize_img(spin_crop(
-                        frame, center, scale,
-                        [self.img_res, self.img_res]) / 255.0))
+                    for ci in cis:
+                        crops[ci] = normalize_img(spin_crop(
+                            frame, chunk[ci][1], chunk[ci][2],
+                            [self.img_res, self.img_res]) / 255.0)
             out = self._spec_infer(
                 self.spec_vars,
                 jnp.asarray(np.stack(crops)),

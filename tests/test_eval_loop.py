@@ -109,3 +109,39 @@ def test_itw_dataset_requires_save_images():
     with _pytest.raises(SystemExit):
         evaluate_dataset(None, None, None, {}, None,
                          dataset_name='coco', save_images=False)
+
+
+def test_loader_surfaces_getitem_errors(rng):
+    """A raising __getitem__ must surface in the consumer, not hang it
+    (missing sentinel), and an abandoned iterator must not leak a
+    blocked producer."""
+    import time
+
+    from spec_tpu.data import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise FileNotFoundError(f'missing image {i}')
+
+    loader = DataLoader(Bad(), batch_size=4, num_workers=2)
+    with pytest.raises(FileNotFoundError):
+        list(iter(loader))
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {'x': np.zeros(4, 'f4')}
+
+    loader = DataLoader(Slow(), batch_size=4, num_workers=2, prefetch=1)
+    import threading
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:   # abandon after one batch
+            break
+    time.sleep(1.0)  # bounded puts notice the stop event
+    assert threading.active_count() <= before + 2
