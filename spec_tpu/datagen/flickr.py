@@ -86,7 +86,9 @@ class FlickrDownloader:
         ext = os.path.splitext(url)[1] or '.jpg'
         img_path = os.path.join(self.out_folder, f'{photo_id}{ext}')
         with open(img_path, 'wb') as f:
-            f.write(requests.get(url, timeout=60).content)
+            r = requests.get(url, timeout=60)
+            r.raise_for_status()  # a 404/HTML error page is not a photo
+            f.write(r.content)
         if exif is not None:
             with open(os.path.join(self.out_folder,
                                    f'{photo_id}_exif.json'), 'w') as f:

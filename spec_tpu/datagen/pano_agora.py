@@ -39,8 +39,13 @@ def merge_pano_agora(
     pitches: List[float] = []
     rolls: List[float] = []
     vfovs: List[float] = []
+    is_val: List[bool] = []
 
-    # Pano crops (vfov stored in degrees in the 'pano' layout).
+    # Pano crops (vfov stored in degrees in the 'pano' layout). The
+    # upstream generator split by SOURCE PANORAMA (crops of one pano are
+    # near-identical scenes) — that split must be PRESERVED, not
+    # randomly redrawn per crop, or val panoramas leak into train and
+    # CamCalib val metrics stop measuring generalization.
     for split in ('train_images.pkl', 'val_images.pkl'):
         path = os.path.join(pano_folder, split)
         if not os.path.exists(path):
@@ -55,18 +60,23 @@ def merge_pano_agora(
             pitches.append(float(a['pitch']))
             rolls.append(float(a['roll']))
             vfovs.append(float(np.radians(a['vfov'])))
+            is_val.append(split == 'val_images.pkl')
 
-    # AGORA images.
-    for name, a in agora_annots.items():
+    # AGORA images (no upstream split — assigned by val_ratio here).
+    rng = np.random.RandomState(seed)
+    agora_items = list(agora_annots.items())
+    n_val_agora = max(1, int(len(agora_items) * val_ratio)) \
+        if agora_items else 0
+    agora_val = set(
+        rng.permutation(len(agora_items))[:n_val_agora].tolist())
+    for k, (name, a) in enumerate(agora_items):
         names.append(name)
         pitches.append(float(a['pitch']))
         rolls.append(float(a['roll']))
         vfovs.append(float(agora_vfov_from_focal(a['focal'])))
+        is_val.append(k in agora_val)
 
-    rng = np.random.RandomState(seed)
-    order = rng.permutation(len(names))
-    n_val = max(1, int(len(names) * val_ratio))
-    val_idx = set(order[:n_val].tolist())
+    val_idx = {i for i, v in enumerate(is_val) if v}
 
     os.makedirs(out_folder, exist_ok=True)
     for split in ('train', 'val'):

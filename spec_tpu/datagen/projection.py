@@ -35,17 +35,25 @@ def camera_rays(out_h: int, out_w: int, vfov: float) -> np.ndarray:
 
 
 def rotation_from_angles(pitch: float, roll: float, yaw: float) -> np.ndarray:
-    """World-from-camera rotation: yaw about Y, then pitch about X, with
-    roll applied in the image plane (about Z) first — the composition both
-    reference generators use (in-plane roll, then camera tilt, then pano
-    heading)."""
+    """World-from-camera rotation consistent with the framework's camera
+    convention: camera-from-world is ``Rx(pitch) @ Rz(roll)`` (PARE
+    ``batch_euler2matrix([pitch, 0, roll])``, geometry.euler_to_rotmat),
+    under which positive pitch places the horizon ABOVE the image center
+    (matching the horizon-line vis ``ctr = 0.5 - 0.5 tan(pitch)/tan(vfov/2)``
+    and the reference's annotation convention). Datagen renders with the
+    TRANSPOSE (world-from-camera), plus a yaw pan about the pano's Y.
+
+    Regression note: an earlier version used ``Rx(+pitch)`` here, which
+    MIRRORED the horizon in generated crops relative to the stored pitch
+    annotation (pitch > 0 put the horizon below center while the vis and
+    the camera math put it above)."""
     cy, sy = np.cos(yaw), np.sin(yaw)
     cp, sp = np.cos(pitch), np.sin(pitch)
     cr, sr = np.cos(roll), np.sin(roll)
     Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]])
     Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
     Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-    return Ry @ Rx @ Rz
+    return Ry @ (Rx @ Rz).T
 
 
 def rays_to_equirect_uv(rays_world: np.ndarray, pano_w: int, pano_h: int):
@@ -72,7 +80,9 @@ def equirect_to_perspective(
 ) -> np.ndarray:
     """Extract one perspective crop from an equirect panorama.
 
-    Positive pitch looks up; positive roll tilts the horizon; yaw pans.
+    Positive pitch raises the horizon above the image center (the
+    framework-wide camera convention — see rotation_from_angles);
+    positive roll tilts the horizon; yaw pans.
     """
     out_h, out_w = out_hw
     rays = camera_rays(out_h, out_w, vfov)

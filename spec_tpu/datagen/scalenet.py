@@ -78,7 +78,16 @@ def generate_calibration_dataset(
     splits = {'train_images': [], 'val_images': []}
 
     for pano_path in pano_files:
-        pano = cv2.cvtColor(cv2.imread(pano_path), cv2.COLOR_BGR2RGB)
+        # Per-pano fault isolation (the sibling generator in
+        # pano_preprocessing logs and continues for the same reason): one
+        # corrupt jpg must not abort a multi-hour generation run with
+        # nothing written.
+        raw = cv2.imread(pano_path)
+        if raw is None:
+            print(f'[scalenet-datagen] unreadable panorama skipped: '
+                  f'{pano_path}')
+            continue
+        pano = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         stem = os.path.splitext(os.path.basename(pano_path))[0]
         for k in range(crops_per_pano):
             cam = sample_scalenet_cam(rng)

@@ -21,20 +21,33 @@
 
 namespace {
 
-inline float sample_bilinear(const float* img, int H, int W, int C,
-                             float y, float x, int c) {
-  // Zero padding outside the source (the SPIN crop zero-fills).
-  const int x0 = static_cast<int>(std::floor(x));
-  const int y0 = static_cast<int>(std::floor(y));
-  const float fx = x - x0;
-  const float fy = y - y0;
+// Bilinear tap with cv2 box-edge semantics: the host golden path
+// zero-pad-slices the crop box then cv2.resize's it, so sample taps are
+// computed in BOX coordinates, CLAMPED at the box boundary (edge pixel
+// replication — NOT neighboring frame pixels), mapped into the frame by
+// (ulx, uly), and zero outside the frame (the SPIN zero padding).
+inline float sample_box_bilinear(const float* img, int H, int W, int C,
+                                 float yb, float xb, float box_h,
+                                 float box_w, int ulx, int uly, int c) {
+  const float max_x = box_w > 1.0f ? box_w - 1.0f : 0.0f;
+  const float max_y = box_h > 1.0f ? box_h - 1.0f : 0.0f;
+  xb = xb < 0.0f ? 0.0f : (xb > max_x ? max_x : xb);
+  yb = yb < 0.0f ? 0.0f : (yb > max_y ? max_y : yb);
+  const int x0 = static_cast<int>(std::floor(xb));
+  const int y0 = static_cast<int>(std::floor(yb));
+  const float fx = xb - x0;
+  const float fy = yb - y0;
+  const int x1 = x0 + 1 > static_cast<int>(max_x) ? x0 : x0 + 1;
+  const int y1 = y0 + 1 > static_cast<int>(max_y) ? y0 : y0 + 1;
+  const int xs[2] = {x0, x1};
+  const int ys[2] = {y0, y1};
   float acc = 0.0f;
   for (int dy = 0; dy < 2; ++dy) {
-    const int yy = y0 + dy;
+    const int yy = uly + ys[dy];
     if (yy < 0 || yy >= H) continue;
     const float wy = dy ? fy : 1.0f - fy;
     for (int dx = 0; dx < 2; ++dx) {
-      const int xx = x0 + dx;
+      const int xx = ulx + xs[dx];
       if (xx < 0 || xx >= W) continue;
       const float wx = dx ? fx : 1.0f - fx;
       acc += wy * wx * img[(static_cast<int64_t>(yy) * W + xx) * C + c];
@@ -70,11 +83,12 @@ void spin_crop_batch(const float* img, int H, int W,
     float* dst = out + static_cast<int64_t>(k) * res * res * C;
 
     for (int y = 0; y < res; ++y) {
-      const float src_y = uly + (y + 0.5f) * box_h / res - 0.5f;
+      const float yb = (y + 0.5f) * box_h / res - 0.5f;  // box coords
       for (int x = 0; x < res; ++x) {
-        const float src_x = ulx + (x + 0.5f) * box_w / res - 0.5f;
+        const float xb = (x + 0.5f) * box_w / res - 0.5f;
         for (int c = 0; c < C; ++c) {
-          float v = sample_bilinear(img, H, W, C, src_y, src_x, c) / 255.0f;
+          float v = sample_box_bilinear(img, H, W, C, yb, xb, box_h,
+                                        box_w, ulx, uly, c) / 255.0f;
           if (normalize) v = (v - mean[c]) / stdv[c];
           dst[(static_cast<int64_t>(y) * res + x) * C + c] = v;
         }

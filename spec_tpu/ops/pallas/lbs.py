@@ -43,8 +43,7 @@ LANE = 128
 V_TILE = 512  # vertex tile; V is padded to a multiple of this
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from spec_tpu.ops.pallas._util import round_up as _round_up
 
 
 @jax.tree_util.register_dataclass

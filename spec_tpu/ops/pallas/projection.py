@@ -32,8 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 V_TILE = 512
 
 
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
+from spec_tpu.ops.pallas._util import round_up as _round_up
+
 
 
 def _proj_kernel(pts_ref, cam_ref, out_ref):

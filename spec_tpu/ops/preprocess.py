@@ -8,9 +8,11 @@ integer crop corners and emits normalized (B, res, res, 3) crops in one
 XLA program (two gathers + fused elementwise): the crops never exist on
 the host, and the output feeds the backbone directly.
 
-Geometry matches the host paths exactly: each output pixel bilinearly
-samples ``src = ul + (dst + 0.5) * (br - ul) / res - 0.5`` with zero
-padding outside the frame (see native/preproc.cpp for the same math).
+Geometry matches the host paths exactly, INCLUDING the border ring:
+each output pixel bilinearly samples ``(dst + 0.5) * box / res - 0.5``
+in box coordinates with cv2's edge clamping at the box boundary, mapped
+into the frame with zero padding outside it (see native/preproc.cpp for
+the same math).
 """
 
 from __future__ import annotations
@@ -41,18 +43,30 @@ def spin_crop_corners(centers, scales, res: int = 224) -> np.ndarray:
     return out
 
 
-def _axis_weights(coord: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Per-sample bilinear resampling weights along one axis.
+def _axis_weights(ul: jnp.ndarray, box: jnp.ndarray, size: int,
+                  res: int) -> jnp.ndarray:
+    """Per-sample bilinear resampling weights along one axis, with cv2
+    box-edge semantics.
 
-    coord: (B, res) fractional source coordinates. Returns (B, res, size)
-    with two non-zeros per row ((1-f) at floor, f at floor+1) and zero
-    rows for out-of-frame taps (zero padding).
+    The host golden path zero-pad-slices the crop box then cv2.resize's
+    it; cv2 CLAMPS sample taps at the box edges (replicating the edge
+    pixel) rather than reading neighboring frame pixels. Matching that
+    exactly: tap coordinates are computed in BOX space, clamped to
+    [0, box-1], mapped into the frame by +ul, and taps outside the frame
+    get zero weight (the zero padding).
+
+    ul, box: (B, 1) float32. Returns (B, res, size).
     """
-    c0 = jnp.floor(coord)
-    f = (coord - c0)[..., None]                       # (B, res, 1)
+    r = jnp.arange(res, dtype=jnp.float32) + 0.5
+    xb = r[None, :] * box / res - 0.5                 # (B, res) box coords
+    xb = jnp.clip(xb, 0.0, jnp.maximum(box - 1.0, 0.0))
+    c0 = jnp.floor(xb)
+    f = (xb - c0)[..., None]                          # (B, res, 1)
+    c1 = jnp.minimum(c0 + 1.0, jnp.maximum(box - 1.0, 0.0))
+    X0 = (ul + c0)[..., None]                         # frame coords
+    X1 = (ul + c1)[..., None]
     idx = jnp.arange(size, dtype=jnp.float32)[None, None, :]
-    c0e = c0[..., None]
-    w = (1.0 - f) * (idx == c0e) + f * (idx == c0e + 1.0)
+    w = (1.0 - f) * (idx == X0) + f * (idx == X1)
     return w.astype(jnp.float32)                      # (B, res, size)
 
 
@@ -84,12 +98,8 @@ def crop_resize_normalize(
     box_w = corners[:, 2:3] - ulx
     box_h = corners[:, 3:4] - uly
 
-    r = jnp.arange(res, dtype=jnp.float32) + 0.5
-    xs = ulx + r[None, :] * box_w / res - 0.5        # (B, res)
-    ys = uly + r[None, :] * box_h / res - 0.5
-
-    w_y = _axis_weights(ys, H)                        # (B, res, H)
-    w_x = _axis_weights(xs, W)                        # (B, res, W)
+    w_y = _axis_weights(uly, box_h, H, res)           # (B, res, H)
+    w_x = _axis_weights(ulx, box_w, W, res)           # (B, res, W)
 
     # Rows then columns (row-first is cheaper: 59 vs 44 GFLOP split).
     tmp = jnp.einsum('bih,bhwc->biwc', w_y, frames, precision=precision,

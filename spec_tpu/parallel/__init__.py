@@ -113,13 +113,26 @@ def initialize_multihost(coordinator_address=None, num_processes=None,
     already been initialized for multi-process."""
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
+    # MUST NOT touch the backend before initialize(): even
+    # jax.process_count() triggers XLA backend init, after which
+    # jax.distributed.initialize always raises. Probe the distributed
+    # client state directly instead.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, 'client', None) is not None:
+        return  # already initialized for multi-process
     kwargs = {}
     if coordinator_address:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception as e:  # single-host dev boxes
-        print(f'[parallel] jax.distributed.initialize skipped: {e}')
+    except Exception as e:
+        if coordinator_address:
+            # The caller explicitly asked for multi-host: running on as a
+            # silent single-process instance would never reduce gradients
+            # across hosts — fail loudly instead.
+            raise RuntimeError(
+                f'multi-host initialization failed: {e}') from e
+        print(f'[parallel] jax.distributed.initialize skipped '
+              f'(single-host): {e}')

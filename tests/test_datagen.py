@@ -41,12 +41,33 @@ def test_forward_crop_samples_pano_center():
     assert abs(crop[32, 32, 1] - 127.5) < 2
 
 
-def test_pitch_up_moves_to_lower_v():
-    pano = gradient_pano()
-    up = equirect_to_perspective(pano, np.radians(60), np.radians(30),
-                                 0, 0, (64, 64))
-    # looking up -> smaller latitude row index -> smaller G value
-    assert up[32, 32, 1] < 120
+def test_positive_pitch_raises_horizon():
+    """The framework-wide convention: pitch > 0 places the horizon ABOVE
+    the image center — generated crops must agree with the horizon-line
+    vis formula AND the stored annotation (regression for a mirrored
+    Rx(+pitch) world-from-camera that flipped every generated pitch/roll
+    label)."""
+    from spec_tpu.utils.vis import horizon_points
+
+    H, W = 256, 512
+    pano = np.zeros((H, W, 3), np.uint8)
+    pano[H // 2 - 1:H // 2 + 1] = 255   # mark the equator
+    h = w = 100
+    vfov = np.radians(60)
+    for pitch in (np.radians(15), 0.0, np.radians(-15)):
+        crop = equirect_to_perspective(pano, vfov, pitch, 0, 0, (h, w))
+        rows = np.where(crop[:, w // 2, 0] > 100)[0]
+        assert rows.size, 'no horizon visible'
+        landed = rows.mean() / h
+        (x0, y0), (x1, y1) = horizon_points(vfov, pitch, 0.0, w, h)
+        np.testing.assert_allclose(landed, (y0 + y1) / 2 / h, atol=0.02)
+    # roll sign agrees with the vis too
+    crop = equirect_to_perspective(pano, vfov, 0.0, 0.3, 0, (h, w))
+    lrows = np.where(crop[:, 5, 0] > 100)[0]
+    rrows = np.where(crop[:, w - 5, 0] > 100)[0]
+    (x0, y0), (x1, y1) = horizon_points(vfov, 0.0, 0.3, w, h)
+    np.testing.assert_allclose(lrows.mean() / h, y0 / h, atol=0.03)
+    np.testing.assert_allclose(rrows.mean() / h, y1 / h, atol=0.03)
 
 
 def test_yaw_wraps_longitude():

@@ -25,7 +25,9 @@ def test_crop_parity_with_python_path(rng):
         # Interior matches to cv2's fixed-point interpolation tables
         # (~3e-4 on [0,1] values — invisible after BN); the outermost ring
         # differs by the slice-edge clamping convention.
-        diff = np.abs(out[k, 1:-1, 1:-1] - ref[1:-1, 1:-1])
+        # FULL image incl. the border ring: box-edge clamping
+        # now matches cv2 exactly (was interior-only).
+        diff = np.abs(out[k] - ref)
         assert diff.max() < 2e-3, f'crop {k}: max diff {diff.max()}'
         assert diff.mean() < 1e-3, f'crop {k}: mean diff {diff.mean()}'
 

@@ -111,10 +111,9 @@ def main():
     check('pallas projection kernel vs CPU jnp path', perr, 1e-2,
           unit='px')
 
-    # ---- 4. On-device crop/resize vs the host (SPIN) path. Border pixels
-    # are excluded like tests/test_preprocess_op.py (host cv2-style edge
-    # handling differs on the outermost ring by design); values compared
-    # in [0, 1] pixel units.
+    # ---- 4. On-device crop/resize vs the host (SPIN) path, FULL image
+    # including the border ring (box-edge clamping matches cv2 exactly);
+    # values compared in [0, 1] pixel units.
     from spec_tpu.data.transforms import crop as host_crop
 
     frames = (rng.rand(8, 240, 320, 3) * 255).astype('f4')
@@ -129,8 +128,8 @@ def main():
         hc = host_crop(frames[k], centers[k], float(scales[k]),
                        (224, 224)) / 255.0
         worst = max(worst, float(
-            np.abs(crops_chip[k, 1:-1, 1:-1] - hc[1:-1, 1:-1]).max()))
-    check('on-device preprocess vs host SPIN crop (interior)', worst,
+            np.abs(crops_chip[k] - hc).max()))
+    check('on-device preprocess vs host SPIN crop (full image)', worst,
           2e-3, unit='(px/255)')
 
     # Same op chip vs CPU backend, full image — catches TPU-specific
