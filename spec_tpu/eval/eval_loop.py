@@ -202,9 +202,13 @@ def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx,
         K = np.asarray(batch['cam_int'][0])
     else:
         K = np.asarray(batch.get('pred_cam_int', batch['cam_int'])[0])
-    # Rescale intrinsics from the original image to the crop frame.
-    orig_h = float(batch['orig_shape'][0][0])
-    scale = res / max(orig_h, 1.0)
+    # Map the full-image intrinsics through the SPIN crop transform
+    # (the rendered image is the bbox-centered crop, not a resized full
+    # frame): crop_px = (orig_px - ul) * res / box, box = scale*200.
+    box = max(float(batch['scale'][0]) * 200.0, 1.0)
+    scale = res / box
+    ctr = np.asarray(batch['center'][0], np.float64)
+    ulx, uly = ctr[0] - box / 2.0, ctr[1] - box / 2.0
     vis_dir = os.path.join(logdir, 'val_images')
     os.makedirs(vis_dir, exist_ok=True)
     render_image_group(
@@ -215,7 +219,7 @@ def _save_val_render(batch, out, assets, logdir, dataset_name, batch_idx,
             batch['cam_rotmat'][0] if use_gt_cam
             else batch.get('pred_cam_rotmat', batch['cam_rotmat'])[0]),
         focal_length=(K[0, 0] * scale, K[1, 1] * scale),
-        camera_center=(res / 2.0, res / 2.0),
+        camera_center=((K[0, 2] - ulx) * scale, (K[1, 2] - uly) * scale),
         faces=np.asarray(assets.faces),
         save_filename=os.path.join(
             vis_dir, f'{dataset_name}_b{batch_idx:05d}.jpg'),

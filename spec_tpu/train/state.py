@@ -27,11 +27,18 @@ class TrainState:
 
 
 def adam(learning_rate: float = 1e-4, weight_decay: float = 0.0):
-    """The reference optimizer: plain Adam, optional (off-by-default) weight
-    decay (reference ``spec/trainer.py:564-569``, LR default
-    ``spec/config.py:118``)."""
+    """The reference optimizer: plain Adam, optional (off-by-default)
+    weight decay (reference ``spec/trainer.py:564-569``, LR default
+    ``spec/config.py:118``).
+
+    NB: torch's Adam(weight_decay=wd) is L2 folded into the GRADIENT
+    before the adaptive moments — NOT AdamW's decoupled decay. The
+    faithful port adds the decay term ahead of the Adam transform;
+    optax.adamw would be a materially different update rule."""
     if weight_decay:
-        return optax.adamw(learning_rate, weight_decay=weight_decay)
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.adam(learning_rate))
     return optax.adam(learning_rate)
 
 

@@ -56,6 +56,13 @@ class SpecTrainer:
         self.make_val_loaders = make_val_loaders
 
         self.mesh = par.create_mesh()
+        n_dev = self.mesh.devices.size
+        if cfg.DATASET.BATCH_SIZE % n_dev != 0:
+            raise SystemExit(
+                f'DATASET.BATCH_SIZE={cfg.DATASET.BATCH_SIZE} must be '
+                f'divisible by the {n_dev}-device mesh (the batch axis is '
+                'sharded over it) — an opaque sharding error would '
+                'otherwise surface on the first batch')
         self.tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
         loss_cfg = HMRLossConfig(
             shape_loss_weight=cfg.HMR.SHAPE_LOSS_WEIGHT,
@@ -165,8 +172,10 @@ class SpecTrainer:
                 restored_step = str(int(restored.step))
                 if restored_step in meta.get('epochs', {}):
                     self._resume_epoch = int(meta['epochs'][restored_step])
-                self.best = [(float(v), int(s))
-                             for v, s in meta.get('ranked', [])]
+                self.best = [
+                    (float(e[0]), int(e[1]),
+                     e[2] if len(e) > 2 else ckpt_dir)
+                    for e in meta.get('ranked', [])]
             except (OSError, ValueError, KeyError):
                 pass
 
@@ -188,7 +197,8 @@ class SpecTrainer:
         epochs = meta.get('epochs', {})
         epochs[str(int(step))] = int(next_epoch)
         meta['epochs'] = epochs
-        meta['ranked'] = [[float(v), int(s)] for v, s in self.best]
+        meta['ranked'] = [[float(v), int(st), d]
+                          for v, st, d in self.best]
         try:
             with open(os.path.join(self.ckpt_dir, 'meta.json'), 'w') as f:
                 json.dump(meta, f)
@@ -258,6 +268,11 @@ class SpecTrainer:
 
         cfg = self.cfg
         max_epochs = max_epochs or cfg.TRAINING.MAX_EPOCHS
+        if cfg.SEED_VALUE >= 0:
+            # numpy/python too (augmentation draws) — the reference's
+            # set_seed; PRNGKey alone leaves host-side RNG unseeded.
+            from spec_tpu.utils.profiling import set_seed
+            set_seed(cfg.SEED_VALUE)
         rng = jax.random.PRNGKey(max(cfg.SEED_VALUE, 0))
         global_step = int(self.state.step)
         # Epoch-keyed schedules (staged datasets, teacher forcing) must
@@ -327,11 +342,18 @@ class SpecTrainer:
                         and global_step % cfg.LOG_FREQ_TB_IMAGES == 0):
                     self._train_image_summary(batch, global_step)
 
-            val_loss = self.validate(epoch, global_step)
-            save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
-                            global_step, keep=1000)
-            self._write_meta(epoch + 1, global_step)
-            self._prune_ranked(val_loss, global_step)
+            val_every = max(
+                int(self.cfg.TRAINING.CHECK_VAL_EVERY_N_EPOCH), 1)
+            if (epoch + 1) % val_every == 0:
+                val_loss = self.validate(epoch, global_step)
+                save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
+                                global_step, keep=1000)
+                self._write_meta(epoch + 1, global_step)
+                self._prune_ranked(val_loss, global_step)
+            else:
+                save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
+                                global_step, keep=1000)
+                self._write_meta(epoch + 1, global_step)
         if self.writer:
             self.writer.flush()
         return self.state
@@ -360,14 +382,21 @@ class SpecTrainer:
                 jnp.asarray(batch['orig_shape'][0:1, 0].astype(_np.float32)))
             res = img.shape[1]
             K = _np.asarray(batch['cam_int'][0])
-            scale = res / max(float(batch['orig_shape'][0][0]), 1.0)
+            # batch['img'] is the bbox-centered SPIN crop, NOT a resized
+            # full frame: map the full-image intrinsics through the crop
+            # transform crop_px = (orig_px - ul) * res / box with
+            # box = scale*200 and ul = center - box/2.
+            box = max(float(batch['scale'][0]) * 200.0, 1.0)
+            sc = res / box
+            ctr = _np.asarray(batch['center'][0], _np.float64)
+            ulx, uly = ctr[0] - box / 2.0, ctr[1] - box / 2.0
             group = render_image_group(
                 img[0],
                 camera_translation=_np.asarray(out['pred_cam_t'])[0],
                 vertices=_np.asarray(out['smpl_vertices'])[0],
                 camera_rotation=_np.asarray(batch['cam_rotmat'][0]),
-                focal_length=(K[0, 0] * scale, K[1, 1] * scale),
-                camera_center=(res / 2.0, res / 2.0),
+                focal_length=(K[0, 0] * sc, K[1, 1] * sc),
+                camera_center=((K[0, 2] - ulx) * sc, (K[1, 2] - uly) * sc),
                 faces=_np.asarray(self.assets['neutral'].faces))
             self.writer.add_image(
                 'train/overlay', _np.clip(group, 0, 1).transpose(2, 0, 1),
@@ -378,14 +407,18 @@ class SpecTrainer:
     def _prune_ranked(self, val_metric: float, step: int, keep: int = 30):
         """Keep the ``keep`` best checkpoints by validation metric
         (reference: ModelCheckpoint(save_top_k=30, monitor='val_loss'),
-        scripts/spec_train.py:92-98)."""
+        scripts/spec_train.py:92-98). Entries carry the directory they
+        were saved in: after a resume, restored entries point at the
+        PREVIOUS run's checkpoints dir and must be deleted there."""
         import shutil
 
-        self.best.append((float(val_metric), step))
-        self.best.sort()
-        for _, worst_step in self.best[keep:]:
+        if not np.isfinite(val_metric):
+            return
+        self.best.append((float(val_metric), step, self.ckpt_dir))
+        self.best.sort(key=lambda t: t[:2])
+        for _, worst_step, worst_dir in self.best[keep:]:
             shutil.rmtree(
-                os.path.join(self.ckpt_dir, f'step_{worst_step:08d}'),
+                os.path.join(worst_dir, f'step_{worst_step:08d}'),
                 ignore_errors=True)
         self.best = self.best[:keep]
 
@@ -403,6 +436,8 @@ class SpecTrainer:
                 use_gt_cam=self.cfg.TESTING.USE_GT_CAM,
                 use_gender=self.cfg.DATASET.USE_GENDER,
                 save_results=False, logdir=self.cfg.LOGDIR,
+                save_images=self.cfg.TESTING.SAVE_IMAGES,
+                save_freq=max(int(self.cfg.TESTING.SAVE_FREQ), 1),
                 dataset_name=ds_name)
             print(f'[val] epoch {epoch} {ds_name}: {summary}')
             if self.writer:
@@ -410,7 +445,15 @@ class SpecTrainer:
                     if np.isfinite(v):
                         self.writer.add_scalar(
                             f'val/{ds_name}/{k}', v, global_step)
-            total += summary.get('val_mpjpe', 0.0)
+            v = summary.get('val_mpjpe', 0.0)
+            # NaN (e.g. an empty loader) must not poison the ranked
+            # checkpoint list — sorting tuples with NaN is arbitrary and
+            # _prune_ranked could evict the genuinely best checkpoints.
+            if np.isfinite(v):
+                total += v
+            else:
+                print(f'[val] WARNING: non-finite val_mpjpe for '
+                      f'{ds_name}; excluded from the ranking metric')
             self._append_results_json(ds_name, epoch, summary)
         return total
 
@@ -430,7 +473,17 @@ class SpecTrainer:
 
 def parse_schedule(spec: str) -> dict:
     """``'0+a_b_0.5_0.5 5+c_1.0' -> {0: 'a_b_0.5_0.5', 5: 'c_1.0'}``
-    (the reference's epoch-keyed schedule strings, trainer.py:573-596)."""
+    (the reference's epoch-keyed schedule strings, trainer.py:573-596).
+    Whitespace-tolerant; malformed entries raise a pointed error instead
+    of a bare int('')/IndexError."""
     if not spec:
         return {}
-    return {int(x.split('+')[0]): x.split('+')[1] for x in spec.split(' ')}
+    out = {}
+    for x in spec.split():
+        epoch, plus, value = x.partition('+')
+        if not plus or not epoch.isdigit() or not value:
+            raise ValueError(
+                f'malformed schedule entry {x!r} in {spec!r} — expected '
+                "'<epoch>+<value>' tokens separated by spaces")
+        out[int(epoch)] = value
+    return out

@@ -71,6 +71,10 @@ def rasterize_mesh(
             np.asarray(faces, np.int32), np.asarray(K, np.float32),
             image_hw, np.asarray(base_color, np.float32), _LIGHT_DIRS)
 
+    if cv2 is None:  # pragma: no cover
+        raise ImportError(
+            'mesh rasterization needs either the native rasterizer '
+            '(g++ toolchain) or cv2 for the fallback path')
     H, W = image_hw
     rgb = np.zeros((H, W, 3), np.float32)
     mask = np.zeros((H, W), bool)

@@ -171,3 +171,31 @@ def test_camcalib_train_step_fsdp_matches_replicated(rng):
     p_fsdp = jax.tree_util.tree_leaves(st_fsdp.params)[0]
     np.testing.assert_allclose(np.asarray(p_rep), np.asarray(p_fsdp),
                                atol=1e-6)
+
+
+def test_adam_weight_decay_matches_torch():
+    """OPTIMIZER.WD must reproduce torch.optim.Adam(weight_decay=wd) —
+    L2 folded into the gradient BEFORE the adaptive moments, NOT AdamW's
+    decoupled decay (regression: optax.adamw drifted from the reference
+    update rule)."""
+    import optax
+    import torch
+
+    from spec_tpu.train.state import adam as make_adam
+
+    w0 = np.array([0.5, -1.2, 2.0], np.float32)
+    g = np.array([0.1, -0.2, 0.05], np.float32)
+    tw = torch.tensor(w0.copy(), requires_grad=True)
+    topt = torch.optim.Adam([tw], lr=1e-2, weight_decay=0.1)
+    for _ in range(5):
+        tw.grad = torch.tensor(g)
+        topt.step()
+
+    tx = make_adam(1e-2, weight_decay=0.1)
+    params = jnp.asarray(w0)
+    st = tx.init(params)
+    for _ in range(5):
+        upd, st = tx.update(jnp.asarray(g), st, params)
+        params = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(params), tw.detach().numpy(),
+                               atol=1e-5)
