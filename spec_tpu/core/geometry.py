@@ -312,6 +312,18 @@ def weak_perspective_to_full_translation(
 
 
 @fp32_matmuls
+def weak_perspective_cam_t(
+    cam: jnp.ndarray, focal_length: float = 5000.0, img_res: int = 224,
+) -> jnp.ndarray:
+    """Weak-perspective (s, tx, ty) -> camera translation
+    ``(tx, ty, 2f / (res * s))`` — the single definition of the depth
+    placement used by both SMPL head variants and the projection below."""
+    s = jnp.maximum(cam[:, 0], _EPS)
+    return jnp.stack(
+        [cam[:, 1], cam[:, 2], 2.0 * focal_length / (img_res * s)],
+        axis=-1)
+
+
 def weak_perspective_projection(
     points: jnp.ndarray, cam: jnp.ndarray, focal_length: float = 5000.0,
     img_res: int = 224,
@@ -322,10 +334,7 @@ def weak_perspective_projection(
     returning coordinates normalized to [-1, 1].
     """
     B = points.shape[0]
-    s = jnp.maximum(cam[:, 0], _EPS)
-    t = jnp.stack(
-        [cam[:, 1], cam[:, 2], 2.0 * focal_length / (img_res * s)], axis=-1
-    )
+    t = weak_perspective_cam_t(cam, focal_length, img_res)
     K = jnp.zeros((B, 3, 3), jnp.float32)
     K = K.at[:, 0, 0].set(focal_length).at[:, 1, 1].set(focal_length)
     K = K.at[:, 2, 2].set(1.0)

@@ -13,6 +13,9 @@ from spec_tpu.models.backbones.resnet import (  # noqa: F401
     resnet101,
     resnet152,
 )
+from spec_tpu.models.backbones.hrnet import (  # noqa: F401
+    convert_torch_hrnet_params,
+)
 
 _BACKBONE_INFO = {
     'resnet18': dict(n_output_channels=512, downsample_rate=4),

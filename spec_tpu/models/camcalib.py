@@ -100,6 +100,7 @@ def convert_torch_camcalib_params(
     params = {trunk_name: trunk_vars['params']}
     stats = {trunk_name: trunk_vars['batch_stats']}
 
+    detected = 1 if 'fc_vfov.weight' in sd else 0
     for head in ('fc_vfov', 'fc_pitch', 'fc_roll'):
         if f'{head}.weight' in sd:  # single Linear
             params[f'{head}_0'] = {
@@ -114,4 +115,12 @@ def convert_torch_camcalib_params(
                     'bias': jnp.asarray(sd[f'{head}.{i}.bias']),
                 }
                 i += 1
+            if head == 'fc_vfov':
+                detected = i
+    # The head layout is DETECTED from the checkpoint keys;
+    # num_fc_layers only cross-checks the caller's expectation.
+    if detected and detected != num_fc_layers:
+        print(f'[camcalib] NOTE: checkpoint has {detected} fc layer(s) '
+              f'per head; caller requested num_fc_layers={num_fc_layers} '
+              '— using the checkpoint layout')
     return {'params': params, 'batch_stats': stats}

@@ -65,7 +65,6 @@ class HMRHead(nn.Module):
     """Iterative regressor head.
 
     Attributes:
-      num_input_features: channel count of the backbone feature map.
       use_cam_feats: condition on (cam_rotmat, cam_vfov) — the SPEC variant.
       n_iter: refinement iterations (3, the SPIN/HMR standard).
       hidden_dim: width of the two FC layers.
@@ -73,7 +72,6 @@ class HMRHead(nn.Module):
       mean_params: optional dict overriding the init buffers at init time.
     """
 
-    num_input_features: int
     use_cam_feats: bool = False
     estimate_var: bool = False
     n_iter: int = 3

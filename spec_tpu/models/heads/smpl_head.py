@@ -97,9 +97,7 @@ def smpl_head(
         out.joints, cam, focal_length=focal_length, img_res=img_res)
     if not normalize_joints2d:
         joints2d = (joints2d + 1.0) * (img_res / 2.0)
-    s = jnp.maximum(cam[:, 0], 1e-8)
-    cam_t = jnp.stack(
-        [cam[:, 1], cam[:, 2], 2.0 * focal_length / (img_res * s)], axis=-1)
+    cam_t = G.weak_perspective_cam_t(cam, focal_length, img_res)
     return {
         'smpl_vertices': out.vertices,
         'smpl_joints3d': out.joints,

@@ -68,8 +68,6 @@ class HMR(nn.Module):
         features = trunk(images, train=train)
 
         head = HMRHead(
-            num_input_features=B.get_backbone_info(
-                self.backbone)['n_output_channels'],
             use_cam_feats=self.use_cam_feats,
             dtype=self.dtype,
             mean_params=self.mean_params,
@@ -78,9 +76,11 @@ class HMR(nn.Module):
         if self.use_cam_feats:
             # vfov from intrinsics: 2 atan(H / 2f)  (reference
             # spec/models/hmr.py:95).
+            # fy, not fx: vfov = 2 atan(H / 2 fy); GT intrinsics can
+            # have fx != fy (the CamCalib-derived K masks this).
             cam_vfov = 2.0 * jnp.arctan(
                 img_h.astype(jnp.float32)
-                / (2.0 * cam_intrinsics[:, 0, 0]))
+                / (2.0 * cam_intrinsics[:, 1, 1]))
             hmr_out = head(features, cam_rotmat=cam_rotmat,
                            cam_vfov=cam_vfov, train=train)
         else:
@@ -128,11 +128,28 @@ def convert_torch_hmr_params(
     sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
           if k.startswith(prefix)}
 
-    trunk_vars = B.convert_torch_resnet_params(
-        sd, arch=backbone.split('-')[0], prefix='backbone.')
+    # SPIN model_checkpoint.pt stores the HMR flat: torchvision resnet
+    # keys and fc1/fc2/dec* head keys with NO backbone./head. prefixes.
+    # Detect and synthesize the prefixes so one code path handles all
+    # dialects.
+    if not any(k.startswith(('backbone.', 'head.')) for k in sd):
+        head_names = ('fc1.', 'fc2.', 'decpose.', 'decshape.', 'deccam.',
+                      'drop1.', 'drop2.', 'init_pose', 'init_shape',
+                      'init_cam')
+        sd = {(('head.' if k.startswith(head_names) else 'backbone.') + k): v
+              for k, v in sd.items()}
+
+    arch = backbone.split('-')[0]
+    if arch.startswith('hrnet'):
+        trunk_vars = B.convert_torch_hrnet_params(
+            sd, arch=arch, prefix='backbone.')
+        trunk_name = 'HRNet_0'
+    else:
+        trunk_vars = B.convert_torch_resnet_params(
+            sd, arch=arch, prefix='backbone.')
+        trunk_name = 'ResNet_0'
     head_params = convert_torch_hmr_head_params(sd, prefix='head.')
 
-    trunk_name = 'ResNet_0'
     return {
         'params': {trunk_name: trunk_vars['params'], 'head': head_params},
         'batch_stats': {trunk_name: trunk_vars['batch_stats']},

@@ -54,3 +54,25 @@ def create_train_state(
         batch_stats=variables.get('batch_stats', {}),
         opt_state=tx.init(params),
     )
+
+
+def freeze_init_buffers(tx: optax.GradientTransformation
+                        ) -> optax.GradientTransformation:
+    """Zero the optimizer updates for the HMR head's ``init_pose`` /
+    ``init_shape`` / ``init_cam`` leaves.
+
+    The reference keeps these as fixed ``register_buffer`` mean-param
+    buffers (SPIN/PARE HMRHead); as flax params they would otherwise be
+    trained (and weight-decayed) away from the SPIN means — a silent
+    training-recipe divergence.
+    """
+    def label(params):
+        def leaf_label(path, _):
+            keys = {getattr(p, 'key', getattr(p, 'name', '')) for p in path}
+            frozen = keys & {'init_pose', 'init_shape', 'init_cam'}
+            return 'frozen' if frozen else 'train'
+        import jax
+        return jax.tree_util.tree_map_with_path(leaf_label, params)
+
+    return optax.multi_transform(
+        {'train': tx, 'frozen': optax.set_to_zero()}, label)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from spec_tpu import parallel as par
 from spec_tpu.core import constants as C
 from spec_tpu.losses import HMRLossConfig
-from spec_tpu.train.state import adam, create_train_state
+from spec_tpu.train.state import (adam, create_train_state,
+                                  freeze_init_buffers)
 from spec_tpu.train.steps import make_spec_train_step
 from spec_tpu.utils.checkpoints import restore_checkpoint, save_checkpoint
 from spec_tpu.utils.profiling import StepTimer
@@ -63,7 +64,10 @@ class SpecTrainer:
                 f'divisible by the {n_dev}-device mesh (the batch axis is '
                 'sharded over it) — an opaque sharding error would '
                 'otherwise surface on the first batch')
-        self.tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
+        # init_pose/shape/cam are non-trainable buffers in the
+        # reference — exclude them from optimization.
+        self.tx = freeze_init_buffers(
+            adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD))
         loss_cfg = HMRLossConfig(
             shape_loss_weight=cfg.HMR.SHAPE_LOSS_WEIGHT,
             keypoint_loss_weight=cfg.HMR.KEYPOINT_LOSS_WEIGHT,

@@ -116,7 +116,7 @@ def test_hmr_head_parity(rng, use_cam_feats):
     tm = TorchHMRHead(nfeat=512, use_cam_feats=use_cam_feats).eval()
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}
     params = convert_torch_hmr_head_params(sd)
-    head = HMRHead(num_input_features=512, use_cam_feats=use_cam_feats)
+    head = HMRHead(use_cam_feats=use_cam_feats)
 
     xf = rng.randn(4, 512).astype(np.float32)
     rotmat = np.tile(np.eye(3, dtype=np.float32), (4, 1, 1))
@@ -159,7 +159,7 @@ def test_hmr_head_converter_fills_missing_init_buffers(rng):
         assert buf in params
     np.testing.assert_allclose(
         np.asarray(params['init_pose']), default_init_params()['init_pose'])
-    head = HMRHead(num_input_features=512)
+    head = HMRHead()
     out = head.apply({'params': params},
                      jnp.asarray(rng.randn(2, 512).astype(np.float32)))
     with torch.no_grad():
@@ -240,3 +240,61 @@ def test_hmr_hrnet_backbone_forward(rng):
                       bbox_scale, bbox_center, img_w, img_h)
     assert out['pred_pose'].shape == (B, 24, 3, 3)
     assert out['smpl_joints2d'].shape[0] == B
+
+
+def test_convert_spin_flat_dialect(rng):
+    """SPIN model_checkpoint.pt stores the HMR flat (torchvision resnet
+    keys + fc1/fc2/dec* head keys, NO backbone./head. prefixes) — the
+    converter must synthesize the prefixes (regression: the prefix
+    filter dropped every key and crashed)."""
+    from tests.test_backbones import TorchBasic, TorchResNet
+    from spec_tpu.models.hmr import convert_torch_hmr_params
+
+    trunk = TorchResNet(TorchBasic, (2, 2, 2, 2)).eval()
+    head = TorchHMRHead(nfeat=512).eval()
+    sd = {k: v.numpy() for k, v in trunk.state_dict().items()}
+    sd.update({k: v.numpy() for k, v in head.state_dict().items()})
+    assert not any(k.startswith(('backbone.', 'head.')) for k in sd)
+
+    variables = convert_torch_hmr_params(sd, backbone='resnet18', prefix='')
+    assert 'ResNet_0' in variables['params']
+    assert 'decpose' in variables['params']['head']
+    # converted trunk actually loads into the flax HMR
+    import jax
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True)
+    B = 1
+    img = jnp.zeros((B, 64, 64, 3))
+    eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+    one = jnp.ones((B,))
+    template = model.init(jax.random.PRNGKey(0), assets, img, eye, eye,
+                          one, jnp.ones((B, 2)), one, one)
+    from spec_tpu.utils.checkpoints import merge_with_template
+    merged = merge_with_template(variables, template, verbose=False)
+    out = model.apply(merged, assets, img, eye, eye, one,
+                      jnp.ones((B, 2)), one, one)
+    assert np.isfinite(np.asarray(out['smpl_vertices'])).all()
+
+
+def test_init_buffers_frozen_in_training():
+    """init_pose/init_shape/init_cam are fixed buffers in the reference
+    (register_buffer) — the optimizer must not move them."""
+    import optax
+
+    from spec_tpu.train.state import adam, freeze_init_buffers
+
+    params = {'head': {'init_pose': jnp.ones((1, 4)),
+                       'decpose': {'kernel': jnp.ones((4, 4))}},
+              'trunk': {'w': jnp.ones((3,))}}
+    tx = freeze_init_buffers(adam(0.1))
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, st = tx.update(grads, st, params)
+    new = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(np.asarray(new['head']['init_pose']), 1.0)
+    assert not np.allclose(
+        np.asarray(new['head']['decpose']['kernel']), 1.0)
+    assert not np.allclose(np.asarray(new['trunk']['w']), 1.0)
