@@ -2,14 +2,30 @@
 ``camcalib/datagen/generateCalibrationDataset.py:58-126`` +
 ``image_extraction.py:28-161``).
 
-Camera sampling (reference :58-126):
-  focal (35mm-equiv) ~ lognormal(sigma=0.8, loc=14, scale=17), clamp
-  [12, 100] mm; vfov = 2*atan2(24, 2*f35) (24mm full-frame sensor height);
-  horizon midline crossing ~ N(0.523, 0.3) clamped (-1, 0.95) as a
-  fraction of image height -> pitch = atan((0.5 - horizon) * h / f_px);
-  roll ~ Cauchy, two scales (low-roll regime ~33% of the time), clamped
-  to +-pi/6; aspect ratio ~ {1:1, 5:4, 4:3, 3:2, 16:9} with probs
-  {0.09, 0.01, 0.21, 0.45, 0.24}, landscape 80% / portrait 20%.
+Camera sampling — the 'myDistWider20200403' (SUNV2) regime that the
+reference's active code uses (``generateCalibrationDataset.py:57-62``):
+  focal (35mm-equiv) ~ lognormal(sigma=0.8, loc=14, scale=17),
+  REJECTION-sampled into the open interval (12, 100) mm (the reference
+  clips then re-loops on a strict inequality, so boundary atoms are
+  resampled, :80-81); vfov = 2*atan2(sensor, 2*f35) with sensor height
+  24 mm landscape / 36 mm portrait (35mm frame rotated, :99-109);
+  horizon midline crossing ~ N(0.523, 0.3) rejection-sampled into
+  (-1, 0.95) as a fraction of image height (:82-84) ->
+  pitch = -atan((horizon - 0.5) * 24 / f35) — ALWAYS the 24 mm sensor,
+  even for portrait crops, because the reference computes pitch before
+  the portrait branch (:101-109);
+  roll ~ Cauchy, scale 0.001 w.p. 0.33 (low-roll regime) else 0.1,
+  rejection-sampled into (-pi/6, pi/6) (:59, :86-92);
+  aspect w/h ~ {1:1, 5:4, 4:3, 3:2, 16:9} with probs
+  {0.09, 0.01, 0.66, 0.20, 0.04} (:28-34), inverted for portrait
+  (probability 0.20, :62,:104-107).
+
+Output resolution: the reference passes ``output_height=600`` and
+``ratio=ar`` to ``extractImage`` (:111-126), which builds a crop of
+shape (600, round(600*ar)) (``image_extraction.py:133``) — height 600
+always, width from the aspect. (The json 'height'/'width' fields the
+reference writes (:151) are swapped/derived differently and do NOT match
+the saved image; we store the actual crop shape instead.)
 """
 
 from __future__ import annotations
@@ -22,36 +38,52 @@ import numpy as np
 
 from spec_tpu.datagen.projection import equirect_to_perspective
 
-ASPECT_RATIOS = [(1, 1), (5, 4), (4, 3), (3, 2), (16, 9)]
-ASPECT_PROBS = [0.09, 0.01, 0.21, 0.45, 0.24]
-SENSOR_HEIGHT_MM = 24.0
+ASPECT_RATIOS = [1 / 1, 5 / 4, 4 / 3, 3 / 2, 16 / 9]   # w/h
+ASPECT_PROBS = [0.09, 0.01, 0.66, 0.20, 0.04]
+SENSOR_HEIGHT_MM = 24.0        # 35mm full frame is 36x24
+SENSOR_HEIGHT_PORTRAIT_MM = 36.0
+ROLL_SCALE_LOW, ROLL_SCALE, ROLL_LOW_PROB = 0.001, 0.1, 0.33
+
+
+def _rejection(draw, lo, hi):
+    """Redraw until strictly inside (lo, hi) — reference :80-92 loops on
+    strict inequalities, so there are no probability atoms at the bounds."""
+    x = np.inf
+    while not lo < x < hi:
+        x = draw()
+    return float(x)
 
 
 def sample_scalenet_cam(rng: np.random.RandomState, base_h: int = 600):
     """One ScaleNet camera draw. Returns dict incl. derived vfov/pitch."""
-    f35 = 14.0 + 17.0 * np.exp(0.8 * rng.randn())
-    f35 = float(np.clip(f35, 12.0, 100.0))
-    vfov = 2.0 * np.arctan2(SENSOR_HEIGHT_MM, 2.0 * f35)
+    f35 = _rejection(lambda: 14.0 + 17.0 * np.exp(0.8 * rng.randn()),
+                     12.0, 100.0)
+    horizon = _rejection(lambda: rng.normal(0.523, 0.3), -1.0, 0.95)
 
-    horizon = float(np.clip(rng.normal(0.523, 0.3), -1.0, 0.95))
+    scale = ROLL_SCALE_LOW if rng.rand() < ROLL_LOW_PROB else ROLL_SCALE
+    # Cauchy(0, scale) via inverse CDF of a uniform draw.
+    roll = _rejection(lambda: scale * np.tan(np.pi * (rng.rand() - 0.5)),
+                      -np.pi / 6, np.pi / 6)
 
-    scale = 0.022 if rng.rand() < 0.33 else 0.145  # two-regime Cauchy
-    roll = float(np.clip(scale * np.tan(np.pi * (rng.rand() - 0.5)),
-                         -np.pi / 6, np.pi / 6))
+    yaw = float(rng.uniform(-np.pi, np.pi))
+    ar = ASPECT_RATIOS[rng.choice(len(ASPECT_RATIOS), p=ASPECT_PROBS)]
 
-    ar_w, ar_h = ASPECT_RATIOS[rng.choice(len(ASPECT_RATIOS),
-                                          p=ASPECT_PROBS)]
-    landscape = rng.rand() < 0.8
-    if landscape:
-        h, w = base_h, int(round(base_h * ar_w / ar_h))
-    else:
-        h, w = int(round(base_h * ar_w / ar_h)), base_h
+    sensor = SENSOR_HEIGHT_MM
+    vfov = 2.0 * np.arctan2(sensor, 2.0 * f35)
+    # Pitch uses the 24 mm sensor height regardless of orientation
+    # (reference computes fl_px before the portrait branch, :101-109).
+    pitch = float(-np.arctan((horizon - 0.5) * SENSOR_HEIGHT_MM / f35))
 
-    f_px = (h / 2.0) / np.tan(vfov / 2.0)
-    pitch = float(np.arctan((0.5 - horizon) * h / f_px))
+    portrait = rng.rand() < 0.2
+    if portrait:
+        ar = 1.0 / ar
+        sensor = SENSOR_HEIGHT_PORTRAIT_MM
+        vfov = 2.0 * np.arctan2(sensor, 2.0 * f35)
+
+    h, w = base_h, int(round(base_h * ar))
     return {
         'f35': f35, 'vfov': float(vfov), 'pitch': pitch, 'roll': roll,
-        'horizon': horizon, 'yaw': float(rng.uniform(0, 2 * np.pi)),
+        'horizon': horizon, 'yaw': yaw, 'sensor_size': float(sensor),
         'resolution': (h, w),
     }
 
@@ -102,8 +134,12 @@ def generate_calibration_dataset(
                 json.dump({
                     'pitch': cam['pitch'], 'roll': cam['roll'],
                     'vfov': cam['vfov'],  # radians (pano_scalenet)
-                    'f_35mm': cam['f35'], 'horizon': cam['horizon'],
-                    'yaw': cam['yaw'],
+                    'focal_length_35mm_eq': cam['f35'],
+                    # reference :101 computes fl_px before the portrait
+                    # branch, so it is always focal/24
+                    'f_px': cam['f35'] / SENSOR_HEIGHT_MM,
+                    'sensor_size': cam['sensor_size'],
+                    'horizon': cam['horizon'], 'yaw': cam['yaw'],
                 }, f)
             key = ('val_images' if pano_path in val_panos
                    else 'train_images')

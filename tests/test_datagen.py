@@ -89,15 +89,77 @@ def test_sampling_distributions(rng):
     assert np.radians(15) <= vf.min() and vf.max() <= np.radians(120)
     sn = [sample_scalenet_cam(rng) for _ in range(500)]
     rolls = np.array([c['roll'] for c in sn])
-    assert np.abs(rolls).max() <= np.pi / 6 + 1e-9
+    assert np.abs(rolls).max() < np.pi / 6  # strict (rejection, not clip)
     f35 = np.array([c['f35'] for c in sn])
-    assert 12.0 <= f35.min() and f35.max() <= 100.0
-    # pitch/horizon consistency: horizon 0.5 -> pitch 0
+    assert 12.0 < f35.min() and f35.max() < 100.0
+    # pitch is derived from the 24mm sensor height regardless of
+    # orientation (generateCalibrationDataset.py:101-109)
     c = sample_scalenet_cam(np.random.RandomState(3))
-    h, w = c['resolution']
-    f_px = (h / 2) / np.tan(c['vfov'] / 2)
-    expect = np.arctan((0.5 - c['horizon']) * h / f_px)
+    expect = -np.arctan((c['horizon'] - 0.5) * 24.0 / c['f35'])
     np.testing.assert_allclose(c['pitch'], expect, rtol=1e-6)
+    # portrait crops keep height 600 and get the 36mm-sensor vfov
+    r = np.random.RandomState(11)
+    seen_sensor = set()
+    for _ in range(200):
+        c = sample_scalenet_cam(r)
+        assert c['resolution'][0] == 600
+        seen_sensor.add(c['sensor_size'])
+        np.testing.assert_allclose(
+            c['vfov'], 2 * np.arctan2(c['sensor_size'], 2 * c['f35']))
+    assert seen_sensor == {24.0, 36.0}
+
+
+def _ks_stat(a, b):
+    """Two-sample Kolmogorov-Smirnov statistic."""
+    a, b = np.sort(a), np.sort(b)
+    allv = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, allv, side='right') / len(a)
+    cdf_b = np.searchsorted(b, allv, side='right') / len(b)
+    return float(np.abs(cdf_a - cdf_b).max())
+
+
+def test_scalenet_sampling_matches_reference_recipe():
+    """Distribution parity vs a direct numpy transcription of
+    generateCalibrationDataset.py:58-109 ('myDistWider20200403'):
+    rejection-sampled lognormal focal, N(0.523,0.3) horizon in (-1,0.95),
+    two-regime Cauchy roll with scales 0.001 (p=0.33) / 0.1."""
+    from scipy.stats import cauchy, lognorm
+
+    n = 4000
+    ref_rng = np.random.RandomState(123)
+
+    def ref_draw():
+        focal = np.inf
+        while not 12.0 < focal < 100.0:
+            focal = np.clip(
+                lognorm.rvs(s=0.8, loc=14, scale=17, random_state=ref_rng),
+                12.0, 100.0)
+        horizon = ref_rng.normal(0.523, 0.3)
+        while not -1.0 < horizon < 0.95:
+            horizon = ref_rng.normal(0.523, 0.3)
+        low_roll = ref_rng.choice((True, False), p=(0.33, 0.67))
+        roll = np.inf
+        while not -np.pi / 6 < roll < np.pi / 6:
+            roll = cauchy.rvs(loc=0.0,
+                              scale=0.001 if low_roll else 0.1,
+                              random_state=ref_rng)
+        pitch = -np.arctan((horizon - 0.5) * 24.0 / focal)
+        return focal, horizon, roll, pitch
+
+    ref = np.array([ref_draw() for _ in range(n)])
+    our_rng = np.random.RandomState(321)
+    ours = np.array([[c['f35'], c['horizon'], c['roll'], c['pitch']]
+                     for c in (sample_scalenet_cam(our_rng)
+                               for _ in range(n))])
+
+    # KS critical value at alpha=1e-6 for n=m=4000: c(a)*sqrt(2/n) ~ 0.059
+    thresh = 1.949 * np.sqrt(2.0 / n)
+    for k, name in enumerate(['focal', 'horizon', 'roll', 'pitch']):
+        ks = _ks_stat(ref[:, k], ours[:, k])
+        assert ks < thresh, (name, ks, thresh)
+    # the two-regime structure: ~1/3 of |roll| mass is extremely tight
+    frac_tiny = float((np.abs(ours[:, 2]) < 0.005).mean())
+    assert 0.25 < frac_tiny < 0.45, frac_tiny
 
 
 def test_preprocess_calib_data_end_to_end(tmp_path, rng):
