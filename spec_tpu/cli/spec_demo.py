@@ -270,6 +270,19 @@ def run_spec_on_video(
     if not cap.isOpened():
         raise FileNotFoundError(f'cannot open video: {vid_file}')
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+
+    # Video-mode detections are keyed by the internally generated frame
+    # names (000000.png, 000001.png, ...). A key mismatch would silently
+    # produce zero detections everywhere — fail fast, before decoding.
+    vid_dets = None
+    if folder_kwargs.get('bbox_file'):
+        vid_dets = load_bboxes_file(folder_kwargs['bbox_file'])
+        if '000000.png' not in vid_dets:
+            raise ValueError(
+                f'--bbox_file {folder_kwargs["bbox_file"]!r} has no '
+                f"'000000.png' key; video-mode bbox files must be keyed "
+                f"by decoded frame names '000000.png', '000001.png', ... "
+                f'(got keys like {sorted(vid_dets)[:3]})')
     work_dir = os.path.join(output_folder, 'frames_chunk')
     kept_dir = os.path.join(output_folder, 'frames')
     os.makedirs(work_dir, exist_ok=True)
@@ -329,8 +342,8 @@ def run_spec_on_video(
     from spec_tpu.data.tracking import track_video_boxes
 
     h, w = first_hw
-    if folder_kwargs.get('bbox_file'):
-        dets = load_bboxes_file(folder_kwargs['bbox_file'])
+    if vid_dets is not None:
+        dets = vid_dets    # validated before decoding, above
     else:
         dets = full_image_bboxes({n: (h, w) for n in names})
     per_frame = [np.asarray(dets.get(n, np.zeros((0, 4), np.float32)),
@@ -400,7 +413,9 @@ def main(argv=None):
     parser.add_argument('--camcalib_ckpt', type=str, default='')
     parser.add_argument('--bbox_file', type=str, default='',
                         help='precomputed detections json/npz '
-                             '{img: [[cx,cy,w,h],...]}')
+                             '{img: [[cx,cy,w,h],...]}; in --mode video '
+                             'keys must be the decoded frame names '
+                             "'000000.png', '000001.png', ...")
     parser.add_argument('--batch_size', type=int, default=32)
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')

@@ -113,7 +113,10 @@ class CamDataset:
         # kept for API parity, made deterministic via the dataset seed).
         if num_images > 0:
             n0 = len(self.imgname)
-            sel = np.random.RandomState(seed).randint(0, n0, size=num_images)
+            # without replacement: duplicates would double-count samples
+            # in eval metrics while silently skipping others
+            sel = np.random.RandomState(seed).choice(
+                n0, size=min(num_images, n0), replace=False)
             sub = {}
             for k in data.files:
                 arr = np.asarray(data[k])  # decompress each member ONCE

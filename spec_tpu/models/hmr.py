@@ -74,13 +74,15 @@ class HMR(nn.Module):
             name='head',
         )
         if self.use_cam_feats:
-            # vfov from intrinsics: 2 atan(H / 2f)  (reference
-            # spec/models/hmr.py:95).
-            # fy, not fx: vfov = 2 atan(H / 2 fy); GT intrinsics can
-            # have fx != fy (the CamCalib-derived K masks this).
+            # vfov from intrinsics: 2 atan(H / 2 fx) — fx, matching the
+            # reference (spec/models/hmr.py:95, cam_intrinsics[:,0,0]).
+            # fy would be the geometrically correct vertical FOV when
+            # fx != fy, but released SPEC checkpoints were trained with
+            # the fx-derived conditioning input, so checkpoint parity
+            # wins (ADVICE r1).
             cam_vfov = 2.0 * jnp.arctan(
                 img_h.astype(jnp.float32)
-                / (2.0 * cam_intrinsics[:, 1, 1]))
+                / (2.0 * cam_intrinsics[:, 0, 0]))
             hmr_out = head(features, cam_rotmat=cam_rotmat,
                            cam_vfov=cam_vfov, train=train)
         else:

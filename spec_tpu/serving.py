@@ -88,13 +88,11 @@ class SpecPredictor:
             load_spec_variables,
         )
 
-        # Remote TPU compiles take minutes through the tunnel; the
-        # persistent cache makes every later process start instant.
-        if not jax.config.jax_compilation_cache_dir:
-            jax.config.update('jax_compilation_cache_dir',
-                              os.path.expanduser('~/.cache/spec_tpu_xla'))
-            jax.config.update(
-                'jax_persistent_cache_min_compile_time_secs', 1.0)
+        # Remote TPU compiles take minutes through the tunnel; share the
+        # same persistent cache the CLIs warm ($SPEC_JAX_CACHE_DIR /
+        # ~/.cache/spec_tpu/jax) so programmatic users hit it too.
+        from spec_tpu.utils.paths import enable_compilation_cache
+        enable_compilation_cache()
 
         self._jax = jax
         self._jnp = jnp

@@ -433,7 +433,7 @@ class SpecTrainer:
             'params': jax.device_get(self.state.params),
             'batch_stats': jax.device_get(self.state.batch_stats),
         }
-        total = 0.0
+        total, n_finite = 0.0, 0
         for ds_name, loader in self.make_val_loaders().items():
             summary, _ = evaluate_dataset(
                 self.model, variables, loader, self.assets, self.jreg,
@@ -449,16 +449,27 @@ class SpecTrainer:
                     if np.isfinite(v):
                         self.writer.add_scalar(
                             f'val/{ds_name}/{k}', v, global_step)
-            v = summary.get('val_mpjpe', 0.0)
-            # NaN (e.g. an empty loader) must not poison the ranked
-            # checkpoint list — sorting tuples with NaN is arbitrary and
+            v = summary.get('val_mpjpe', np.nan)
+            # NaN (e.g. an empty loader, or a qualitative/ITW dataset
+            # with no 3D GT) must not poison the ranked checkpoint
+            # list — sorting tuples with NaN is arbitrary and
             # _prune_ranked could evict the genuinely best checkpoints.
             if np.isfinite(v):
                 total += v
+                n_finite += 1
             else:
-                print(f'[val] WARNING: non-finite val_mpjpe for '
+                print(f'[val] WARNING: no finite val_mpjpe for '
                       f'{ds_name}; excluded from the ranking metric')
             self._append_results_json(ds_name, epoch, summary)
+        if n_finite == 0:
+            # No quantitative val signal this epoch: returning a constant
+            # (e.g. 0.0) would rank every epoch equal and make
+            # _prune_ranked's ascending (metric, step) sort retain the 30
+            # OLDEST checkpoints while deleting the newest. NaN makes
+            # _prune_ranked skip ranking; recency retention still applies.
+            print('[val] WARNING: no quantitative val metric produced; '
+                  'skipping ranked checkpoint pruning this epoch')
+            return float('nan')
         return total
 
     def _append_results_json(self, ds_name, epoch, summary):

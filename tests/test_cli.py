@@ -83,19 +83,24 @@ def test_spec_eval_then_compute_error_cli(data_root, tmp_path):
         results['3dpw-test-cam']['headline_PA-MPJPE'], rtol=1e-4)
 
 
-def test_demo_video_mode_not_implemented(tmp_path):
+def test_demo_video_mode_rejects_folder_input(tmp_path):
+    """--mode video with --image_folder (a directory, not a decodable
+    video file) must error out instead of silently running the folder
+    path. (Video mode itself IS implemented — exercised in
+    test_spec_demo_video_mode below — unlike the reference, which stubs
+    it.)"""
+    import sys
+
     from spec_tpu.cli.spec_demo import main
 
-    with pytest.raises((NotImplementedError, SystemExit)):
-        main.__wrapped__ if hasattr(main, '__wrapped__') else None
-        import sys
-        argv_bak = sys.argv
-        sys.argv = ['spec_demo', '--image_folder', str(tmp_path),
-                    '--mode', 'video']
-        try:
+    argv_bak = sys.argv
+    sys.argv = ['spec_demo', '--image_folder', str(tmp_path),
+                '--mode', 'video']
+    try:
+        with pytest.raises((FileNotFoundError, SystemExit)):
             main()
-        finally:
-            sys.argv = argv_bak
+    finally:
+        sys.argv = argv_bak
 
 
 def test_spec_eval_specsyn_j24(data_root, tmp_path, rng):

@@ -1,0 +1,245 @@
+"""Frozen numeric goldens — cross-round regression anchors (VERDICT r1 §3).
+
+The released SPEC checkpoints / eval datasets are absent in this sandbox,
+so activation-level parity is validated against torch cross-constructions
+at test time. These goldens freeze what that cannot: checked-in expected
+NUMBERS for three end-to-end paths, computed from deterministic seeds, so
+a future refactor that silently drifts the numerics fails HERE without
+needing torch (or the network) at all.
+
+Golden paths (all deterministic: PRNGKey(0) inits, RandomState seeds,
+PNG fixtures so no JPEG-encoder dependence):
+  1. camcalib_demo pickle fields on synthetic images
+     (crop/resize -> ResNet -> bin decode);
+  2. spec_eval metrics on a synthetic fixture npz
+     (dataset crop knife-edges -> HMR -> SMPL -> J14 metrics ->
+     offline compute_error headline);
+  3. five SPEC train-step losses (full loss stack + Adam updates).
+
+Regenerate after an INTENTIONAL numeric change with
+``python tools/make_goldens.py`` and justify the diff in the commit.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+GOLDENS_PATH = os.path.join(os.path.dirname(__file__), 'goldens.json')
+
+# Comparisons are rtol-loose enough for cross-XLA-version float noise on
+# conv stacks, tight enough to catch any real change (wrong constant,
+# changed reduction, swapped axis shift numbers by >>1e-3 relative).
+RTOL, ATOL = 2e-3, 1e-5
+
+
+def compute_camcalib_golden(workdir: str) -> dict:
+    """camcalib_demo pickle fields {vfov, f_pix, pitch, roll} on two
+    procedural images, random-init (PRNGKey(0)) resnet18."""
+    import cv2
+
+    from spec_tpu.cli.camcalib_demo import run_camcalib_on_folder
+
+    img_dir = os.path.join(workdir, 'imgs')
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(42)
+    for i in range(2):
+        img = (rng.rand(96, 128, 3) * 255).astype('u1')
+        cv2.imwrite(os.path.join(img_dir, f'g{i}.png'), img)
+
+    out = run_camcalib_on_folder(
+        img_dir, os.path.join(workdir, 'out'), ckpt='',
+        backbone='resnet18', min_size=64, batch_size=2,
+        save_images=False)
+    return {os.path.basename(name): {k: float(v)
+                                     for k, v in fields.items()}
+            for name, fields in sorted(out.items())}
+
+
+def _write_eval_fixture(workdir: str):
+    """Deterministic synthetic 3dpw-style annots + images (PNG)."""
+    import cv2
+
+    img_dir = os.path.join(workdir, 'imgs')
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(7)
+    n = 4
+    names = []
+    for i in range(n):
+        nm = f'e{i}.png'
+        cv2.imwrite(os.path.join(img_dir, nm),
+                    (rng.rand(120, 160, 3) * 255).astype('u1'))
+        names.append(nm)
+    annot = os.path.join(workdir, 'annots.npz')
+    np.savez(
+        annot,
+        imgname=np.array(names),
+        scale=(rng.rand(n) * 0.3 + 0.5).astype('f4'),
+        center=np.stack([rng.rand(n) * 60 + 50,
+                         rng.rand(n) * 40 + 40], 1).astype('f4'),
+        pose_0yaw_inverseyz=(rng.randn(n, 72) * 0.2).astype('f4'),
+        pose_cam=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 100,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        cam_int=np.tile(np.array(
+            [[500, 0, 80], [0, 500, 60], [0, 0, 1]], 'f4'), (n, 1, 1)),
+        camcalib_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        camcalib_roll=(rng.randn(n) * 0.05).astype('f4'),
+        camcalib_vfov=(rng.rand(n) * 0.5 + 0.6).astype('f4'),
+        camcalib_f_pix=(rng.rand(n) * 200 + 400).astype('f4'),
+    )
+    return annot, img_dir
+
+
+def compute_eval_golden(workdir: str) -> dict:
+    """spec_eval core on the synthetic fixture: evaluate_dataset summary
+    + offline compute_error headline, random-init (PRNGKey(0)) resnet18."""
+    import jax
+    import jax.numpy as jnp
+
+    from spec_tpu.core import smpl as S
+    from spec_tpu.data import CamDataset, DataLoader
+    from spec_tpu.eval.eval_loop import evaluate_dataset
+    from spec_tpu.eval.evaluator import compute_error
+    from spec_tpu.models import HMR
+
+    annot, img_dir = _write_eval_fixture(workdir)
+    assets = S.create_test_assets()
+    jreg = np.asarray(assets.j_regressor_h36m)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=False)
+    B = 1
+    variables = model.init(
+        jax.random.PRNGKey(0), assets,
+        jnp.zeros((B, 224, 224, 3)),
+        jnp.tile(jnp.eye(3), (B, 1, 1)), jnp.tile(jnp.eye(3), (B, 1, 1)),
+        jnp.ones((B,)), jnp.ones((B, 2)), jnp.ones((B,)), jnp.ones((B,)))
+
+    ds = CamDataset(annot, img_dir, dataset='3dpw-test-cam',
+                    is_train=False, img_res=224)
+    loader = DataLoader(ds, batch_size=2, num_workers=1)
+    summary, acc = evaluate_dataset(
+        model, variables, loader, {'neutral': assets}, jreg,
+        use_gt_cam=True, use_gender=False, save_results=True,
+        save_images=False, save_freq=1, logdir=workdir,
+        dataset_name='3dpw-test-cam')
+
+    res = acc.results_dict()
+    headline = compute_error(
+        '3dpw-test-cam',
+        pred_vertices=np.asarray(res['vertices'], np.float32),
+        pred_cam_rotmat=np.tile(np.eye(3, dtype='f4'),
+                                (len(res['vertices']), 1, 1)),
+        gt_pose=ds.pose, gt_betas=ds.betas, assets=assets,
+        j_regressor_h36m=jreg, gt_pose_cam=ds.pose_cam,
+        gt_cam_rotmat=None)
+    out = {k: float(v) for k, v in summary.items() if np.isfinite(v)}
+    out.update({f'headline_{k}': float(v) for k, v in headline.items()
+                if k != 'protocol'})
+    return out
+
+
+def compute_trainstep_golden() -> dict:
+    """loss/total_loss over five full SPEC train steps (fixed batch,
+    zeroed head decoders as in __graft_entry__, Adam 1e-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+    from spec_tpu.train import adam, create_train_state, make_spec_train_step
+
+    rng = np.random.RandomState(0)
+    B, res, V = 4, 64, 128
+    assets = S.create_test_assets(num_vertices=V)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=True)
+    args = ge._example_inputs(B, res, rng)
+    variables = model.init(jax.random.PRNGKey(0), assets, *args)
+    for dec in ('decpose', 'decshape', 'deccam'):
+        leaf = variables['params']['head'][dec]
+        leaf['kernel'] = jnp.zeros_like(leaf['kernel'])
+        leaf['bias'] = jnp.zeros_like(leaf['bias'])
+    tx = adam(1e-4)
+    state = create_train_state(variables, tx)
+
+    images, cam_rotmat, K, scale, center, img_w, img_h = args
+    batch = {
+        'img': images,
+        'pose': jnp.asarray(rng.randn(B, 72).astype('f4') * 0.2),
+        'betas': jnp.asarray(rng.randn(B, 10).astype('f4') * 0.3),
+        'pose_conf': jnp.ones((B, 24)),
+        'pose_3d': jnp.asarray(rng.randn(B, 24, 4).astype('f4')),
+        'keypoints_orig': jnp.asarray(np.concatenate(
+            [rng.rand(B, 49, 2) * 1000, np.ones((B, 49, 1))],
+            -1).astype('f4')),
+        'has_smpl': jnp.ones((B,)),
+        'has_pose_3d': jnp.ones((B,)),
+        'orig_shape': jnp.asarray(
+            np.tile(np.array([[1080.0, 1920.0]], 'f4'), (B, 1))),
+        'scale': scale,
+        'center': center,
+        'cam_rotmat': cam_rotmat,
+        'cam_intrinsics': K,
+    }
+    step = jax.jit(make_spec_train_step(model, assets, tx))
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for _ in range(5):
+        state, l = step(state, batch, key)
+        losses.append(float(l['loss/total_loss']))
+    return {'total_loss': losses}
+
+
+def compute_all_goldens(workdir: str) -> dict:
+    return {
+        'camcalib_demo': compute_camcalib_golden(
+            os.path.join(workdir, 'camcalib')),
+        'spec_eval': compute_eval_golden(os.path.join(workdir, 'eval')),
+        'train_steps': compute_trainstep_golden(),
+    }
+
+
+def _assert_close(expected, actual, path=''):
+    assert type(expected) is type(actual) or (
+        isinstance(expected, float) and isinstance(actual, float)), (
+        path, type(expected), type(actual))
+    if isinstance(expected, dict):
+        assert set(expected) == set(actual), (
+            path, sorted(set(expected) ^ set(actual)))
+        for k in expected:
+            _assert_close(expected[k], actual[k], f'{path}/{k}')
+    elif isinstance(expected, list):
+        assert len(expected) == len(actual), path
+        for i, (e, a) in enumerate(zip(expected, actual)):
+            _assert_close(e, a, f'{path}[{i}]')
+    else:
+        np.testing.assert_allclose(
+            actual, expected, rtol=RTOL, atol=ATOL,
+            err_msg=f'numeric drift at {path}')
+
+
+@pytest.fixture(scope='module')
+def goldens():
+    if not os.path.exists(GOLDENS_PATH):
+        pytest.fail('tests/goldens.json missing — run '
+                    'python tools/make_goldens.py')
+    with open(GOLDENS_PATH) as f:
+        return json.load(f)
+
+
+def test_camcalib_demo_golden(goldens, tmp_path):
+    _assert_close(goldens['camcalib_demo'],
+                  compute_camcalib_golden(str(tmp_path)), 'camcalib_demo')
+
+
+def test_spec_eval_golden(goldens, tmp_path):
+    _assert_close(goldens['spec_eval'],
+                  compute_eval_golden(str(tmp_path)), 'spec_eval')
+
+
+def test_train_step_losses_golden(goldens):
+    _assert_close(goldens['train_steps'], compute_trainstep_golden(),
+                  'train_steps')

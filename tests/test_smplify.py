@@ -185,6 +185,44 @@ def test_trainer_run_smplify_hook(rng):
     assert out['pose'].shape == (B, 72)
 
 
+def test_validate_without_quantitative_metric_skips_ranked_pruning(rng):
+    """With no val loaders (or only qualitative/ITW ones) validate() must
+    NOT return a constant 0.0: every epoch would rank equal and the
+    ascending (metric, step) sort would retain the 30 OLDEST checkpoints
+    while deleting the newest (ADVICE r1). NaN makes _prune_ranked a
+    no-op and recency retention applies instead."""
+    import jax
+    import jax.numpy as jnp
+    from spec_tpu.models import HMR
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = ''
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True)
+    B = 1
+    img = jnp.zeros((B, 64, 64, 3))
+    eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+    one = jnp.ones((B,))
+    variables = model.init(jax.random.PRNGKey(0), assets, img, eye, eye,
+                           one, jnp.ones((B, 2)), one, one)
+    trainer = SpecTrainer(
+        cfg, model, {'neutral': assets},
+        np.asarray(assets.j_regressor_h36m),
+        lambda e: None, lambda: {}, init_variables=variables)
+
+    v = trainer.validate(epoch=0, global_step=10)
+    assert not np.isfinite(v)
+    trainer._prune_ranked(v, step=10)
+    assert trainer.best == []  # NaN never enters the ranking
+    # finite metrics still rank: worst-of-3 evicted with keep=2
+    trainer._prune_ranked(3.0, step=20, keep=2)
+    trainer._prune_ranked(1.0, step=30, keep=2)
+    trainer._prune_ranked(2.0, step=40, keep=2)
+    assert [s for _, s, _ in trainer.best] == [30, 40]
+
+
 def test_trainer_rejects_itw_val_without_images(rng):
     """An in-the-wild VAL_DS without TESTING.SAVE_IMAGES must fail at
     construction — the reference only catches it at validation time,
