@@ -31,7 +31,8 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224):
+def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224,
+                   stage1='flax'):
     from spec_tpu.core import bins, constants as C, geometry as G
     from spec_tpu.core import smpl as S
     from spec_tpu.models import HMR, CameraRegressorNetwork
@@ -43,6 +44,27 @@ def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224):
         backbone='resnet50', dtype=compute_dtype)
     spec = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,
                dtype=compute_dtype)
+
+    def camcalib_fwd(cc_vars, frames):
+        if stage1 == 'fused':
+            # Folded-BN inference twin of the flax trunk (same variables).
+            from spec_tpu.models.backbones.fused_resnet import (
+                fused_resnet_apply,
+            )
+            tr = {'params': cc_vars['params']['ResNet_0'],
+                  'batch_stats': cc_vars['batch_stats']['ResNet_0']}
+            feats = fused_resnet_apply(tr, frames, arch='resnet50',
+                                       compute_dtype=compute_dtype)
+            x = jnp.mean(feats, axis=(1, 2))
+            outs = []
+            for name in ('fc_vfov', 'fc_pitch', 'fc_roll'):
+                p = cc_vars['params'][f'{name}_0']
+                y = (x.astype(compute_dtype)
+                     @ p['kernel'].astype(compute_dtype)
+                     + p['bias'].astype(compute_dtype))
+                outs.append(y.astype(jnp.float32))
+            return tuple(outs)
+        return camcalib.apply(cc_vars, frames)
 
     mean = jnp.asarray(C.IMG_NORM_MEAN)
     std = jnp.asarray(C.IMG_NORM_STD)
@@ -57,7 +79,7 @@ def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224):
 
         frames = (raw_frames / 255.0 - mean) / std
 
-        vfov_l, pitch_l, roll_l = camcalib.apply(cc_vars, frames)
+        vfov_l, pitch_l, roll_l = camcalib_fwd(cc_vars, frames)
         vfov, pitch, roll = bins.convert_preds_to_angles(
             vfov_l, pitch_l, roll_l, loss_type='softargmax_biased_l2')
         f_pix = G.focal_length_from_vfov(vfov, img_h)
@@ -95,14 +117,91 @@ def _fetch_rtt():
     return sorted(rtts)[len(rtts) // 2]
 
 
-def main():
-    from spec_tpu.ops.preprocess import spin_crop_corners
+def serving_bench(args):
+    """Multi-person serving-path bench: SpecPredictor's padded batching
+    (stage-1 bucket per frame + stage-2 pad-to-power-of-two person
+    batches, host SPIN crops) — the realistic demo workload (reference
+    ``spec/tester.py:109-133`` runs per-detection).
+
+    Timing is honest without the chained-scalar trick: ``predict``
+    fetches every output tensor to host each call, which forces remote
+    execution; steady-state wall-clock over many frames amortizes the
+    per-call tunnel round-trip.
+    """
+    from spec_tpu.serving import SpecPredictor
 
     rng = np.random.RandomState(0)
-    B = 128
-    frame_hw = (512, 672)  # CamCalib full-frame bucket (aspect ~4:3)
+    F, K = args.frames, args.persons
+    frames = [(rng.rand(480, 640, 3) * 255).astype(np.uint8)
+              for _ in range(F)]
+    boxes = [np.stack([
+        np.array([160 + 60 * k + rng.rand() * 30,
+                  240 + rng.rand() * 40, 90 + rng.rand() * 30,
+                  200 + rng.rand() * 40], np.float32)
+        for k in range(K)]) for _ in range(F)]
 
-    camcalib, spec, assets, pipeline = build_pipeline()
+    pred = SpecPredictor(batch_size=32, min_size=args.min_size,
+                         dtype=jnp.bfloat16)
+    for _ in range(2):           # compile both stages + pad shapes
+        pred.predict(frames, boxes)
+
+    t0 = time.perf_counter()
+    reps = args.iters
+    n_person = 0
+    for _ in range(reps):
+        results = pred.predict(frames, boxes)
+        n_person += sum(len(r) for r in results)
+    dt = time.perf_counter() - t0
+    assert n_person == reps * F * K
+    frames_per_s = reps * F / dt
+    print(json.dumps({
+        'metric': f'serving predict() e2e, {K} persons/frame '
+                  f'(480x640 frames, stage-1 min_size={args.min_size})',
+        'value': round(frames_per_s, 2),
+        'unit': 'frames/s/chip',
+        'persons_per_s': round(n_person / dt, 2),
+        'ms_per_frame': round(1000.0 * dt / (reps * F), 3),
+    }))
+
+
+def main(argv=None):
+    import argparse
+
+    from spec_tpu.ops.preprocess import spin_crop_corners
+
+    parser = argparse.ArgumentParser(description='spec_tpu e2e bench')
+    parser.add_argument('--batch', type=int, default=128)
+    parser.add_argument('--frame_h', type=int, default=512)
+    parser.add_argument('--frame_w', type=int, default=672)
+    parser.add_argument('--stage1', choices=['flax', 'fused'],
+                        default='flax',
+                        help='stage-1 trunk: flax ResNet or the '
+                             'folded-BN fused_resnet inference twin')
+    parser.add_argument('--iters', type=int, default=10)
+    parser.add_argument('--mode', choices=['pipeline', 'serving'],
+                        default='pipeline',
+                        help='pipeline: fused one-graph headline bench; '
+                             'serving: SpecPredictor multi-person path')
+    parser.add_argument('--frames', type=int, default=16,
+                        help='[serving] frames per predict() call')
+    parser.add_argument('--persons', type=int, default=4,
+                        help='[serving] persons per frame')
+    parser.add_argument('--min_size', type=int, default=600,
+                        help='[serving] stage-1 resize target')
+    args = parser.parse_args(argv)
+
+    if args.mode == 'serving':
+        return serving_bench(args)
+
+    rng = np.random.RandomState(0)
+    B = args.batch
+    # Default: the CamCalib full-frame bucket (aspect ~4:3). NB the
+    # reference demo resizes min-side to 600 (600x800 at 4:3); smaller
+    # buckets trade stage-1 accuracy for throughput — measured variants
+    # are recorded in CLAUDE.md, the headline stays at 512x672.
+    frame_hw = (args.frame_h, args.frame_w)
+
+    camcalib, spec, assets, pipeline = build_pipeline(stage1=args.stage1)
 
     raw = jnp.asarray((rng.rand(B, *frame_hw, 3) * 255).astype('f4'))
     center = (rng.rand(B, 2) * 300 + np.array([180, 100])).astype('f4')
@@ -138,7 +237,7 @@ def main():
     assert np.isfinite(float(acc))  # warmup/compile + force
     rtt = _fetch_rtt()
 
-    iters = 10
+    iters = args.iters
     t0 = time.perf_counter()
     acc = jnp.float32(0)
     for _ in range(iters):

@@ -55,6 +55,7 @@ def test_prepare_data_verify(data_root, capsys):
     assert status['SPEC checkpoint'][0] is False
 
 
+@pytest.mark.slow
 def test_spec_eval_then_compute_error_cli(data_root, tmp_path):
     """spec_eval end-to-end on the synthetic dataset (random weights,
     small backbone), then the standalone compute_error CLI on its dump."""
@@ -103,6 +104,7 @@ def test_demo_video_mode_rejects_folder_input(tmp_path):
         sys.argv = argv_bak
 
 
+@pytest.mark.slow
 def test_spec_eval_specsyn_j24(data_root, tmp_path, rng):
     """spec-syn runs the 24-joint protocol with the GT cam rotation."""
     import shutil
@@ -273,6 +275,7 @@ def test_reference_flag_surface_accepted(capsys):
             assert flag in helptext, (mod, flag)
 
 
+@pytest.mark.slow
 def test_spec_demo_video_mode(tmp_path):
     """--mode video: frames -> full pipeline -> annotated mp4 at the
     source fps (the reference stubs this with NotImplementedError)."""
@@ -346,6 +349,7 @@ def _make_train_data_root(root, rng, n=10):
     )
 
 
+@pytest.mark.slow
 def test_spec_train_cli_fdr(tmp_path, rng, monkeypatch):
     """End-to-end spec_train CLI fast-dev-run: mixed dataset, sharded
     jitted steps, checkpoint save, then the post-train test pass —

@@ -26,6 +26,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # three e2e paths, ~1 min
+
 GOLDENS_PATH = os.path.join(os.path.dirname(__file__), 'goldens.json')
 
 # Comparisons are rtol-loose enough for cross-XLA-version float noise on

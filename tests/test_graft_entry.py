@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess dryruns, ~1-2 min
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -1,6 +1,7 @@
 """Sharded training-step tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -171,6 +172,102 @@ def test_camcalib_train_step_fsdp_matches_replicated(rng):
     p_fsdp = jax.tree_util.tree_leaves(st_fsdp.params)[0]
     np.testing.assert_allclose(np.asarray(p_rep), np.asarray(p_fsdp),
                                atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fsdp_preemption_resume_bit_exact(tmp_path, rng):
+    """Preempt a TRAINING.FSDP=True run mid-epoch (SIGTERM latch) and
+    resume: the restored state must be BIT-exact vs the preempted one,
+    keep the FSDP layout, and continue stepping (VERDICT r1 §7 — the
+    latch and resume pruning were previously only tested replicated)."""
+    from test_cli import _make_train_data_root
+
+    from spec_tpu.data import CamDataset
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    root = tmp_path / 'data'
+    _make_train_data_root(root, rng, n=24)
+    annot = str(root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz')
+    img_dir = str(root / 'dataset_folders' / '3dpw')
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = str(tmp_path / 'run')
+    cfg.TRAINING.FSDP = True
+    cfg.TRAINING.LOG_SAVE_INTERVAL = 1
+    cfg.DATASET.BATCH_SIZE = 8
+    cfg.DATASET.NUM_WORKERS = 1
+
+    def make_train_dataset(epoch):
+        return CamDataset(annot, img_dir, dataset='3dpw-test-cam',
+                          is_train=True, img_res=64)
+
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=False)
+
+    def init_vars(seed):
+        B = 1
+        img = jnp.zeros((B, 64, 64, 3))
+        eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+        one = jnp.ones((B,))
+        v = model.init(jax.random.PRNGKey(seed), assets, img, eye, eye,
+                       one, jnp.ones((B, 2)), one, one)
+        for dec in ('decpose', 'decshape', 'deccam'):
+            leaf = v['params']['head'][dec]
+            leaf['kernel'] = jnp.zeros_like(leaf['kernel'])
+            leaf['bias'] = jnp.zeros_like(leaf['bias'])
+        return v
+
+    class StopAtStep:
+        """Fakes the SIGTERM latch: 'preempt' once the trainer reaches
+        the given global step (checked once per batch, like the real
+        GracefulShutdown.requested)."""
+
+        def __init__(self, trainer, at):
+            self.trainer, self.at = trainer, at
+
+        @property
+        def requested(self):
+            return int(self.trainer.state.step) >= self.at
+
+    t1 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     make_train_dataset, lambda: {},
+                     init_variables=init_vars(0))
+    t1._fit(1, StopAtStep(t1, 2))        # preempted mid-epoch (3 batches)
+    assert int(t1.state.step) == 2
+    from spec_tpu.utils.checkpoints import latest_step
+    assert latest_step(t1.ckpt_dir) == 2
+    snap = jax.device_get(
+        (t1.state.params, t1.state.opt_state, t1.state.batch_stats))
+
+    # Fresh process stand-in: different init, same logdir -> resume.
+    t2 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     make_train_dataset, lambda: {},
+                     init_variables=init_vars(7))
+    p_before = jax.tree_util.tree_leaves(jax.device_get(t2.state.params))
+    p_snap = jax.tree_util.tree_leaves(snap[0])
+    assert not all(np.array_equal(a, b)
+                   for a, b in zip(p_before, p_snap))  # init really differs
+    t2.resume()
+    assert int(t2.state.step) == 2
+    for got, want in zip(
+            jax.tree_util.tree_leaves(jax.device_get(
+                (t2.state.params, t2.state.opt_state,
+                 t2.state.batch_stats))),
+            jax.tree_util.tree_leaves(snap)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # Resumed run continues under the FSDP-jitted step and re-shards:
+    # after one more step the large leaves are laid out over the mesh.
+    t2._fit(1, StopAtStep(t2, 3))
+    assert int(t2.state.step) == 3
+    shardings = {
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(t2.state.params)
+        if hasattr(l, 'sharding') and l.size > 1024}
+    assert any('data' in s for s in shardings), shardings
 
 
 def test_adam_weight_decay_matches_torch():

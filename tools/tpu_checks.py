@@ -186,6 +186,49 @@ def main():
                            - np.asarray(res_cpu.vertices)).max()) * 1000
     check('smplify 60-iter fit chip vs CPU (fitted mesh)', fit_err, 5.0)
 
+    # ---- 5c. HRNet-W32 trunk on the real chip, both head variants
+    # (-interp default and -conv, reference spec/models/hmr.py:44-53):
+    # forward + a loss gradient, cross-checked against the CPU backend.
+    # Converter/activation parity is CPU-tested (tests/test_hrnet.py) but
+    # CPU/interp passes do not catch Mosaic/layout lowering surprises —
+    # this is the one-time hardware drive VERDICT r1 asked for.
+    from spec_tpu.models import backbones as BB
+
+    x_h = jnp.asarray(rng.rand(2, 224, 224, 3).astype('f4'))
+    for variant in ('hrnet_w32', 'hrnet_w32-conv'):
+        trunk = BB.get_backbone(variant, dtype=jnp.float32)
+        hvars = trunk.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 224, 3)), train=False)
+        fwd = jax.jit(lambda v, x, t=trunk: t.apply(v, x, train=False))
+        y_chip = np.asarray(fwd(hvars, x_h))
+        with jax.default_device(_cpu()):
+            y_cpu = np.asarray(fwd(hvars, x_h))
+        rel = float(np.abs(y_chip - y_cpu).max()) / (
+            float(np.abs(y_cpu).max()) + 1e-9)
+        # fp32 convs run as bf16 passes on TPU (~1e-3/layer drift).
+        check(f'{variant} forward chip vs CPU (rel)', rel, 2e-2, unit='')
+
+        def hloss(v, x, t=trunk):
+            y = t.apply(v, x, train=False)
+            return jnp.mean(jnp.sin(y.astype(jnp.float32) * 0.1))
+
+        g_chip = jax.jit(
+            jax.grad(lambda p, x: hloss(
+                {'params': p, 'batch_stats': hvars['batch_stats']},
+                x)))(hvars['params'], x_h)
+        with jax.default_device(_cpu()):
+            g_cpu = jax.grad(lambda p, x: hloss(
+                {'params': p, 'batch_stats': hvars['batch_stats']}, x))(
+                hvars['params'], x_h)
+        flat_c = np.concatenate([np.ravel(l) for l in
+                                 jax.tree_util.tree_leaves(g_chip)])
+        flat_r = np.concatenate([np.ravel(l) for l in
+                                 jax.tree_util.tree_leaves(g_cpu)])
+        grel = float(np.abs(flat_c - flat_r).max()) / (
+            float(np.abs(flat_r).max()) + 1e-9)
+        check(f'{variant} loss-grad chip vs CPU (rel)', grel, 3e-2,
+              unit='')
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
