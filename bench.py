@@ -117,6 +117,86 @@ def _fetch_rtt():
     return sorted(rtts)[len(rtts) // 2]
 
 
+def train_bench(args):
+    """SPEC training-step throughput: full fwd+bwd (ResNet-50 + HMR head +
+    SMPL + HMRCamLoss) + Adam with donated buffers, at the production crop
+    resolution. Chained-scalar timing (see _fetch_rtt)."""
+    import __graft_entry__ as ge
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+    from spec_tpu.train import adam, create_train_state, make_spec_train_step
+
+    rng = np.random.RandomState(0)
+    B, res = args.batch, 224
+    assets = S.create_test_assets()
+    if jax.default_backend() != 'cpu':
+        # The Pallas LBS kernel has no compiled CPU lowering; plain-jnp
+        # LBS is measured identical in the train graph anyway (CLAUDE.md).
+        assets = S.with_packed_lbs(assets)
+    model = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,
+                dtype=jnp.bfloat16)
+    ex = ge._example_inputs(B, res, rng)
+    variables = model.init(jax.random.PRNGKey(0), assets, *ex)
+    for dec in ('decpose', 'decshape', 'deccam'):
+        leaf = variables['params']['head'][dec]
+        leaf['kernel'] = jnp.zeros_like(leaf['kernel'])
+        leaf['bias'] = jnp.zeros_like(leaf['bias'])
+    tx = adam(1e-4)
+    state = create_train_state(variables, tx)
+    images, cam_rotmat, K, scale, center, img_w, img_h = ex
+    batch = {
+        'img': images,
+        'pose': jnp.asarray(rng.randn(B, 72).astype('f4') * 0.2),
+        'betas': jnp.asarray(rng.randn(B, 10).astype('f4') * 0.3),
+        'pose_conf': jnp.ones((B, 24)),
+        'pose_3d': jnp.asarray(rng.randn(B, 24, 4).astype('f4')),
+        'keypoints_orig': jnp.asarray(np.concatenate(
+            [rng.rand(B, 49, 2) * 1000, np.ones((B, 49, 1))],
+            -1).astype('f4')),
+        'has_smpl': jnp.ones((B,)),
+        'has_pose_3d': jnp.ones((B,)),
+        'orig_shape': jnp.asarray(
+            np.tile(np.array([[1080.0, 1920.0]], 'f4'), (B, 1))),
+        'scale': scale, 'center': center,
+        'cam_rotmat': cam_rotmat, 'cam_intrinsics': K,
+    }
+    raw_step = make_spec_train_step(model, assets, tx)
+
+    # Forcing: the final loss fetch transitively depends on every prior
+    # step through the state chain; the rng-key chain below is
+    # belt-and-braces (a non-provably-zero data dependency, see CLAUDE.md
+    # on constant-folded `s*0` carries). State buffers are donated like
+    # the real trainer's step.
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, key):
+        new_state, losses = raw_step(state, batch, key)
+        total = losses['loss/total_loss']
+        # non-provably-zero dependency (see CLAUDE.md: s*0 gets folded)
+        key = key + (total * 1e-30).astype(key.dtype)
+        return new_state, total, key
+
+    key = jax.random.PRNGKey(1)
+    state, total, key = step(state, batch, key)
+    assert np.isfinite(float(total))
+    rtt = _fetch_rtt()
+
+    iters = args.iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, total, key = step(state, batch, key)
+    final = float(total)  # forces the whole rng-chained sequence
+    dt = time.perf_counter() - t0 - rtt
+    assert np.isfinite(final)
+    print(json.dumps({
+        'metric': f'SPEC train step (fwd+bwd+Adam, donated), B={B} 224^2',
+        'value': round(B * iters / dt, 2),
+        'unit': 'img/s/chip',
+        'ms_per_step': round(1000.0 * dt / iters, 3),
+    }))
+
+
 def serving_bench(args):
     """Multi-person serving-path bench: SpecPredictor's padded batching
     (stage-1 bucket per frame + stage-2 pad-to-power-of-two person
@@ -170,7 +250,8 @@ def main(argv=None):
     from spec_tpu.ops.preprocess import spin_crop_corners
 
     parser = argparse.ArgumentParser(description='spec_tpu e2e bench')
-    parser.add_argument('--batch', type=int, default=128)
+    parser.add_argument('--batch', type=int, default=None,
+                        help='default: 128 (pipeline) / 64 (train)')
     parser.add_argument('--frame_h', type=int, default=512)
     parser.add_argument('--frame_w', type=int, default=672)
     parser.add_argument('--stage1', choices=['flax', 'fused'],
@@ -178,10 +259,11 @@ def main(argv=None):
                         help='stage-1 trunk: flax ResNet or the '
                              'folded-BN fused_resnet inference twin')
     parser.add_argument('--iters', type=int, default=10)
-    parser.add_argument('--mode', choices=['pipeline', 'serving'],
+    parser.add_argument('--mode', choices=['pipeline', 'serving', 'train'],
                         default='pipeline',
                         help='pipeline: fused one-graph headline bench; '
-                             'serving: SpecPredictor multi-person path')
+                             'serving: SpecPredictor multi-person path; '
+                             'train: full train-step throughput')
     parser.add_argument('--frames', type=int, default=16,
                         help='[serving] frames per predict() call')
     parser.add_argument('--persons', type=int, default=4,
@@ -189,9 +271,13 @@ def main(argv=None):
     parser.add_argument('--min_size', type=int, default=600,
                         help='[serving] stage-1 resize target')
     args = parser.parse_args(argv)
+    if args.batch is None:
+        args.batch = 64 if args.mode == 'train' else 128
 
     if args.mode == 'serving':
         return serving_bench(args)
+    if args.mode == 'train':
+        return train_bench(args)
 
     rng = np.random.RandomState(0)
     B = args.batch

@@ -194,7 +194,8 @@ class SpecPredictor:
             buckets[img.shape[:2]].append(i)
 
         out: List[Optional[dict]] = [None] * len(frames)
-        for _, idxs in buckets.items():
+        pending = []    # dispatch every bucket/chunk, then fetch (async
+        for _, idxs in buckets.items():   # dispatch overlaps host prep)
             for s0 in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s0:s0 + self.batch_size]
                 n_valid = len(chunk)
@@ -204,18 +205,20 @@ class SpecPredictor:
                 bp = _pad_size(n_valid, self.batch_size)
                 pad = chunk + [chunk[-1]] * (bp - n_valid)
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
-                vfov, pitch, roll = self._cam_infer(self.cc_vars, batch)
-                vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
-                                     np.asarray(roll))
-                for k, i in enumerate(chunk):
-                    orig_h = prepped[i][1]
-                    out[i] = {
-                        'vfov': float(vfov[k]),
-                        'f_pix': float(orig_h / 2.0
-                                       / np.tan(vfov[k] / 2.0)),
-                        'pitch': float(pitch[k]),
-                        'roll': float(roll[k]),
-                    }
+                pending.append(
+                    (chunk, self._cam_infer(self.cc_vars, batch)))
+        for chunk, (vfov, pitch, roll) in pending:
+            vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
+                                 np.asarray(roll))
+            for k, i in enumerate(chunk):
+                orig_h = prepped[i][1]
+                out[i] = {
+                    'vfov': float(vfov[k]),
+                    'f_pix': float(orig_h / 2.0
+                                   / np.tan(vfov[k] / 2.0)),
+                    'pitch': float(pitch[k]),
+                    'roll': float(roll[k]),
+                }
         return out  # type: ignore[return-value]
 
     # -- full pipeline --------------------------------------------------------
@@ -268,6 +271,13 @@ class SpecPredictor:
         results: List[List[dict]] = [[] for _ in frames]
         use_native = native.available()
         f32_frames: Dict[int, np.ndarray] = {}  # per-call frame cache
+        # Two-phase dispatch/fetch: jax dispatch is async, so queueing
+        # every chunk before fetching any result overlaps the host-side
+        # SPIN crops of chunk k with the device compute of chunk k-1
+        # (a synchronous per-chunk fetch serializes them). Outputs are
+        # small (KBs/person); the crops of in-flight chunks are the only
+        # extra HBM held.
+        pending: list = []
         for s0 in range(0, len(work), self.batch_size):
             chunk = work[s0:s0 + self.batch_size]
             n_valid = len(chunk)
@@ -310,6 +320,8 @@ class SpecPredictor:
                     np.float32)),
                 jnp.asarray(np.array([c[5] for c in chunk], np.float32)),
                 jnp.asarray(np.array([c[6] for c in chunk], np.float32)))
+            pending.append((chunk, n_valid, out))
+        for chunk, n_valid, out in pending:
             out_np = {k: np.asarray(v) for k, v in out.items()}
             for bi in range(n_valid):
                 fi = chunk[bi][0]
