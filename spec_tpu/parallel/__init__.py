@@ -13,7 +13,11 @@ equivalent is SPMD batch parallelism over a 1-D ``('data',)`` mesh:
   * gradient reduction is inserted by XLA from the sharding annotations
     (psum over 'data'), not hand-written collectives;
   * multi-host scale-out is the same program under
-    ``jax.distributed.initialize`` — the mesh just spans hosts (DCN).
+    ``jax.distributed.initialize`` — the mesh just spans hosts (DCN);
+  * optional ZeRO/FSDP (1-D, full data axis) and HSDP (2-D
+    ``('data', 'fsdp')`` hybrid, :func:`create_hybrid_mesh`) layouts as
+    capacity knobs — params/opt shard over the fsdp group, so per-layer
+    all-gathers stay within a slice while gradients all-reduce across.
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+FSDP_AXIS = 'fsdp'
 
 
 def create_mesh(
@@ -35,9 +40,35 @@ def create_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
-    """Shard the leading (batch) dimension over the mesh."""
-    return NamedSharding(mesh, P(axis_name))
+def create_hybrid_mesh(
+    devices: Optional[Sequence[Any]] = None, fsdp: int = 2,
+) -> Mesh:
+    """2-D HSDP mesh ``('data', 'fsdp')`` of shape (n/fsdp, fsdp).
+
+    Hybrid sharded data parallel: the batch is sharded over BOTH axes
+    (every device still holds a distinct micro-batch) while params and
+    optimizer state shard only over the inner ``fsdp`` axis and
+    replicate over ``data``. All-gather/reduce-scatter volume is bounded
+    to the ``fsdp`` group; gradient all-reduce crosses groups. On
+    multi-host topologies put the ``fsdp`` groups within a slice (ICI)
+    so the per-layer collectives never ride DCN — jax device order
+    already enumerates local devices first, so a reshape groups them.
+    Set ``fsdp=n_devices`` for full-axis ZeRO, ``fsdp=1`` for pure DP.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % fsdp != 0:
+        raise ValueError(f'{n} devices not divisible by fsdp={fsdp}')
+    arr = np.asarray(devices).reshape(n // fsdp, fsdp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS))
+
+
+def batch_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
+    """Shard the leading (batch) dimension over ALL mesh axes (for a 1-D
+    mesh this is the data axis; for the hybrid mesh the batch shards over
+    data x fsdp so every device computes a distinct micro-batch)."""
+    axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -45,7 +76,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
+def shard_batch(batch, mesh: Mesh, axis_name=None):
     """Device-put a pytree of host arrays with the batch axis sharded."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
@@ -57,8 +88,14 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def _fsdp_axis(mesh: Mesh) -> str:
+    """Param-sharding axis: the inner 'fsdp' axis on a hybrid mesh, else
+    the data axis (full-axis ZeRO on the 1-D mesh)."""
+    return FSDP_AXIS if FSDP_AXIS in mesh.axis_names else DATA_AXIS
+
+
 def fsdp_leaf_sharding(
-    mesh: Mesh, shape, axis_name: str = DATA_AXIS,
+    mesh: Mesh, shape, axis_name: Optional[str] = None,
     min_size: int = 2 ** 14,
 ) -> NamedSharding:
     """ZeRO/FSDP-style sharding for one array: shard the LARGEST axis that
@@ -73,6 +110,7 @@ def fsdp_leaf_sharding(
     activation headroom), not a throughput one — replication is the
     default (module docstring).
     """
+    axis_name = axis_name or _fsdp_axis(mesh)
     n_dev = mesh.shape[axis_name]
     size = int(np.prod(shape)) if shape else 0
     if size < min_size:
@@ -86,10 +124,12 @@ def fsdp_leaf_sharding(
     return NamedSharding(mesh, P(*spec))
 
 
-def fsdp_shardings(tree, mesh: Mesh, axis_name: str = DATA_AXIS,
+def fsdp_shardings(tree, mesh: Mesh, axis_name: Optional[str] = None,
                    min_size: int = 2 ** 14):
     """Pytree of NamedShardings mirroring ``tree`` (arrays or
-    ShapeDtypeStructs), leaf-wise :func:`fsdp_leaf_sharding`."""
+    ShapeDtypeStructs), leaf-wise :func:`fsdp_leaf_sharding`. On a
+    hybrid mesh the leaves shard over the inner 'fsdp' axis and
+    replicate over 'data' (HSDP)."""
     return jax.tree_util.tree_map(
         lambda x: fsdp_leaf_sharding(mesh, np.shape(x), axis_name,
                                      min_size), tree)

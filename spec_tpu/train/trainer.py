@@ -56,7 +56,13 @@ class SpecTrainer:
         self.make_train_dataset = make_train_dataset
         self.make_val_loaders = make_val_loaders
 
-        self.mesh = par.create_mesh()
+        fsdp_group = int(getattr(cfg.TRAINING, 'FSDP_GROUP_SIZE', 0) or 0)
+        if getattr(cfg.TRAINING, 'FSDP', False) and fsdp_group > 1:
+            # HSDP: params/opt shard over k-device groups, replicate
+            # across groups; batch shards over every device either way.
+            self.mesh = par.create_hybrid_mesh(fsdp=fsdp_group)
+        else:
+            self.mesh = par.create_mesh()
         n_dev = self.mesh.devices.size
         if cfg.DATASET.BATCH_SIZE % n_dev != 0:
             raise SystemExit(

@@ -340,6 +340,11 @@ def spec_default_config() -> CfgNode:
             # ZeRO/FSDP-style param+optimizer sharding over the data mesh
             # (capacity knob; off = replicated, the throughput default).
             'FSDP': False,
+            # HSDP group size: 0/1 = shard over the FULL data axis (1-D
+            # ZeRO); k>1 = 2-D ('data','fsdp') hybrid mesh with params
+            # sharded over k-device groups (all-gathers bounded to the
+            # group — keep the group within a slice on multi-host).
+            'FSDP_GROUP_SIZE': 0,
         },
         'TESTING': {
             'SAVE_IMAGES': False,

@@ -174,6 +174,67 @@ def test_camcalib_train_step_fsdp_matches_replicated(rng):
                                atol=1e-6)
 
 
+def test_hybrid_hsdp_matches_replicated(rng):
+    """HSDP (2-D ('data','fsdp') mesh, params sharded over 2-device
+    groups, batch over all 8 devices) is a pure layout change: loss and
+    params must match the replicated 1-D run; param leaves must be laid
+    out over 'fsdp' only while the batch spans both axes."""
+    import optax
+
+    mesh1 = par.create_mesh()
+    mesh2 = par.create_hybrid_mesh(fsdp=2)
+    assert dict(zip(mesh2.axis_names, mesh2.devices.shape)) == {
+        'data': 4, 'fsdp': 2}
+
+    model = CameraRegressorNetwork(backbone='resnet18')
+    B = 16
+    batch = {
+        'img': jnp.asarray(rng.randn(B, 64, 64, 3).astype('f4')),
+        'vfov': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+        'pitch': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+        'roll': jnp.asarray((rng.rand(B) * 2 - 1).astype('f4')),
+    }
+    tx = optax.sgd(1e-2)  # see the FSDP test: SGD keeps layouts bit-tight
+    variables = model.init(jax.random.PRNGKey(0), batch['img'])
+    step = make_camcalib_train_step(model, tx)
+
+    # Replicated 1-D reference.
+    rep1 = par.replicated(mesh1)
+    st_rep = par.replicate(create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables), tx), mesh1)
+    jit_rep = jax.jit(step, in_shardings=(rep1, par.batch_sharding(mesh1)),
+                      out_shardings=(rep1, rep1))
+    for _ in range(2):
+        st_rep, d_rep = jit_rep(st_rep, par.shard_batch(batch, mesh1))
+
+    # HSDP on the hybrid mesh.
+    st = create_train_state(variables, tx)
+    st_sh = par.fsdp_shardings(st, mesh2)
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, st_sh),
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    flat = [ax for sp in specs for ax in sp if ax is not None]
+    assert flat and set(flat) == {'fsdp'}   # never sharded over 'data'
+
+    rep2 = par.replicated(mesh2)
+    jit_h = jax.jit(step, in_shardings=(st_sh, par.batch_sharding(mesh2)),
+                    out_shardings=(st_sh, rep2))
+    st_h = par.shard_like(st, st_sh)
+    hb = par.shard_batch(batch, mesh2)
+    # batch spans both axes -> 8-way sharded leading dim
+    assert hb['img'].sharding.spec == jax.sharding.PartitionSpec(
+        ('data', 'fsdp'))
+    for _ in range(2):
+        st_h, d_h = jit_h(st_h, hb)
+
+    np.testing.assert_allclose(float(d_h['loss']), float(d_rep['loss']),
+                               rtol=1e-5)
+    p_rep = jax.tree_util.tree_leaves(st_rep.params)[0]
+    p_h = jax.tree_util.tree_leaves(st_h.params)[0]
+    np.testing.assert_allclose(np.asarray(p_rep), np.asarray(p_h),
+                               atol=1e-6)
+
+
 @pytest.mark.slow
 def test_fsdp_preemption_resume_bit_exact(tmp_path, rng):
     """Preempt a TRAINING.FSDP=True run mid-epoch (SIGTERM latch) and
