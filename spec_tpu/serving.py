@@ -153,10 +153,18 @@ class SpecPredictor:
 
     # -- jitted bodies ------------------------------------------------------
 
-    def _cam_forward(self, cc_vars, images):
+    def _cam_forward(self, cc_vars, images_u8):
         # NB: bins is imported at module scope — importing it here (inside
         # a traced body) would create its module-level tables under the
         # trace on first import (leaked tracers).
+        # Frames arrive as uint8 and normalize ON DEVICE: host->device
+        # transfer is 4x smaller than pre-normalized f32 (PIL's resize
+        # output is uint8 anyway, so this is lossless), which matters on
+        # PCIe and dominates through the remote tunnel.
+        jnp = self._jnp
+        images = (images_u8.astype(jnp.float32) / 255.0
+                  - jnp.asarray(C.IMG_NORM_MEAN)) / jnp.asarray(
+                      C.IMG_NORM_STD)
         logits = self.camcalib.apply(cc_vars, images)
         return bins.convert_preds_to_angles(*logits,
                                             loss_type=self.loss_type)
@@ -186,11 +194,8 @@ class SpecPredictor:
         for i, fr in enumerate(frames):
             pil = Image.fromarray(np.asarray(fr).astype(np.uint8))
             h = pil.size[1]
-            img = np.asarray(resize_min_side(pil, self.min_size),
-                             np.float32) / 255.0
-            img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(
-                np.float32)
-            prepped.append((img, h))
+            img = np.asarray(resize_min_side(pil, self.min_size), np.uint8)
+            prepped.append((img, h))   # uint8; normalized on device
             buckets[img.shape[:2]].append(i)
 
         out: List[Optional[dict]] = [None] * len(frames)

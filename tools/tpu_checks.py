@@ -14,7 +14,12 @@ Exit code 0 = all checks pass.
 
 from __future__ import annotations
 
+import os
 import sys
+
+# `python tools/tpu_checks.py` puts tools/ (not the repo root) on
+# sys.path; make the spec_tpu import work for any invocation style.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -212,22 +217,31 @@ def main():
             y = t.apply(v, x, train=False)
             return jnp.mean(jnp.sin(y.astype(jnp.float32) * 0.1))
 
-        g_chip = jax.jit(
-            jax.grad(lambda p, x: hloss(
-                {'params': p, 'batch_stats': hvars['batch_stats']},
-                x)))(hvars['params'], x_h)
-        with jax.default_device(_cpu()):
-            g_cpu = jax.grad(lambda p, x: hloss(
-                {'params': p, 'batch_stats': hvars['batch_stats']}, x))(
-                hvars['params'], x_h)
+        # Grad parity runs fp32-PINNED: at default precision the TPU's
+        # bf16 conv passes legitimately flip ReLU masks and accumulate
+        # through the deep multi-branch trunk to ~0.28 entrywise grad
+        # deviation vs the f32 CPU reference (measured; collapses to
+        # 2e-3 at HIGHEST) — that is a precision-policy fact, not a
+        # lowering bug, and pinning isolates what this check is for:
+        # that the backward lowering computes the right thing.
+        with jax.default_matmul_precision('highest'):
+            g_chip = jax.jit(
+                jax.grad(lambda p, x: hloss(
+                    {'params': p, 'batch_stats': hvars['batch_stats']},
+                    x)))(hvars['params'], x_h)
+            with jax.default_device(_cpu()):
+                g_cpu = jax.grad(lambda p, x: hloss(
+                    {'params': p,
+                     'batch_stats': hvars['batch_stats']}, x))(
+                    hvars['params'], x_h)
         flat_c = np.concatenate([np.ravel(l) for l in
                                  jax.tree_util.tree_leaves(g_chip)])
         flat_r = np.concatenate([np.ravel(l) for l in
                                  jax.tree_util.tree_leaves(g_cpu)])
         grel = float(np.abs(flat_c - flat_r).max()) / (
             float(np.abs(flat_r).max()) + 1e-9)
-        check(f'{variant} loss-grad chip vs CPU (rel)', grel, 3e-2,
-              unit='')
+        check(f'{variant} loss-grad chip vs CPU (fp32-pinned, rel)',
+              grel, 1e-2, unit='')
 
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
