@@ -108,6 +108,9 @@ def run_spec_on_folder(
     detection_threshold: float = 0.7,
     save_obj: bool = False,
     cfg_file: str = '',
+    detector: str = '',
+    yolo_weights: str = '',
+    yolo_img_size: int = 416,
 ):
     import cv2
     import jax
@@ -132,6 +135,22 @@ def run_spec_on_folder(
         shapes[os.path.basename(name)] = (h, w)
     if bbox_file:
         dets = load_bboxes_file(bbox_file)
+    elif detector == 'yolo':
+        from spec_tpu.data.detection import run_yolo_detections
+        dets = run_yolo_detections(
+            image_names, yolo_weights, img_size=yolo_img_size,
+            conf_thresh=detection_threshold)
+        # Persist (merged across video-mode chunk flushes) so tracking
+        # and users can consume them like any --bbox_file.
+        import json
+        det_json = os.path.join(output_folder, 'detections.json')
+        merged = {}
+        if os.path.exists(det_json):
+            with open(det_json) as f:
+                merged = json.load(f)
+        merged.update({k: np.asarray(v).tolist() for k, v in dets.items()})
+        with open(det_json, 'w') as f:
+            json.dump(merged, f)
     else:
         print('[spec] no --bbox_file given; using full-frame boxes')
         dets = full_image_bboxes(shapes)
@@ -344,6 +363,10 @@ def run_spec_on_video(
     h, w = first_hw
     if vid_dets is not None:
         dets = vid_dets    # validated before decoding, above
+    elif folder_kwargs.get('detector') == 'yolo':
+        # run_spec_on_folder persisted its per-chunk YOLO detections.
+        dets = load_bboxes_file(
+            os.path.join(output_folder, 'detections.json'))
     else:
         dets = full_image_bboxes({n: (h, w) for n in names})
     per_frame = [np.asarray(dets.get(n, np.zeros((0, 4), np.float32)),
@@ -434,22 +457,32 @@ def main(argv=None):
                         help='video mode: keep decoded frames on disk')
     # --- reference flag-surface compatibility (scripts/spec_demo.py:94-166).
     # '--ckpt' is the reference's name for the SPEC checkpoint; '--exp'
-    # suffixes the output directory (reference :46). The detector/tracker
-    # group configures the external YOLOv3/MPT detector — detection here is
-    # a pluggable input (--bbox_file, or full-frame fallback), so they are
-    # accepted no-ops; the render-extra and smoothing flags are accepted
-    # and unused exactly as in the reference tester (spec/tester.py).
+    # suffixes the output directory (reference :46). '--detector yolo'
+    # runs the in-repo TPU-native YOLOv3 (needs --yolo_weights pointed at
+    # the official darknet yolov3.weights, reference prepare_data.sh:11);
+    # the remaining tracker flags are accepted no-ops; the render-extra
+    # and smoothing flags are accepted and unused exactly as in the
+    # reference tester (spec/tester.py).
     parser.add_argument('--ckpt', type=str, default='',
                         help='alias for --spec_ckpt (reference name)')
     parser.add_argument('--exp', type=str, default='',
                         help='experiment suffix appended to the output dir')
-    for noop in ('--tracking_method', '--detector', '--staf_dir'):
+    parser.add_argument('--detector', type=str, default='',
+                        choices=['', 'yolo', 'maskrcnn'],
+                        help="'yolo' runs the in-repo YOLOv3 "
+                             '(--yolo_weights required); default is '
+                             '--bbox_file / full-frame fallback')
+    parser.add_argument('--yolo_weights', type=str, default='',
+                        help='path to official darknet yolov3.weights '
+                             'for --detector yolo')
+    parser.add_argument('--yolo_img_size', type=int, default=416,
+                        help='YOLOv3 input size (multiple of 32)')
+    for noop in ('--tracking_method', '--staf_dir'):
         parser.add_argument(noop, type=str, default=None,
                             help='accepted for reference CLI parity; '
                                  'detection is pluggable via --bbox_file')
-    for noop in ('--yolo_img_size', '--tracker_batch_size'):
-        parser.add_argument(noop, type=int, default=None,
-                            help='accepted for reference CLI parity')
+    parser.add_argument('--tracker_batch_size', type=int, default=None,
+                        help='accepted for reference CLI parity')
     parser.add_argument('--min_cutoff', type=float, default=None,
                         help='accepted; unused (as in the reference)')
     parser.add_argument('--beta', type=float, default=None,
@@ -484,12 +517,22 @@ def main(argv=None):
             out_folder,
             os.path.basename(src.rstrip('/')).rsplit('.', 1)[0]
             + '_' + args.exp)
+    if args.detector == 'maskrcnn':
+        raise SystemExit(
+            '--detector maskrcnn is not bundled; use --detector yolo '
+            '(in-repo) or precompute boxes with any detector and pass '
+            '--bbox_file')
+    if args.detector == 'yolo' and not args.yolo_weights:
+        print('[spec] WARNING: --detector yolo without --yolo_weights '
+              'runs a random-init detector (pipeline check only); point '
+              '--yolo_weights at the official darknet yolov3.weights')
     common = dict(
         spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
         bbox_file=args.bbox_file, batch_size=args.batch_size,
         save_results=not args.no_save, render=not args.no_render,
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
-        cfg_file=args.cfg)
+        cfg_file=args.cfg, detector=args.detector,
+        yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size)
     if args.mode == 'video':
         run_spec_on_video(args.vid_file, out_folder,
                           chunk_size=args.chunk_size,

@@ -6,8 +6,11 @@ The reference shells out to YOLOv3 through ``multi_person_tracker``
 ``spec/tester.py:127-128``). That stack is CUDA/torch-specific; here
 detection is pluggable:
 
-  * ``load_bboxes_file`` — precomputed detections (json / npz), the
-    production path: any detector can feed the pipeline.
+  * ``run_yolo_detections`` — the in-repo TPU-native YOLOv3
+    (:mod:`spec_tpu.models.detector`); point it at the official darknet
+    ``yolov3.weights`` file to reproduce the reference detector.
+  * ``load_bboxes_file`` — precomputed detections (json / npz): any
+    detector can feed the pipeline.
   * ``full_image_bboxes`` — single whole-image box per frame, the
     zero-dependency fallback for quick demos.
 """
@@ -46,6 +49,40 @@ def full_image_bboxes(image_shapes: Dict[str, tuple],
         box_h = h * (1 - 2 * margin)
         side = max(box_w, box_h)
         out[name] = np.array([[w / 2.0, h / 2.0, side, side]], np.float32)
+    return out
+
+
+# Weight loads + jit traces happen once per config (the chunked video
+# demo calls run_yolo_detections once per chunk).
+_YOLO_CACHE: Dict[tuple, object] = {}
+
+
+def run_yolo_detections(image_paths: List[str], weights_path: str,
+                        img_size: int = 416, batch_size: int = 8,
+                        conf_thresh: float = 0.7) -> Dict[str, np.ndarray]:
+    """Run the in-repo YOLOv3 over image files -> {basename: (N, 4)
+    square [cx, cy, w, h] person boxes} (the MPT output contract the
+    reference demo consumes, spec/tester.py:83-84,109-133)."""
+    from PIL import Image
+
+    from spec_tpu.models.detector import YoloDetector
+
+    key = (weights_path, img_size, batch_size, conf_thresh)
+    if key not in _YOLO_CACHE:
+        _YOLO_CACHE[key] = YoloDetector(
+            weights_path=weights_path or None, img_size=img_size,
+            batch_size=batch_size, conf_thresh=conf_thresh)
+    det = _YOLO_CACHE[key]
+    out: Dict[str, np.ndarray] = {}
+    # Batch across files, chunked to bound host memory on big folders.
+    for start in range(0, len(image_paths), 64):
+        chunk = image_paths[start:start + 64]
+        frames = []
+        for p in chunk:
+            with Image.open(p) as im:
+                frames.append(np.asarray(im.convert('RGB')))
+        for p, boxes in zip(chunk, det.detect(frames)):
+            out[os.path.basename(p)] = boxes
     return out
 
 
