@@ -244,6 +244,45 @@ def serving_bench(args):
     }))
 
 
+def detect_bench(args):
+    """YOLOv3 detector throughput: jitted bf16 forward + device-side
+    top-K person filter at the standard 416 input. Chained-scalar
+    timing (see _fetch_rtt) — the (B, 256, 5) candidate fetch itself is
+    excluded so the number is the device-side detection rate."""
+    from spec_tpu.models.detector import YoloV3, top_person_candidates
+
+    rng = np.random.RandomState(0)
+    B, S = args.batch, 416
+    model = YoloV3()
+    x = jnp.asarray(rng.rand(B, S, S, 3).astype('f4'))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, S, S, 3), jnp.float32))
+
+    @jax.jit
+    def step(acc, v, x):
+        cand = top_person_candidates(model.apply(v, x, mutable=False))
+        return acc + jnp.sum(cand.astype(jnp.float32))
+
+    acc = step(jnp.float32(0), variables, x)
+    assert np.isfinite(float(acc))
+    rtt = _fetch_rtt()
+    iters = args.iters
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(iters):
+        acc = step(acc, variables, x)
+    total = float(acc)
+    dt = time.perf_counter() - t0 - rtt
+    assert np.isfinite(total)
+    print(json.dumps({
+        'metric': f'yolov3 person detection (416^2 bf16, device top-K), '
+                  f'B={B}',
+        'value': round(B * iters / dt, 2),
+        'unit': 'img/s/chip',
+        'ms_per_batch': round(1000.0 * dt / iters, 3),
+    }))
+
+
 def main(argv=None):
     import argparse
 
@@ -259,11 +298,13 @@ def main(argv=None):
                         help='stage-1 trunk: flax ResNet or the '
                              'folded-BN fused_resnet inference twin')
     parser.add_argument('--iters', type=int, default=10)
-    parser.add_argument('--mode', choices=['pipeline', 'serving', 'train'],
+    parser.add_argument('--mode',
+                        choices=['pipeline', 'serving', 'train', 'detect'],
                         default='pipeline',
                         help='pipeline: fused one-graph headline bench; '
                              'serving: SpecPredictor multi-person path; '
-                             'train: full train-step throughput')
+                             'train: full train-step throughput; '
+                             'detect: YOLOv3 person-detector throughput')
     parser.add_argument('--frames', type=int, default=16,
                         help='[serving] frames per predict() call')
     parser.add_argument('--persons', type=int, default=4,
@@ -272,12 +313,14 @@ def main(argv=None):
                         help='[serving] stage-1 resize target')
     args = parser.parse_args(argv)
     if args.batch is None:
-        args.batch = 64 if args.mode == 'train' else 128
+        args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)
 
     if args.mode == 'serving':
         return serving_bench(args)
     if args.mode == 'train':
         return train_bench(args)
+    if args.mode == 'detect':
+        return detect_bench(args)
 
     rng = np.random.RandomState(0)
     B = args.batch

@@ -251,15 +251,31 @@ def letterbox(img: np.ndarray, size: int = 416,
     return out, scale, float(pad_x), float(pad_y)
 
 
+def top_person_candidates(dets: jnp.ndarray, k: int = 256) -> jnp.ndarray:
+    """Device-side candidate selection: (B, N, 85) decoded rows ->
+    (B, k, 5) [cx, cy, w, h, obj*P(person)] sorted by score.
+
+    Keeps the host fetch tiny (5 KB vs 3.5 MB per frame) — everything
+    score-shaped runs on the VPU, only NMS-sized work leaves HBM. k=256
+    comfortably exceeds any real person count per frame before NMS.
+    """
+    score = dets[..., 4] * dets[..., 5]
+    top, idx = jax.lax.top_k(score, min(k, score.shape[-1]))
+    boxes = jnp.take_along_axis(dets[..., :4], idx[..., None], axis=1)
+    return jnp.concatenate([boxes, top[..., None]], axis=-1)
+
+
 def nms_person(dets: np.ndarray, conf_thresh: float = 0.7,
                nms_thresh: float = 0.4) -> np.ndarray:
     """Person-class confidence filter + greedy IoU NMS.
 
-    ``dets``: (N, 85) decoded rows [cx, cy, w, h, obj, 80 cls]. Score =
+    ``dets``: (N, 85) decoded rows [cx, cy, w, h, obj, 80 cls] OR (N, 5)
+    pre-scored rows from :func:`top_person_candidates`. Score =
     obj * P(person). Returns (M, 5) [cx, cy, w, h, score] sorted by
     score descending.
     """
-    score = dets[:, 4] * dets[:, 5]
+    score = (dets[:, 4] if dets.shape[1] == 5
+             else dets[:, 4] * dets[:, 5])
     keep = score > conf_thresh
     if not keep.any():
         return np.zeros((0, 5), np.float32)
@@ -327,8 +343,12 @@ class YoloDetector:
         if weights_path is not None:
             with open(weights_path, 'rb') as f:
                 self.vars, _ = load_darknet_weights(self.vars, f.read())
+        # Fused forward + device-side top-K person filter: the host
+        # fetch is (B, 256, 5) instead of (B, 10647, 85) — candidate
+        # scoring stays on device, only NMS-sized data crosses PCIe.
         self._fwd = jax.jit(
-            lambda v, x: self.model.apply(v, x, mutable=False))
+            lambda v, x: top_person_candidates(
+                self.model.apply(v, x, mutable=False)))
 
     def detect(self, frames: Sequence[np.ndarray]) -> List[np.ndarray]:
         results: List[np.ndarray] = []

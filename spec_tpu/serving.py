@@ -61,6 +61,10 @@ class SpecPredictor:
       use_fused_lbs: route SMPL through the fused Pallas kernel.
         Default: on when the default backend is a TPU (the kernel has no
         compiled CPU lowering).
+      data_parallel: shard every batch over a 1-D mesh of ALL visible
+        devices (params replicated, batch split — the v5e-8 serving
+        layout). batch_size must divide by the device count; small calls
+        still pad, but never below one item per device.
     """
 
     def __init__(
@@ -78,6 +82,7 @@ class SpecPredictor:
         min_size: int = 600,
         dtype: Any = None,
         use_fused_lbs: Optional[bool] = None,
+        data_parallel: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -148,8 +153,41 @@ class SpecPredictor:
         # bake into the HLO, so compile-cache keys would change with every
         # fresh init and the remote-compile payload would carry the full
         # weight tensors.
-        self._cam_infer = jax.jit(self._cam_forward)
-        self._spec_infer = jax.jit(self._spec_forward)
+        self._min_pad = 1
+        if data_parallel:
+            import spec_tpu.parallel as par
+
+            self.mesh = par.create_mesh()
+            n_dev = int(self.mesh.devices.size)
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f'batch_size {self.batch_size} must be a multiple '
+                    f'of the device count {n_dev} for data_parallel')
+            rep = par.replicated(self.mesh)
+            bs = par.batch_sharding(self.mesh)
+            self.cc_vars = jax.device_put(self.cc_vars, rep)
+            self.spec_vars = jax.device_put(self.spec_vars, rep)
+            self._cam_infer = jax.jit(self._cam_forward,
+                                      in_shardings=(rep, bs),
+                                      out_shardings=bs)
+            self._spec_infer = jax.jit(self._spec_forward,
+                                       in_shardings=(rep,) + (bs,) * 7,
+                                       out_shardings=bs)
+            # Padded batches must stay divisible by the mesh (powers of
+            # two compose with power-of-two meshes above this floor).
+            self._min_pad = n_dev
+        else:
+            self.mesh = None
+            self._cam_infer = jax.jit(self._cam_forward)
+            self._spec_infer = jax.jit(self._spec_forward)
+
+    def _padded(self, n_valid: int) -> int:
+        """Compiled batch size for ``n_valid`` work items: next power of
+        two capped at batch_size, rounded up to a multiple of the mesh
+        size under data_parallel (so every device shard is non-empty)."""
+        bp = _pad_size(n_valid, self.batch_size)
+        mp = self._min_pad
+        return -(-bp // mp) * mp
 
     # -- jitted bodies ------------------------------------------------------
 
@@ -206,8 +244,10 @@ class SpecPredictor:
                 n_valid = len(chunk)
                 # Pad to the next power of two (capped at batch_size):
                 # bounded compile count per bucket without paying a full
-                # batch of stage-1 ResNet for a one-frame call.
-                bp = _pad_size(n_valid, self.batch_size)
+                # batch of stage-1 ResNet for a one-frame call. Under
+                # data_parallel the pad is also rounded up to a multiple
+                # of the device count so every shard is non-empty.
+                bp = self._padded(n_valid)
                 pad = chunk + [chunk[-1]] * (bp - n_valid)
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
                 pending.append(
@@ -286,7 +326,7 @@ class SpecPredictor:
         for s0 in range(0, len(work), self.batch_size):
             chunk = work[s0:s0 + self.batch_size]
             n_valid = len(chunk)
-            bp = _pad_size(n_valid, self.batch_size)
+            bp = self._padded(n_valid)
             while len(chunk) < bp:
                 chunk = chunk + [chunk[-1]]
             # One native call per FRAME with all of its crops — the

@@ -288,3 +288,23 @@ def test_demo_maskrcnn_detector_rejected(tmp_path):
 
     with pytest.raises(SystemExit):
         main(['--image_folder', str(tmp_path), '--detector', 'maskrcnn'])
+
+
+def test_top_person_candidates_matches_full_nms():
+    """Device-side top-K person filtering is NMS-equivalent to feeding
+    the full candidate set."""
+    from spec_tpu.models.detector import top_person_candidates
+
+    rng = np.random.RandomState(3)
+    dets = rng.rand(2, 500, 85).astype(np.float32)
+    dets[..., :4] *= 400          # plausible box geometry
+    topk = np.asarray(top_person_candidates(jnp.asarray(dets), k=256))
+    assert topk.shape == (2, 256, 5)
+    for b in range(2):
+        full = nms_person(dets[b], conf_thresh=0.5, nms_thresh=0.4)
+        via_topk = nms_person(topk[b], conf_thresh=0.5, nms_thresh=0.4)
+        np.testing.assert_allclose(via_topk, full, rtol=1e-6)
+    # k larger than N clamps instead of erroring
+    small = np.asarray(top_person_candidates(
+        jnp.asarray(dets[:, :100]), k=256))
+    assert small.shape == (2, 100, 5)

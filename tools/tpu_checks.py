@@ -243,6 +243,35 @@ def main():
         check(f'{variant} loss-grad chip vs CPU (fp32-pinned, rel)',
               grel, 1e-2, unit='')
 
+    # ---- 5d. YOLOv3 detector on the real chip: forward + device-side
+    # top-K candidate filter, cross-checked vs the CPU backend (the
+    # decode tail — sigmoid/exp/meshgrid/top_k over (B, N, 85) — is new
+    # lowering surface; interpret/CPU passes do not catch Mosaic bugs).
+    from spec_tpu.models.detector import YoloV3, top_person_candidates
+
+    ym = YoloV3(compute_dtype=jnp.bfloat16)
+    x_y = jnp.asarray(rng.rand(2, 416, 416, 3).astype('f4'))
+    yvars = ym.init(jax.random.PRNGKey(2), x_y)
+    yfwd = jax.jit(lambda v, x: ym.apply(v, x, mutable=False))
+    y_chip = np.asarray(yfwd(yvars, x_y))
+    with jax.default_device(_cpu()):
+        y_cpu = np.asarray(yfwd(yvars, x_y))
+    # Elementwise on the full decode: same index = same anchor, so this
+    # is ordering-insensitive (a top-K rank comparison reshuffles
+    # near-tie random-init scores and measures nothing). Boxes in px.
+    box_med = float(np.median(np.abs(y_chip[..., :4] - y_cpu[..., :4])))
+    check('yolov3 decoded boxes chip vs CPU (median px)', box_med, 2.0,
+          unit='px')
+    score_med = float(np.median(np.abs(y_chip[..., 4:] - y_cpu[..., 4:])))
+    check('yolov3 obj/cls scores chip vs CPU (median)', score_med, 5e-3,
+          unit='')
+    # top_k + take_along_axis lowering sanity on chip: shape, finiteness,
+    # descending scores.
+    y_top = np.asarray(jax.jit(top_person_candidates)(jnp.asarray(y_chip)))
+    assert y_top.shape == (2, 256, 5) and np.isfinite(y_top).all()
+    assert (np.diff(y_top[..., 4], axis=-1) <= 1e-6).all()
+    check('yolov3 device top-K monotone scores', 0.0, 1.0, unit='')
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
