@@ -45,12 +45,17 @@ def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224,
     spec = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,
                dtype=compute_dtype)
 
+    if stage1 == 'fused':
+        # Imported EAGERLY, outside the traced body below: a first import
+        # under the jit trace would create any module-level jnp constants
+        # as leaked tracers (CLAUDE.md; bins.py bit this).
+        from spec_tpu.models.backbones.fused_resnet import (
+            fused_resnet_apply,
+        )
+
     def camcalib_fwd(cc_vars, frames):
         if stage1 == 'fused':
             # Folded-BN inference twin of the flax trunk (same variables).
-            from spec_tpu.models.backbones.fused_resnet import (
-                fused_resnet_apply,
-            )
             tr = {'params': cc_vars['params']['ResNet_0'],
                   'batch_stats': cc_vars['batch_stats']['ResNet_0']}
             feats = fused_resnet_apply(tr, frames, arch='resnet50',
@@ -137,29 +142,10 @@ def train_bench(args):
                 dtype=jnp.bfloat16)
     ex = ge._example_inputs(B, res, rng)
     variables = model.init(jax.random.PRNGKey(0), assets, *ex)
-    for dec in ('decpose', 'decshape', 'deccam'):
-        leaf = variables['params']['head'][dec]
-        leaf['kernel'] = jnp.zeros_like(leaf['kernel'])
-        leaf['bias'] = jnp.zeros_like(leaf['bias'])
+    ge._zero_head_decoders(variables)
     tx = adam(1e-4)
     state = create_train_state(variables, tx)
-    images, cam_rotmat, K, scale, center, img_w, img_h = ex
-    batch = {
-        'img': images,
-        'pose': jnp.asarray(rng.randn(B, 72).astype('f4') * 0.2),
-        'betas': jnp.asarray(rng.randn(B, 10).astype('f4') * 0.3),
-        'pose_conf': jnp.ones((B, 24)),
-        'pose_3d': jnp.asarray(rng.randn(B, 24, 4).astype('f4')),
-        'keypoints_orig': jnp.asarray(np.concatenate(
-            [rng.rand(B, 49, 2) * 1000, np.ones((B, 49, 1))],
-            -1).astype('f4')),
-        'has_smpl': jnp.ones((B,)),
-        'has_pose_3d': jnp.ones((B,)),
-        'orig_shape': jnp.asarray(
-            np.tile(np.array([[1080.0, 1920.0]], 'f4'), (B, 1))),
-        'scale': scale, 'center': center,
-        'cam_rotmat': cam_rotmat, 'cam_intrinsics': K,
-    }
+    batch = ge._example_batch(B, rng, ex)
     raw_step = make_spec_train_step(model, assets, tx)
 
     # Forcing: the final loss fetch transitively depends on every prior

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import time
 
 import joblib
@@ -296,11 +297,16 @@ def run_spec_on_video(
     vid_dets = None
     if folder_kwargs.get('bbox_file'):
         vid_dets = load_bboxes_file(folder_kwargs['bbox_file'])
-        if '000000.png' not in vid_dets:
+        # Frames with no detections may legitimately be omitted, so
+        # require only that SOME key follows the convention rather than
+        # any specific frame being present.
+        if not any(re.fullmatch(r'\d{6}\.(png|jpg)', k)
+                   for k in vid_dets):
             raise ValueError(
                 f'--bbox_file {folder_kwargs["bbox_file"]!r} has no '
-                f"'000000.png' key; video-mode bbox files must be keyed "
-                f"by decoded frame names '000000.png', '000001.png', ... "
+                f"frame-name-convention keys; video-mode bbox files must "
+                f"be keyed by decoded frame names '000000.png', "
+                f"'000001.png', ... "
                 f'(got keys like {sorted(vid_dets)[:3]})')
     work_dir = os.path.join(output_folder, 'frames_chunk')
     kept_dir = os.path.join(output_folder, 'frames')

@@ -67,11 +67,13 @@ def run_yolo_detections(image_paths: List[str], weights_path: str,
 
     from spec_tpu.models.detector import YoloDetector
 
-    key = (weights_path, img_size, batch_size, conf_thresh)
+    # conf_thresh is host-side NMS only — keeping it out of the cache key
+    # means a threshold sweep reuses the loaded weights + jitted graph.
+    key = (weights_path, img_size, batch_size)
     if key not in _YOLO_CACHE:
         _YOLO_CACHE[key] = YoloDetector(
             weights_path=weights_path or None, img_size=img_size,
-            batch_size=batch_size, conf_thresh=conf_thresh)
+            batch_size=batch_size)
     det = _YOLO_CACHE[key]
     out: Dict[str, np.ndarray] = {}
     # Batch across files, chunked to bound host memory on big folders.
@@ -81,7 +83,8 @@ def run_yolo_detections(image_paths: List[str], weights_path: str,
         for p in chunk:
             with Image.open(p) as im:
                 frames.append(np.asarray(im.convert('RGB')))
-        for p, boxes in zip(chunk, det.detect(frames)):
+        for p, boxes in zip(chunk,
+                            det.detect(frames, conf_thresh=conf_thresh)):
             out[os.path.basename(p)] = boxes
     return out
 

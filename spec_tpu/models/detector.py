@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spec_tpu.utils.batching import pad_pow2
+
 # ---------------------------------------------------------------------------
 # Architecture table — official yolov3.cfg, conv/shortcut/route/upsample
 # order preserved exactly (this IS the darknet weight-file order).
@@ -323,13 +325,24 @@ class YoloDetector:
 
     One jitted graph per (batch, size); frames are letterboxed on host
     (uint8-sized work), uploaded as a single (B, S, S, 3) batch, decoded
-    candidates fetched once, filtered + NMS'd on host.
+    candidates fetched once, filtered + NMS'd on host. Tail chunks pad to
+    the next power of two (at most log2(batch_size) compiled shapes), so
+    a one-frame call does not pay a full batch of detector compute.
+
+    ``topk`` bounds pre-NMS person candidates per frame on device; 256
+    covers realistic crowds (the host conf_thresh=0.7 filter keeps far
+    fewer), but extremely dense scenes with trained weights can exceed it
+    — raise it there (the fetch grows linearly, still << the full
+    (N, 85) decode).
+
+    ``conf_thresh`` / ``nms_thresh`` are host-side only (never traced) —
+    they can be overridden per ``detect`` call without recompiling.
     """
 
     def __init__(self, weights_path: Optional[str] = None,
                  img_size: int = 416, batch_size: int = 8,
                  conf_thresh: float = 0.7, nms_thresh: float = 0.4,
-                 seed: int = 0):
+                 topk: int = 256, seed: int = 0):
         if img_size % 32:
             raise ValueError('img_size must be a multiple of 32')
         self.img_size = int(img_size)
@@ -344,13 +357,17 @@ class YoloDetector:
             with open(weights_path, 'rb') as f:
                 self.vars, _ = load_darknet_weights(self.vars, f.read())
         # Fused forward + device-side top-K person filter: the host
-        # fetch is (B, 256, 5) instead of (B, 10647, 85) — candidate
+        # fetch is (B, topk, 5) instead of (B, 10647, 85) — candidate
         # scoring stays on device, only NMS-sized data crosses PCIe.
         self._fwd = jax.jit(
             lambda v, x: top_person_candidates(
-                self.model.apply(v, x, mutable=False)))
+                self.model.apply(v, x, mutable=False), k=int(topk)))
 
-    def detect(self, frames: Sequence[np.ndarray]) -> List[np.ndarray]:
+    def detect(self, frames: Sequence[np.ndarray],
+               conf_thresh: Optional[float] = None,
+               nms_thresh: Optional[float] = None) -> List[np.ndarray]:
+        conf = self.conf_thresh if conf_thresh is None else conf_thresh
+        nms = self.nms_thresh if nms_thresh is None else nms_thresh
         results: List[np.ndarray] = []
         B = self.batch_size
         for start in range(0, len(frames), B):
@@ -358,14 +375,14 @@ class YoloDetector:
             prepped = [letterbox(np.asarray(f), self.img_size)
                        for f in chunk]
             batch = np.stack([p[0] for p in prepped])
-            if len(chunk) < B:   # pad tail to the compiled batch shape
+            bp = pad_pow2(len(chunk), B)
+            if len(chunk) < bp:   # pad tail to a compiled-ladder shape
                 batch = np.concatenate(
-                    [batch, np.zeros((B - len(chunk),) + batch.shape[1:],
+                    [batch, np.zeros((bp - len(chunk),) + batch.shape[1:],
                                      np.float32)])
             dets = np.asarray(self._fwd(self.vars, jnp.asarray(batch)))
             for i, (_, scale, px, py) in enumerate(prepped):
-                kept = nms_person(dets[i], self.conf_thresh,
-                                  self.nms_thresh)
+                kept = nms_person(dets[i], conf, nms)
                 kept[:, 0] = (kept[:, 0] - px) / scale
                 kept[:, 1] = (kept[:, 1] - py) / scale
                 kept[:, 2:4] = kept[:, 2:4] / scale

@@ -33,14 +33,7 @@ from spec_tpu.core import constants as C
 from spec_tpu.utils import paths
 
 
-def _pad_size(n: int, cap: int) -> int:
-    """Smallest power of two >= n, capped at ``cap`` — bounds the number
-    of compiled batch shapes to log2(cap) while keeping small calls
-    cheap."""
-    p = 1
-    while p < n:
-        p *= 2
-    return min(p, cap)
+from spec_tpu.utils.batching import pad_pow2 as _pad_size
 
 
 class SpecPredictor:

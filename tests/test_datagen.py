@@ -152,7 +152,8 @@ def test_scalenet_sampling_matches_reference_recipe():
                      for c in (sample_scalenet_cam(our_rng)
                                for _ in range(n))])
 
-    # KS critical value at alpha=1e-6 for n=m=4000: c(a)*sqrt(2/n) ~ 0.059
+    # KS critical value at alpha~1e-3 (c(a)=sqrt(-ln(a/2)/2)=1.949) for
+    # n=m=4000: 1.949*sqrt(2/n) ~ 0.044. Deterministic seeds — no flake.
     thresh = 1.949 * np.sqrt(2.0 / n)
     for k, name in enumerate(['focal', 'horizon', 'roll', 'pitch']):
         ks = _ks_stat(ref[:, k], ours[:, k])

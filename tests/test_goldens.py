@@ -160,32 +160,10 @@ def compute_trainstep_golden() -> dict:
     model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=True)
     args = ge._example_inputs(B, res, rng)
     variables = model.init(jax.random.PRNGKey(0), assets, *args)
-    for dec in ('decpose', 'decshape', 'deccam'):
-        leaf = variables['params']['head'][dec]
-        leaf['kernel'] = jnp.zeros_like(leaf['kernel'])
-        leaf['bias'] = jnp.zeros_like(leaf['bias'])
+    ge._zero_head_decoders(variables)
     tx = adam(1e-4)
     state = create_train_state(variables, tx)
-
-    images, cam_rotmat, K, scale, center, img_w, img_h = args
-    batch = {
-        'img': images,
-        'pose': jnp.asarray(rng.randn(B, 72).astype('f4') * 0.2),
-        'betas': jnp.asarray(rng.randn(B, 10).astype('f4') * 0.3),
-        'pose_conf': jnp.ones((B, 24)),
-        'pose_3d': jnp.asarray(rng.randn(B, 24, 4).astype('f4')),
-        'keypoints_orig': jnp.asarray(np.concatenate(
-            [rng.rand(B, 49, 2) * 1000, np.ones((B, 49, 1))],
-            -1).astype('f4')),
-        'has_smpl': jnp.ones((B,)),
-        'has_pose_3d': jnp.ones((B,)),
-        'orig_shape': jnp.asarray(
-            np.tile(np.array([[1080.0, 1920.0]], 'f4'), (B, 1))),
-        'scale': scale,
-        'center': center,
-        'cam_rotmat': cam_rotmat,
-        'cam_intrinsics': K,
-    }
+    batch = ge._example_batch(B, rng, args)
     step = jax.jit(make_spec_train_step(model, assets, tx))
     losses = []
     key = jax.random.PRNGKey(1)
