@@ -12,7 +12,9 @@ Protocol (numpy .npz over POST, self-describing):
                            or multi-frame pairs
                              frame_0, boxes_0, frame_1, boxes_1, ...
                            boxes are [cx, cy, w, h] (reference
-                           scale = max_side/200 convention).
+                           scale = max_side/200 convention). Omitting
+                           ALL boxes arrays asks the server to detect
+                           (start with --detector yolo; 400 otherwise).
        response: npz with n_frames, and per person arrays named
                  f{frame}_p{person}_{key} for the SPEC output tensors
                  (smpl_vertices, smpl_joints3d, smpl_joints2d,
@@ -39,19 +41,27 @@ import numpy as np
 
 
 def _decode_request(body: bytes):
+    """-> (frames, boxes) where boxes is None when the request carries
+    no box arrays at all (server-side detection, if configured)."""
     data = np.load(io.BytesIO(body), allow_pickle=False)
     if 'frame' in data:
-        return [data['frame']], [data['boxes']]
+        return [data['frame']], ([data['boxes']] if 'boxes' in data
+                                 else None)
     frames, boxes = [], []
     i = 0
     while f'frame_{i}' in data:
         frames.append(data[f'frame_{i}'])
-        boxes.append(data[f'boxes_{i}'])
+        if f'boxes_{i}' in data:
+            boxes.append(data[f'boxes_{i}'])
         i += 1
     if not frames:
-        raise ValueError("npz must contain 'frame'+'boxes' or "
-                         "'frame_0'+'boxes_0', ...")
-    return frames, boxes
+        raise ValueError("npz must contain 'frame'[+'boxes'] or "
+                         "'frame_0'[+'boxes_0'], ...")
+    if boxes and len(boxes) != len(frames):
+        raise ValueError('either every frame_i needs a boxes_i or none '
+                         f'may have one (got {len(boxes)} boxes arrays '
+                         f'for {len(frames)} frames)')
+    return frames, (boxes or None)
 
 
 def _encode_response(results, cameras) -> bytes:
@@ -115,8 +125,16 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
                 self._send(400, json.dumps({'error': str(e)}).encode(),
                            'application/json')
                 return
+            if boxes is None and predictor.detector is None:
+                self._send(400, json.dumps(
+                    {'error': 'request has no boxes and the server was '
+                              'started without --detector'}).encode(),
+                    'application/json')
+                return
             try:
                 with lock:
+                    if boxes is None:
+                        boxes = predictor.detector.detect(frames)
                     cameras = predictor.estimate_cameras(frames)
                     results = predictor.predict(frames, boxes,
                                                 cameras=cameras)
@@ -141,6 +159,14 @@ def main(argv=None):
     parser.add_argument('--batch_size', type=int, default=32)
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
+    parser.add_argument('--detector', type=str, default='',
+                        choices=['', 'yolo'],
+                        help="'yolo' serves box-less requests with the "
+                             'in-repo YOLOv3 (--yolo_weights)')
+    parser.add_argument('--yolo_weights', type=str, default='',
+                        help='official darknet yolov3.weights path')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard every batch over all visible chips')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.paths import enable_compilation_cache
@@ -151,7 +177,8 @@ def main(argv=None):
     predictor = SpecPredictor(
         spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
         smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
-        cfg_file=args.cfg)
+        cfg_file=args.cfg, detector=args.detector,
+        yolo_weights=args.yolo_weights, data_parallel=args.data_parallel)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20)
     print(f'[serve] listening on {args.host}:{server.server_address[1]}')

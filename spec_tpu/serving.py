@@ -58,6 +58,12 @@ class SpecPredictor:
         devices (params replicated, batch split — the v5e-8 serving
         layout). batch_size must divide by the device count; small calls
         still pad, but never below one item per device.
+      detector: '' (caller supplies boxes) or 'yolo' — the in-repo
+        TPU-native YOLOv3 (models/detector.py), making ``predict(frames)``
+        fully self-contained like the reference demo (spec/tester.py runs
+        MPT detection in-pipeline before HMR).
+      yolo_weights: path to the official darknet ``yolov3.weights`` for
+        ``detector='yolo'`` (random init without it — smoke tests only).
     """
 
     def __init__(
@@ -76,6 +82,8 @@ class SpecPredictor:
         dtype: Any = None,
         use_fused_lbs: Optional[bool] = None,
         data_parallel: bool = False,
+        detector: str = '',
+        yolo_weights: str = '',
     ):
         import jax
         import jax.numpy as jnp
@@ -146,6 +154,20 @@ class SpecPredictor:
         # bake into the HLO, so compile-cache keys would change with every
         # fresh init and the remote-compile payload would carry the full
         # weight tensors.
+        self.detector = None
+        if detector == 'yolo':
+            from spec_tpu.models.detector import YoloDetector
+
+            if not yolo_weights:
+                print('[serving] WARNING: detector=yolo without '
+                      'yolo_weights runs a random-init detector '
+                      '(pipeline smoke only)')
+            self.detector = YoloDetector(
+                weights_path=yolo_weights or None)
+        elif detector:
+            raise ValueError(f'unknown detector {detector!r}; '
+                             "use '' (caller boxes) or 'yolo'")
+
         self._min_pad = 1
         if data_parallel:
             import spec_tpu.parallel as par
@@ -264,7 +286,7 @@ class SpecPredictor:
     def predict(
         self,
         frames: Sequence[np.ndarray],
-        boxes: Sequence[np.ndarray],
+        boxes: Optional[Sequence[np.ndarray]] = None,
         cameras: Optional[Sequence[dict]] = None,
     ) -> List[List[dict]]:
         """Two-stage inference.
@@ -272,7 +294,8 @@ class SpecPredictor:
         Args:
           frames: RGB images (HWC, uint8 or float in [0, 255]).
           boxes: per-frame (N_i, 4) [cx, cy, w, h] person boxes (N_i may
-            be 0).
+            be 0). None runs the configured in-process detector
+            (``detector='yolo'``); an error without one.
           cameras: optional precomputed stage-1 outputs (dicts like
             :meth:`estimate_cameras` returns) — e.g. GT cameras.
         Returns:
@@ -286,6 +309,15 @@ class SpecPredictor:
         from spec_tpu.data.transforms import crop as spin_crop, normalize_img
 
         jnp = self._jnp
+        if boxes is None:
+            if self.detector is None:
+                raise ValueError(
+                    'predict(frames) without boxes needs an in-process '
+                    "detector — construct SpecPredictor(detector='yolo', "
+                    "yolo_weights=...) or pass per-frame boxes")
+            # Detection dispatches before stage 1 so its device work
+            # overlaps the host-side stage-1 resizes.
+            boxes = self.detector.detect(frames)
         if cameras is None:
             cameras = self.estimate_cameras(frames)
 

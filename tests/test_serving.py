@@ -131,3 +131,106 @@ def test_http_serving_roundtrip(rng):
             small_srv.shutdown()
     finally:
         server.shutdown()
+
+
+class _StubDetector:
+    """Deterministic stand-in for YoloDetector (same detect() contract:
+    square [cx, cy, w, h] person boxes per frame)."""
+
+    def __init__(self, per_frame_boxes):
+        self.per_frame_boxes = per_frame_boxes
+        self.calls = 0
+
+    def detect(self, frames, conf_thresh=None, nms_thresh=None):
+        self.calls += 1
+        assert len(frames) == len(self.per_frame_boxes)
+        return [np.asarray(b, np.float32).reshape(-1, 4)
+                for b in self.per_frame_boxes]
+
+
+def test_predictor_in_process_detection(rng):
+    """predict(frames) with no boxes routes through the configured
+    detector and matches predict(frames, boxes) with the same boxes."""
+    import pytest
+
+    frames = [(rng.rand(96, 128, 3) * 255).astype(np.uint8),
+              (rng.rand(96, 128, 3) * 255).astype(np.uint8)]
+    det_boxes = [np.array([[64, 48, 60, 60]], np.float32),
+                 np.zeros((0, 4), np.float32)]
+
+    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                         batch_size=2, min_size=64)
+    # No detector configured -> helpful error, not a crash downstream.
+    with pytest.raises(ValueError, match='detector'):
+        pred.predict(frames)
+
+    stub = _StubDetector(det_boxes)
+    pred.detector = stub
+    r_auto = pred.predict(frames)
+    assert stub.calls == 1
+    r_explicit = pred.predict(frames, det_boxes)
+    assert [len(x) for x in r_auto] == [1, 0]
+    np.testing.assert_allclose(r_auto[0][0]['smpl_vertices'],
+                               r_explicit[0][0]['smpl_vertices'])
+
+    # The real YOLO wiring constructs (random init) and an unknown
+    # detector name is rejected.
+    p2 = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                       batch_size=2, min_size=64, detector='yolo')
+    assert type(p2.detector).__name__ == 'YoloDetector'
+    with pytest.raises(ValueError, match='unknown detector'):
+        SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                      batch_size=2, min_size=64, detector='maskrcnn')
+
+
+def test_http_serving_server_side_detection(rng):
+    """A box-less npz request is served via the predictor's detector;
+    without one the server answers 400."""
+    import io
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from spec_tpu.cli.serve import create_server
+
+    frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+
+    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                         batch_size=2, min_size=64)
+    server = create_server(pred, host='127.0.0.1', port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f'http://127.0.0.1:{port}'
+        buf = io.BytesIO()
+        np.savez(buf, frame=frame)            # no boxes at all
+        req = urllib.request.Request(base + '/predict', data=buf.getvalue())
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # mixed boxes presence across frames is a client error
+        buf = io.BytesIO()
+        np.savez(buf, frame_0=frame, boxes_0=np.zeros((0, 4), 'f4'),
+                 frame_1=frame)
+        req = urllib.request.Request(base + '/predict', data=buf.getvalue())
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError('expected HTTP 400')
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # with a detector configured, the same request succeeds
+        pred.detector = _StubDetector(
+            [np.array([[64, 48, 60, 60]], np.float32)])
+        buf = io.BytesIO()
+        np.savez(buf, frame=frame)
+        req = urllib.request.Request(base + '/predict', data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = np.load(io.BytesIO(r.read()))
+        assert int(out['f0_n_persons']) == 1
+        assert np.isfinite(out['f0_p0_smpl_vertices']).all()
+    finally:
+        server.shutdown()
