@@ -25,6 +25,7 @@ import argparse
 import os
 import re
 import time
+from typing import Optional
 
 import joblib
 import numpy as np
@@ -262,11 +263,152 @@ def run_spec_on_folder(
     return outputs_per_image
 
 
+def _smooth_video_tracks(output_folder, vid_file, names, per_frame, ids,
+                         fps, frame_hw, folder_kwargs,
+                         min_cutoff=None, beta=None):
+    """Post-pass for ``--smooth``: One-Euro-filter each track's SMPL
+    parameters, recompute vertices/joints with ONE batched jitted
+    ``smpl_cam_head`` call, rewrite the result pickles, and re-encode the
+    annotated video from the smoothed outputs.
+
+    Implements the reference's dead ``--smooth`` flag
+    (scripts/spec_demo.py:138 accepts it, nothing consumes it) — see
+    spec_tpu/utils/smoothing.py for the filter/recipe rationale.
+    """
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models.heads.smpl_head import smpl_cam_head
+    from spec_tpu.utils.smoothing import smooth_track_params
+
+    res_out = os.path.join(output_folder, 'spec_results')
+    cam_out = os.path.join(output_folder, 'camcalib')
+    h, w = frame_hw
+    img_res = folder_kwargs.get('img_res', 224)
+    assets = S.load_assets_or_test(
+        folder_kwargs.get('smpl_model_dir', ''), tag='smooth')
+
+    # Load per-frame results + cameras once.
+    results, cam_params, cam_raw = {}, {}, {}
+    for fi, name in enumerate(names):
+        stem = name.rsplit('.', 1)[0]
+        p = os.path.join(res_out, stem + '.pkl')
+        if os.path.exists(p):
+            results[fi] = joblib.load(p)
+            rotmat, K, *_ = read_cam_params(
+                os.path.join(cam_out, name + '.pkl'), w, h)
+            cam_params[fi] = (rotmat, K)
+            cam_raw[fi] = joblib.load(os.path.join(cam_out, name + '.pkl'))
+
+    # Group (frame, person) rows into tracks and smooth each track.
+    by_track: dict = {}
+    for fi, tid_arr in enumerate(ids):
+        for pi, tid in enumerate(tid_arr):
+            if fi in results and pi < len(results[fi]['pred_pose']):
+                by_track.setdefault(int(tid), []).append((fi, pi))
+    items = []   # (fi, pi, pose(24,3,3), betas(10), cam(3))
+    for tid, fps_pis in by_track.items():
+        fps_pis.sort()
+        r = {k: np.stack([results[fi][k][pi] for fi, pi in fps_pis])
+             for k in ('pred_pose', 'pred_shape', 'pred_cam')}
+        kw = {}
+        if min_cutoff is not None:
+            kw['min_cutoff'] = min_cutoff
+        if beta is not None:
+            kw['beta'] = beta
+        sm = smooth_track_params(r['pred_pose'], r['pred_shape'],
+                                 r['pred_cam'], fps, **kw)
+        for t, (fi, pi) in enumerate(fps_pis):
+            items.append((fi, pi, sm['pose'][t], sm['betas'][t],
+                          sm['cam'][t]))
+    if not items:
+        return
+
+    # One padded batched SMPL + projection recompute on device.
+    recompute = jax.jit(
+        lambda a, pose, betas, cam, rot, K, scl, ctr, ws, hs:
+        smpl_cam_head(a, pose, betas, cam, rot, K, scl, ctr, ws, hs,
+                      crop_res=img_res))
+    from spec_tpu.utils.batching import pad_pow2
+
+    B = 64
+    for s0 in range(0, len(items), B):
+        chunk = items[s0:s0 + B]
+        n_valid = len(chunk)
+        while len(chunk) < pad_pow2(n_valid, B):
+            chunk = chunk + [chunk[-1]]
+        centers, scales = [], []
+        for fi, pi, *_ in chunk:
+            c, sc = bbox_to_center_scale(
+                per_frame[fi][pi][None])
+            centers.append(c[0]), scales.append(sc[0])
+        out = recompute(
+            assets,
+            jnp.asarray(np.stack([it[2] for it in chunk])),
+            jnp.asarray(np.stack([it[3] for it in chunk])),
+            jnp.asarray(np.stack([it[4] for it in chunk])),
+            jnp.asarray(np.stack([cam_params[it[0]][0] for it in chunk])),
+            jnp.asarray(np.stack([cam_params[it[0]][1] for it in chunk])),
+            jnp.asarray(np.array(scales, np.float32)),
+            jnp.asarray(np.stack(centers).astype(np.float32)),
+            jnp.full((len(chunk),), float(w)),
+            jnp.full((len(chunk),), float(h)))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for bi in range(n_valid):
+            fi, pi, pose, betas, cam = chunk[bi]
+            r = results[fi]
+            for k in ('smpl_vertices', 'smpl_joints3d', 'smpl_joints2d',
+                      'pred_cam_t'):
+                if k in r:
+                    r[k][pi] = out[k][bi]
+            r['pred_pose'][pi] = pose
+            r['pred_shape'][pi] = betas
+            r['pred_cam'][pi] = cam
+
+    for fi, r in results.items():
+        stem = names[fi].rsplit('.', 1)[0]
+        joblib.dump(r, os.path.join(res_out, stem + '.pkl'))
+
+    # Re-encode the annotated video from the smoothed results (second
+    # decode pass — chunked frames were deleted to bound disk use).
+    cap = cv2.VideoCapture(vid_file)
+    tmp_path = os.path.join(output_folder, '.spec_video_smooth.mp4')
+    out_path = os.path.join(output_folder, 'spec_video_output.mp4')
+    vw, fi = None, 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if vw is None:
+            fh, fw = frame.shape[:2]
+            vw = cv2.VideoWriter(tmp_path,
+                                 cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                                 (fw, fh))
+        if fi in results:
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            vis = _render_overlay_img(rgb, results[fi], cam_raw[fi],
+                                      assets)
+            frame = cv2.cvtColor(vis, cv2.COLOR_RGB2BGR)
+        vw.write(frame)
+        fi += 1
+    cap.release()
+    if vw is not None:
+        vw.release()
+        os.replace(tmp_path, out_path)
+    print(f'[spec] smoothed {len(items)} person-frames across '
+          f'{len(by_track)} tracks; re-encoded {out_path}')
+
+
 def run_spec_on_video(
     vid_file: str,
     output_folder: str,
     keep_frames: bool = False,
     chunk_size: int = 500,
+    smooth: bool = False,
+    smooth_min_cutoff: Optional[float] = None,
+    smooth_beta: Optional[float] = None,
     **folder_kwargs,
 ):
     """Video demo: decode frames -> the folder pipeline -> re-encode an
@@ -389,6 +531,15 @@ def run_spec_on_video(
               for tid, t in tracks.items()}
     joblib.dump(tracks, os.path.join(output_folder, 'tracking.pkl'))
 
+    if smooth and folder_kwargs.get('save_results', True):
+        _smooth_video_tracks(output_folder, vid_file, names, per_frame,
+                             ids, fps, (h, w), folder_kwargs,
+                             min_cutoff=smooth_min_cutoff,
+                             beta=smooth_beta)
+    elif smooth:
+        print('[spec] WARNING: --smooth needs saved results; skipped '
+              '(drop --no_save)')
+
     print(f'[spec] wrote {out_path} ({len(names)} frames @ {fps:.1f} fps)')
     return out_path
 
@@ -403,17 +554,14 @@ def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
             f.write(f'f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n')
 
 
-def _render_overlays(imgname, merged, cam_out, img_out, assets):
-    """Joints2d + horizon overlay (host, cv2). Mesh rendering is provided
-    by spec_tpu.utils.renderer when enabled."""
-    import cv2
+def _render_overlay_img(img_rgb, merged, cam_data, assets):
+    """Joints2d + horizon (+ optional mesh) overlay on an in-memory RGB
+    frame. Mesh rendering is provided by spec_tpu.utils.renderer."""
     from spec_tpu.utils.vis import draw_horizon_line, draw_skeleton
 
-    base = os.path.basename(imgname)
-    img = cv2.cvtColor(cv2.imread(imgname), cv2.COLOR_BGR2RGB)
-    data = joblib.load(os.path.join(cam_out, base + '.pkl'))
-    vis = draw_horizon_line(img, float(data['vfov']), float(data['pitch']),
-                            float(data['roll']), debug_text=False)
+    vis = draw_horizon_line(img_rgb, float(cam_data['vfov']),
+                            float(cam_data['pitch']),
+                            float(cam_data['roll']), debug_text=False)
     for kp in merged['smpl_joints2d']:
         vis = draw_skeleton(vis, kp)
     try:
@@ -421,10 +569,21 @@ def _render_overlays(imgname, merged, cam_out, img_out, assets):
         vis = render_mesh_overlay(
             vis, merged['smpl_vertices'], merged['pred_cam_t'],
             np.asarray(assets.faces),
-            focal_length=float(data['f_pix']),
-            pitch=float(data['pitch']), roll=float(data['roll']))
+            focal_length=float(cam_data['f_pix']),
+            pitch=float(cam_data['pitch']), roll=float(cam_data['roll']))
     except Exception:
         pass  # mesh overlay optional
+    return vis
+
+
+def _render_overlays(imgname, merged, cam_out, img_out, assets):
+    """File-based wrapper over :func:`_render_overlay_img`."""
+    import cv2
+
+    base = os.path.basename(imgname)
+    img = cv2.cvtColor(cv2.imread(imgname), cv2.COLOR_BGR2RGB)
+    data = joblib.load(os.path.join(cam_out, base + '.pkl'))
+    vis = _render_overlay_img(img, merged, data, assets)
     cv2.imwrite(os.path.join(img_out, base),
                 cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
 
@@ -467,8 +626,9 @@ def main(argv=None):
     # runs the in-repo TPU-native YOLOv3 (needs --yolo_weights pointed at
     # the official darknet yolov3.weights, reference prepare_data.sh:11);
     # the remaining tracker flags are accepted no-ops; the render-extra
-    # and smoothing flags are accepted and unused exactly as in the
-    # reference tester (spec/tester.py).
+    # flags are accepted and unused exactly as in the reference tester
+    # (spec/tester.py); '--smooth' (dead in the reference,
+    # scripts/spec_demo.py:138) actually smooths here (video mode).
     parser.add_argument('--ckpt', type=str, default='',
                         help='alias for --spec_ckpt (reference name)')
     parser.add_argument('--exp', type=str, default='',
@@ -490,10 +650,17 @@ def main(argv=None):
     parser.add_argument('--tracker_batch_size', type=int, default=None,
                         help='accepted for reference CLI parity')
     parser.add_argument('--min_cutoff', type=float, default=None,
-                        help='accepted; unused (as in the reference)')
+                        help='[video --smooth] One-Euro cutoff floor Hz '
+                             '(default 0.004; lower = smoother at rest)')
     parser.add_argument('--beta', type=float, default=None,
-                        help='accepted; unused (as in the reference)')
-    for noop in ('--display', '--smooth', '--wireframe', '--sideview',
+                        help='[video --smooth] One-Euro speed coeff '
+                             '(default 0.7; higher = less motion lag)')
+    parser.add_argument('--smooth', action='store_true',
+                        help='[video mode] One-Euro-smooth each track\'s '
+                             'SMPL params and recompute meshes (the '
+                             'reference accepts this flag but never '
+                             'wires it up; here it works)')
+    for noop in ('--display', '--wireframe', '--sideview',
                  '--draw_keypoints'):
         parser.add_argument(noop, action='store_true',
                             help='accepted; unused (as in the reference '
@@ -542,8 +709,14 @@ def main(argv=None):
     if args.mode == 'video':
         run_spec_on_video(args.vid_file, out_folder,
                           chunk_size=args.chunk_size,
-                          keep_frames=args.keep_frames, **common)
+                          keep_frames=args.keep_frames,
+                          smooth=args.smooth,
+                          smooth_min_cutoff=args.min_cutoff,
+                          smooth_beta=args.beta, **common)
     else:
+        if args.smooth:
+            print('[spec] WARNING: --smooth is temporal and applies to '
+                  '--mode video only; ignored in folder mode')
         run_spec_on_folder(args.image_folder, out_folder, **common)
 
 

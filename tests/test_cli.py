@@ -291,9 +291,12 @@ def test_spec_demo_video_mode(tmp_path):
     w.release()
 
     out = tmp_path / 'out'
-    # chunk_size 2 < 3 frames: exercises the multi-chunk decode path
+    # chunk_size 2 < 3 frames: exercises the multi-chunk decode path;
+    # --smooth covers the One-Euro track-smoothing + recompute +
+    # re-encode post-pass (dead flag in the reference, implemented here)
     main(['--vid_file', str(vid), '--output_folder', str(out),
-          '--batch_size', '2', '--exp', 'v1', '--chunk_size', '2'])
+          '--batch_size', '2', '--exp', 'v1', '--chunk_size', '2',
+          '--smooth'])
 
     exp_dir = out / 'clip_v1'
     video = exp_dir / 'spec_video_output.mp4'
@@ -314,6 +317,17 @@ def test_spec_demo_video_mode(tmp_path):
     assert list(tracks) == [0]
     assert tracks[0]['frames'].tolist() == [0, 1, 2]
     assert tracks[0]['bboxes'].shape == (3, 4)
+    # smoothed results: betas are the track mean (constant over frames),
+    # poses stay valid rotations, outputs finite
+    res = [joblib.load(p) for p in
+           sorted((exp_dir / 'spec_results').glob('*.pkl'))]
+    np.testing.assert_allclose(res[0]['pred_shape'], res[1]['pred_shape'],
+                               atol=1e-6)
+    R = res[2]['pred_pose'][0]
+    np.testing.assert_allclose(R @ np.transpose(R, (0, 2, 1)),
+                               np.tile(np.eye(3), (24, 1, 1)), atol=1e-4)
+    assert np.isfinite(res[1]['smpl_vertices']).all()
+    assert np.isfinite(res[1]['smpl_joints2d']).all()
 
 
 def _make_train_data_root(root, rng, n=10):
