@@ -291,6 +291,9 @@ def main(argv=None):
                              'serving: SpecPredictor multi-person path; '
                              'train: full train-step throughput; '
                              'detect: YOLOv3 person-detector throughput')
+    parser.add_argument('--profile', type=str, default='',
+                        help='[pipeline] dump a jax.profiler trace of '
+                             'the measured window to this directory')
     parser.add_argument('--frames', type=int, default=16,
                         help='[serving] frames per predict() call')
     parser.add_argument('--persons', type=int, default=4,
@@ -352,14 +355,24 @@ def main(argv=None):
     assert np.isfinite(float(acc))  # warmup/compile + force
     rtt = _fetch_rtt()
 
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        # XLA-level op/HBM breakdown of the measured window, viewable in
+        # tensorboard/xprof (how the 70%-HBM-util figure was obtained).
+        from spec_tpu.utils.profiling import trace
+        prof = trace(args.profile)
+
     iters = args.iters
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(iters):
-        acc = bench_step(acc, cc_vars, spec_vars, raw, corners, center_d,
-                         scale_d)
-    total = float(acc)  # single forcing fetch
-    dt = time.perf_counter() - t0 - rtt
+    with prof:
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for _ in range(iters):
+            acc = bench_step(acc, cc_vars, spec_vars, raw, corners,
+                             center_d, scale_d)
+        total = float(acc)  # single forcing fetch
+        dt = time.perf_counter() - t0 - rtt
     assert np.isfinite(total)
 
     n_chips = max(1, len([d for d in jax.devices()

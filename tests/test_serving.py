@@ -234,3 +234,50 @@ def test_http_serving_server_side_detection(rng):
         assert np.isfinite(out['f0_p0_smpl_vertices']).all()
     finally:
         server.shutdown()
+
+
+def test_http_serving_concurrent_requests(rng):
+    """Parallel clients: the device lock serializes predictor calls but
+    every request completes correctly (ThreadingHTTPServer + lock)."""
+    import io
+    import threading
+    import urllib.request
+
+    from spec_tpu.cli.serve import create_server
+
+    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                         batch_size=2, min_size=64)
+    server = create_server(pred, host='127.0.0.1', port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, frame=frame,
+                 boxes=np.array([[64, 48, 60, 80]], np.float32))
+        payload = buf.getvalue()
+
+        outs, errs = [None] * 4, []
+
+        def hit(i):
+            try:
+                req = urllib.request.Request(
+                    f'http://127.0.0.1:{port}/predict', data=payload)
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    outs[i] = np.load(io.BytesIO(r.read()))
+            except Exception as e:   # pragma: no cover - diagnostic
+                errs.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errs
+        ref = outs[0]['f0_p0_smpl_vertices']
+        for o in outs:
+            assert int(o['f0_n_persons']) == 1
+            np.testing.assert_allclose(o['f0_p0_smpl_vertices'], ref)
+    finally:
+        server.shutdown()
