@@ -1,4 +1,6 @@
-"""SPEC demo CLI: full two-stage pipeline on an image folder.
+"""SPEC demo CLI: full two-stage pipeline on an image folder, a video
+file, or a live webcam/stream (the reference stubs the latter two modes
+with NotImplementedError, scripts/spec_demo.py:39-42,67-68).
 
 Mirror of reference ``scripts/spec_demo.py`` + ``spec/tester.py:40-209``
 with the TPU-native restructuring (SURVEY.md §2.4):
@@ -544,6 +546,138 @@ def run_spec_on_video(
     return out_path
 
 
+def run_spec_webcam(
+    source: str = '0',
+    output_folder: str = 'logs/demo',
+    spec_ckpt: str = '',
+    camcalib_ckpt: str = '',
+    cfg_file: str = '',
+    smpl_model_dir: str = '',
+    detector: str = '',
+    yolo_weights: str = '',
+    yolo_img_size: int = 416,
+    min_size: int = 600,
+    img_res: int = 224,
+    max_frames: int = 0,
+    display: bool = False,
+    save_results: bool = True,
+):
+    """Webcam / live-stream demo: per-frame low-latency loop.
+
+    The reference declares ``--mode webcam`` but raises
+    NotImplementedError (scripts/spec_demo.py:67-68); implemented here on
+    the serving engine (:class:`spec_tpu.serving.SpecPredictor`), which is
+    the latency path: one compiled graph per padded shape, so a
+    single-frame call pays a 1-crop stage-2 batch, not ``batch_size``.
+
+    ``source`` is a camera index ('0', '1', ...) or any cv2-readable
+    stream/file path (how the headless tests drive this loop). Each frame:
+    detect (``detector='yolo'`` or a full-frame box) -> CamCalib ->
+    SPEC -> horizon/skeleton/mesh overlay -> annotated
+    ``spec_webcam_output.mp4`` (+ optional ``cv2.imshow`` with ``q`` to
+    quit when ``display``). Per-frame results go to
+    ``webcam_results/{i:06d}.pkl`` in the folder-mode layout. Prints
+    mean/p50/p90 end-to-end latency on exit.
+
+    Returns (n_frames, latencies_ms).
+    """
+    import cv2
+
+    from spec_tpu.serving import SpecPredictor
+
+    cap = cv2.VideoCapture(int(source) if source.isdigit() else source)
+    if not cap.isOpened():
+        raise FileNotFoundError(f'cannot open capture source: {source!r}')
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+
+    os.makedirs(output_folder, exist_ok=True)
+    res_out = os.path.join(output_folder, 'webcam_results')
+    if save_results:
+        os.makedirs(res_out, exist_ok=True)
+
+    # batch_size bounds the per-call pad ceiling; 8 keeps compile count
+    # low (1/2/4/8 person pads) while a lone person costs a 1-crop batch.
+    pred = SpecPredictor(
+        spec_ckpt=spec_ckpt, camcalib_ckpt=camcalib_ckpt,
+        cfg_file=cfg_file, smpl_model_dir=smpl_model_dir,
+        img_res=img_res, batch_size=8, min_size=min_size,
+        detector=detector, yolo_weights=yolo_weights)
+    assets = pred.assets
+
+    out_path = os.path.join(output_folder, 'spec_webcam_output.mp4')
+    vw = None
+    latencies: list = []
+    fi = 0
+    while True:
+        ok, frame_bgr = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        h, w = rgb.shape[:2]
+
+        t0 = time.perf_counter()
+        # Stage 1 runs explicitly so the horizon overlay exists even on
+        # person-less frames; predict() reuses it via ``cameras=``.
+        cam = pred.estimate_cameras([rgb])[0]
+        if pred.detector is not None:
+            persons = pred.predict([rgb], cameras=[cam])[0]
+        else:
+            full = np.asarray(
+                [[w / 2.0, h / 2.0, float(w), float(h)]], np.float32)
+            persons = pred.predict([rgb], [full], cameras=[cam])[0]
+        latencies.append((time.perf_counter() - t0) * 1000.0)
+
+        if persons:
+            merged = {k: np.stack([p[k] for p in persons])
+                      for k in persons[0] if k != 'camera'}
+            vis = _render_overlay_img(rgb, merged, cam, assets)
+        else:
+            from spec_tpu.utils.vis import draw_horizon_line
+            merged = None
+            vis = draw_horizon_line(rgb, cam['vfov'], cam['pitch'],
+                                    cam['roll'], debug_text=False)
+
+        if save_results:
+            dump = dict(merged or {})
+            dump['camera'] = cam
+            joblib.dump(dump, os.path.join(res_out, f'{fi:06d}.pkl'))
+
+        out_bgr = cv2.cvtColor(vis, cv2.COLOR_RGB2BGR)
+        if vw is None:
+            vw = cv2.VideoWriter(out_path,
+                                 cv2.VideoWriter_fourcc(*'mp4v'), fps,
+                                 (w, h))
+        vw.write(out_bgr)
+        if display:
+            try:
+                cv2.imshow('spec', out_bgr)
+                if (cv2.waitKey(1) & 0xFF) == ord('q'):
+                    break
+            except cv2.error:
+                print('[spec] WARNING: no display available; '
+                      'continuing headless')
+                display = False
+        fi += 1
+        if max_frames and fi >= max_frames:
+            break
+    cap.release()
+    if vw is not None:
+        vw.release()
+    if display:
+        cv2.destroyAllWindows()
+
+    if latencies:
+        srt = sorted(latencies)
+        p = lambda q: srt[min(len(srt) - 1, int(q * len(srt)))]  # noqa: E731
+        print(f'[spec] webcam: {fi} frames -> {out_path}; e2e latency '
+              f'mean {np.mean(latencies):.1f} ms, p50 {p(0.5):.1f} ms, '
+              f'p90 {p(0.9):.1f} ms (first frame incl. compile '
+              f'{latencies[0]:.0f} ms)')
+    else:
+        print(f'[spec] webcam: no frames read from source {source!r}')
+    return fi, latencies
+
+
 def write_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
     """Wavefront OBJ export (the reference's --save_obj path,
     spec/tester.py:183-189 + camera translation sidecar .npy)."""
@@ -660,21 +794,28 @@ def main(argv=None):
                              'SMPL params and recompute meshes (the '
                              'reference accepts this flag but never '
                              'wires it up; here it works)')
-    for noop in ('--display', '--wireframe', '--sideview',
-                 '--draw_keypoints'):
+    for noop in ('--wireframe', '--sideview', '--draw_keypoints'):
         parser.add_argument(noop, action='store_true',
                             help='accepted; unused (as in the reference '
                                  'tester) or headless here')
+    parser.add_argument('--display', action='store_true',
+                        help='[webcam mode] live cv2 window (q quits); '
+                             'unused in folder/video mode as in the '
+                             'reference tester')
+    parser.add_argument('--webcam_source', type=str, default='0',
+                        help='[webcam mode] camera index or any '
+                             'cv2-readable stream/file URL')
+    parser.add_argument('--max_frames', type=int, default=0,
+                        help='[webcam mode] stop after N frames '
+                             '(0 = until the stream ends / q)')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()
     if args.vid_file and args.mode == 'folder':
         args.mode = 'video'
-    if args.mode == 'webcam':
-        raise NotImplementedError(
-            'webcam mode needs a camera; headless environment '
-            '(the reference also stubs it, scripts/spec_demo.py:67-68)')
+    # ('webcam' needs no input-path validation: --webcam_source defaults
+    # to camera 0 and any cv2-readable stream/file works.)
     if args.mode == 'video' and not args.vid_file:
         raise SystemExit('--mode video requires --vid_file')
     if args.mode == 'folder' and not args.image_folder:
@@ -685,7 +826,11 @@ def main(argv=None):
     if args.exp:
         # Reference layout: <output>/<input-basename>_<exp>
         # (scripts/spec_demo.py:46).
-        src = args.vid_file if args.mode == 'video' else args.image_folder
+        src = {'video': args.vid_file,
+               'webcam': f'webcam{args.webcam_source}'
+                         if args.webcam_source.isdigit()
+                         else args.webcam_source,
+               }.get(args.mode, args.image_folder)
         out_folder = os.path.join(
             out_folder,
             os.path.basename(src.rstrip('/')).rsplit('.', 1)[0]
@@ -706,7 +851,20 @@ def main(argv=None):
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
         cfg_file=args.cfg, detector=args.detector,
         yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size)
-    if args.mode == 'video':
+    if args.mode == 'webcam':
+        if args.bbox_file:
+            print('[spec] WARNING: --bbox_file is ignored in webcam mode '
+                  "(live frames have no precomputed boxes); use "
+                  "--detector yolo or the full-frame fallback")
+        run_spec_webcam(
+            source=args.webcam_source, output_folder=out_folder,
+            spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
+            cfg_file=args.cfg, smpl_model_dir=args.smpl_model_dir,
+            detector=args.detector, yolo_weights=args.yolo_weights,
+            yolo_img_size=args.yolo_img_size,
+            max_frames=args.max_frames, display=args.display,
+            save_results=not args.no_save)
+    elif args.mode == 'video':
         run_spec_on_video(args.vid_file, out_folder,
                           chunk_size=args.chunk_size,
                           keep_frames=args.keep_frames,

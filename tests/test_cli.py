@@ -402,3 +402,44 @@ def test_demo_model_cache_reused_across_chunks(tmp_path, rng, monkeypatch):
     c2 = camcalib_demo._get_model('/nonexistent.ckpt', 'resnet18',
                                   'softargmax_l2', 64)
     assert c1[2] is c2[2]
+
+
+@pytest.mark.slow
+def test_spec_demo_webcam_mode(tmp_path):
+    """--mode webcam: per-frame streaming loop on a cv2 source (a video
+    file stands in for the camera; the reference stubs webcam mode with
+    NotImplementedError, scripts/spec_demo.py:67-68)."""
+    import cv2
+    import joblib
+    from spec_tpu.cli.spec_demo import main
+
+    vid = tmp_path / 'cam.mp4'
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*'mp4v'),
+                        10, (64, 48))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write((rng.rand(48, 64, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out = tmp_path / 'out'
+    # --max_frames 3 < 4 source frames: the early-stop path; full-frame
+    # person fallback (no detector weights in the sandbox)
+    main(['--mode', 'webcam', '--webcam_source', str(vid),
+          '--output_folder', str(out), '--exp', 'w1',
+          '--max_frames', '3'])
+
+    exp_dir = out / 'cam_w1'
+    video = exp_dir / 'spec_webcam_output.mp4'
+    assert video.exists()
+    cap = cv2.VideoCapture(str(video))
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 3
+    pkls = sorted((exp_dir / 'webcam_results').glob('*.pkl'))
+    assert [p.name for p in pkls] == ['000000.pkl', '000001.pkl',
+                                      '000002.pkl']
+    res = joblib.load(pkls[1])
+    assert set(res['camera']) == {'vfov', 'f_pix', 'pitch', 'roll'}
+    assert res['smpl_vertices'].shape == (1, 6890, 3)
+    assert np.isfinite(res['smpl_vertices']).all()
