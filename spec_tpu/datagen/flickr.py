@@ -67,6 +67,24 @@ class FlickrDownloader:
                 except Exception as e:
                     print(f"[flickr] {p['id']}: {e}")
 
+    def download_tag(self, tag: str, per_page: int = 500,
+                     max_pages: int = 20):
+        """Tag-scrape path (reference ``scrape_and_download`` with
+        ``download_type='tag'``, :206-217): ``flickr.photos.search``
+        over a tag, newest first."""
+        for page in range(1, max_pages + 1):
+            data = self._call('flickr.photos.search', tags=tag,
+                              per_page=per_page, page=page,
+                              sort='date-posted-desc')
+            photos = data.get('photos', {}).get('photo', [])
+            if not photos:
+                break
+            for p in photos:
+                try:
+                    self._download_photo(p['id'])
+                except Exception as e:
+                    print(f"[flickr] {p['id']}: {e}")
+
     def _download_photo(self, photo_id: str):
         import requests
 
@@ -93,3 +111,47 @@ class FlickrDownloader:
             with open(os.path.join(self.out_folder,
                                    f'{photo_id}_exif.json'), 'w') as f:
                 json.dump(exif, f)
+
+
+def main(argv=None):
+    """CLI mirror of reference ``scripts/download_flickr.py`` (which
+    hardcodes its choices in ``download()``/``scrape_and_download()``;
+    exposed as flags here)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description='Pano360 Flickr downloader (needs $FLICKR_API_KEY)')
+    parser.add_argument('--download_type', default='ids',
+                        choices=['ids', 'group', 'tag'])
+    parser.add_argument('--id_file', default='flickr_photo_ids.npy',
+                        help="[ids] .npy photo-id list (the reference's "
+                             'data/.../flickr_photo_ids.npy)')
+    parser.add_argument('--group_id', default='',
+                        help='[group] Flickr group id')
+    parser.add_argument('--tag', default='people', help='[tag] tag name')
+    parser.add_argument('--out_folder', default='data/pano360/raw')
+    parser.add_argument('--max_pages', type=int, default=20)
+    parser.add_argument('--require_exif', action='store_true',
+                        help='skip photos without EXIF (reference '
+                             'download_with_exif_only)')
+    parser.add_argument('--any_size', action='store_true',
+                        help='accept non-original sizes (reference '
+                             'downloads originals only)')
+    args = parser.parse_args(argv)
+
+    dl = FlickrDownloader(out_folder=args.out_folder,
+                          require_exif=args.require_exif,
+                          originals_only=not args.any_size)
+    if args.download_type == 'ids':
+        import numpy as np
+        dl.download_by_ids([str(i) for i in np.load(args.id_file)])
+    elif args.download_type == 'group':
+        if not args.group_id:
+            raise SystemExit('--download_type group needs --group_id')
+        dl.download_group(args.group_id, max_pages=args.max_pages)
+    else:
+        dl.download_tag(args.tag, max_pages=args.max_pages)
+
+
+if __name__ == '__main__':
+    main()

@@ -187,3 +187,76 @@ def test_preprocess_calib_data_end_to_end(tmp_path, rng):
     item = ds[0]
     assert item['img'].ndim == 3
     assert np.isfinite(item['vfov_angle'])
+
+
+def test_flickr_downloader_offline_and_cli(tmp_path, monkeypatch):
+    """Offline behavior: a missing API key fails fast with a clear error
+    (never hangs); the CLI mirrors the reference's download modes
+    (scripts/download_flickr.py) with the network mocked out."""
+    from spec_tpu.datagen import flickr as fl
+
+    monkeypatch.delenv('FLICKR_API_KEY', raising=False)
+    with pytest.raises(RuntimeError, match='FLICKR_API_KEY'):
+        fl.FlickrDownloader(out_folder=str(tmp_path / 'o'))
+
+    monkeypatch.setenv('FLICKR_API_KEY', 'test-key')
+    calls = []
+
+    def fake_call(self, method, **params):
+        calls.append((method, params))
+        if method == 'flickr.photos.search':
+            page = params['page']
+            photo = [{'id': f'tag{page}'}] if page == 1 else []
+            return {'photos': {'photo': photo}}
+        if method == 'flickr.groups.pools.getPhotos':
+            page = params['page']
+            photo = [{'id': f'grp{page}'}] if page == 1 else []
+            return {'photos': {'photo': photo}}
+        if method == 'flickr.photos.getSizes':
+            return {'sizes': {'size': [
+                {'label': 'Large', 'source': 'http://x/l.jpg'},
+                {'label': 'Original', 'source': 'http://x/o.jpg'}]}}
+        if method == 'flickr.photos.getExif':
+            return {'photo': {'camera': 'testcam'}}
+        raise AssertionError(method)
+
+    fetched = {}
+
+    class FakeResp:
+        content = b'JPEGDATA'
+
+        def raise_for_status(self):
+            pass
+
+    def fake_get(url, **kw):
+        fetched[url] = fetched.get(url, 0) + 1
+        return FakeResp()
+
+    monkeypatch.setattr(fl.FlickrDownloader, '_call', fake_call)
+    import types
+    monkeypatch.setitem(
+        __import__('sys').modules, 'requests',
+        types.SimpleNamespace(get=fake_get))
+
+    out = tmp_path / 'imgs'
+    # tag mode via the CLI (mirrors scrape_and_download 'tag' branch)
+    fl.main(['--download_type', 'tag', '--tag', 'people',
+             '--out_folder', str(out), '--max_pages', '3'])
+    assert (out / 'tag1.jpg').read_bytes() == b'JPEGDATA'
+    assert json.load(open(out / 'tag1_exif.json')) == {'camera': 'testcam'}
+    # group mode
+    fl.main(['--download_type', 'group', '--group_id', 'g1',
+             '--out_folder', str(out)])
+    assert (out / 'grp1.jpg').exists()
+    # ids mode from an .npy list (the reference's download())
+    ids = tmp_path / 'ids.npy'
+    np.save(ids, np.array(['42']))
+    fl.main(['--download_type', 'ids', '--id_file', str(ids),
+             '--out_folder', str(out)])
+    assert (out / '42.jpg').exists()
+    # pagination stopped at the first empty page
+    search_pages = [p['page'] for m, p in calls
+                    if m == 'flickr.photos.search']
+    assert search_pages == [1, 2]
+    with pytest.raises(SystemExit):
+        fl.main(['--download_type', 'group', '--out_folder', str(out)])
