@@ -53,7 +53,8 @@ def main(argv=None):
     from spec_tpu.data.pano_agora_dataset import PanoAgoraDataset
     from spec_tpu.data.pano_dataset import CameraRegressorDataset, pad_collate
     from spec_tpu.models import CameraRegressorNetwork
-    from spec_tpu.train import adam, create_train_state, make_camcalib_train_step
+    from spec_tpu.train import (create_train_state, make_camcalib_train_step,
+                                make_optimizer)
     from spec_tpu.utils import paths
     from spec_tpu.utils.checkpoints import save_checkpoint
 
@@ -78,7 +79,10 @@ def main(argv=None):
         num_fc_layers=cfg.MODEL.NUM_FC_LAYERS,
         num_fc_channels=cfg.MODEL.NUM_FC_CHANNELS,
         dtype=getattr(jnp, cfg.MODEL.get('DTYPE', 'float32')))
-    tx = adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD)
+    tx = make_optimizer(
+        cfg.OPTIMIZER,
+        grad_accum_steps=int(
+            cfg.TRAINING.get('GRAD_ACCUM_STEPS', 1) or 1))
 
     mesh = par.create_mesh()
     rep = par.replicated(mesh)

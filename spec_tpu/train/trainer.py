@@ -29,8 +29,7 @@ import jax.numpy as jnp
 from spec_tpu import parallel as par
 from spec_tpu.core import constants as C
 from spec_tpu.losses import HMRLossConfig
-from spec_tpu.train.state import (adam, create_train_state,
-                                  freeze_init_buffers)
+from spec_tpu.train.state import create_train_state, make_optimizer
 from spec_tpu.train.steps import make_spec_train_step
 from spec_tpu.utils.checkpoints import restore_checkpoint, save_checkpoint
 from spec_tpu.utils.profiling import StepTimer
@@ -71,9 +70,13 @@ class SpecTrainer:
                 'sharded over it) — an opaque sharding error would '
                 'otherwise surface on the first batch')
         # init_pose/shape/cam are non-trainable buffers in the
-        # reference — exclude them from optimization.
-        self.tx = freeze_init_buffers(
-            adam(cfg.OPTIMIZER.LR, cfg.OPTIMIZER.WD))
+        # reference — exclude them from optimization. Schedules / grad
+        # clipping / accumulation are beyond-reference knobs, all off by
+        # default (train/state.py make_optimizer).
+        self.tx = make_optimizer(
+            cfg.OPTIMIZER, freeze_buffers=True,
+            grad_accum_steps=int(
+                getattr(cfg.TRAINING, 'GRAD_ACCUM_STEPS', 1) or 1))
         loss_cfg = HMRLossConfig(
             shape_loss_weight=cfg.HMR.SHAPE_LOSS_WEIGHT,
             keypoint_loss_weight=cfg.HMR.KEYPOINT_LOSS_WEIGHT,

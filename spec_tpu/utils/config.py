@@ -319,7 +319,14 @@ def spec_default_config() -> CfgNode:
             'STAGE_DATASETS': '',
             'NONPARAMETRIC': False,
         },
-        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-4, 'WD': 0.0},
+        # TYPE/LR/WD are the reference surface (fixed-LR Adam,
+        # spec/config.py:116-119); the rest are beyond-reference knobs,
+        # all off by default (see train/state.py make_optimizer).
+        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-4, 'WD': 0.0,
+                      'SCHEDULE': '', 'WARMUP_STEPS': 0,
+                      'DECAY_STEPS': 0, 'DECAY_RATE': 0.1,
+                      'MIN_LR_RATIO': 0.0, 'CLIP_GRAD_NORM': 0.0,
+                      'MOMENTUM': 0.9},
         'TRAINING': {
             'RESUME': None,
             'PRETRAINED': None,
@@ -345,6 +352,10 @@ def spec_default_config() -> CfgNode:
             # sharded over k-device groups (all-gathers bounded to the
             # group — keep the group within a slice on multi-host).
             'FSDP_GROUP_SIZE': 0,
+            # k>1: mean-accumulate gradients over k micro-batches per
+            # optimizer update (effective batch k*BATCH_SIZE; beyond
+            # reference — see train/state.py make_optimizer).
+            'GRAD_ACCUM_STEPS': 1,
         },
         'TESTING': {
             'SAVE_IMAGES': False,
@@ -401,7 +412,11 @@ def camcalib_default_config() -> CfgNode:
             # (camcalib/config.py:87). resolve_camcalib_loss() arbitrates.
             'LOSS_TYPE': 'ce',
         },
-        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-3, 'WD': 0.0},
+        'OPTIMIZER': {'TYPE': 'adam', 'LR': 1e-3, 'WD': 0.0,
+                      'SCHEDULE': '', 'WARMUP_STEPS': 0,
+                      'DECAY_STEPS': 0, 'DECAY_RATE': 0.1,
+                      'MIN_LR_RATIO': 0.0, 'CLIP_GRAD_NORM': 0.0,
+                      'MOMENTUM': 0.9},
         'TRAINING': {
             'RESUME': None,
             'PRETRAINED': None,
@@ -412,6 +427,7 @@ def camcalib_default_config() -> CfgNode:
             'CHECK_VAL_EVERY_N_EPOCH': 1,
             'RELOAD_DATALOADERS_EVERY_EPOCH': True,
             'SAVE_IMAGES': False,
+            'GRAD_ACCUM_STEPS': 1,
         },
         'MODEL': {
             'BACKBONE': 'resnet34',
