@@ -57,6 +57,20 @@ def _decode_request(body: bytes):
     if not frames:
         raise ValueError("npz must contain 'frame'[+'boxes'] or "
                          "'frame_0'[+'boxes_0'], ...")
+    # Orphaned arrays past the contiguous frame_0..frame_{n-1} run would
+    # otherwise be DROPPED silently (e.g. frame_2 without frame_1, or a
+    # boxes_1 index typo downgrading the request to server-side
+    # detection).
+    orphans = sorted(
+        k for k in data.files
+        if (k.startswith('frame_') or k.startswith('boxes_'))
+        and not (k.split('_')[1].isdigit()
+                 and int(k.split('_')[1]) < len(frames)))
+    if orphans:
+        raise ValueError(
+            f'arrays {orphans} do not match any frame_0..'
+            f'frame_{len(frames) - 1}; frame indices must be contiguous '
+            'from 0 and every boxes_i needs its frame_i')
     if boxes and len(boxes) != len(frames):
         raise ValueError('either every frame_i needs a boxes_i or none '
                          f'may have one (got {len(boxes)} boxes arrays '
@@ -133,8 +147,8 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
                 return
             try:
                 with lock:
-                    if boxes is None:
-                        boxes = predictor.detector.detect(frames)
+                    # boxes=None -> predict() runs the configured
+                    # detector itself (single dispatch path).
                     cameras = predictor.estimate_cameras(frames)
                     results = predictor.predict(frames, boxes,
                                                 cameras=cameras)
@@ -165,6 +179,8 @@ def main(argv=None):
                              'in-repo YOLOv3 (--yolo_weights)')
     parser.add_argument('--yolo_weights', type=str, default='',
                         help='official darknet yolov3.weights path')
+    parser.add_argument('--yolo_img_size', type=int, default=416,
+                        help='detector letterbox size (multiple of 32)')
     parser.add_argument('--data_parallel', action='store_true',
                         help='shard every batch over all visible chips')
     args = parser.parse_args(argv)
@@ -178,7 +194,8 @@ def main(argv=None):
         spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
         smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
         cfg_file=args.cfg, detector=args.detector,
-        yolo_weights=args.yolo_weights, data_parallel=args.data_parallel)
+        yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
+        data_parallel=args.data_parallel)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20)
     print(f'[serve] listening on {args.host}:{server.server_address[1]}')

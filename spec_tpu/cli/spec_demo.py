@@ -320,8 +320,11 @@ def _smooth_video_tracks(output_folder, vid_file, names, per_frame, ids,
             kw['min_cutoff'] = min_cutoff
         if beta is not None:
             kw['beta'] = beta
-        sm = smooth_track_params(r['pred_pose'], r['pred_shape'],
-                                 r['pred_cam'], fps, **kw)
+        # Pass the track's frame indices: tracks bridge occlusions
+        # (IoUTracker max_age), so rows are not always 1/fps apart.
+        sm = smooth_track_params(
+            r['pred_pose'], r['pred_shape'], r['pred_cam'], fps,
+            frames=np.asarray([fi for fi, _ in fps_pis]), **kw)
         for t, (fi, pi) in enumerate(fps_pis):
             items.append((fi, pi, sm['pose'][t], sm['betas'][t],
                           sm['cam'][t]))
@@ -372,6 +375,13 @@ def _smooth_video_tracks(output_folder, vid_file, names, per_frame, ids,
     for fi, r in results.items():
         stem = names[fi].rsplit('.', 1)[0]
         joblib.dump(r, os.path.join(res_out, stem + '.pkl'))
+
+    if not folder_kwargs.get('render', True):
+        # --no_render: the first-pass video is raw frames; smoothing only
+        # updates the result pickles, no overlay re-encode.
+        print(f'[spec] smoothed {len(items)} person-frames across '
+              f'{len(by_track)} tracks (render off: pickles only)')
+        return
 
     # Re-encode the annotated video from the smoothed results (second
     # decode pass — chunked frames were deleted to bound disk use).
@@ -601,7 +611,8 @@ def run_spec_webcam(
         spec_ckpt=spec_ckpt, camcalib_ckpt=camcalib_ckpt,
         cfg_file=cfg_file, smpl_model_dir=smpl_model_dir,
         img_res=img_res, batch_size=8, min_size=min_size,
-        detector=detector, yolo_weights=yolo_weights)
+        detector=detector, yolo_weights=yolo_weights,
+        yolo_img_size=yolo_img_size)
     assets = pred.assets
 
     out_path = os.path.join(output_folder, 'spec_webcam_output.mp4')
@@ -622,8 +633,9 @@ def run_spec_webcam(
         if pred.detector is not None:
             persons = pred.predict([rgb], cameras=[cam])[0]
         else:
-            full = np.asarray(
-                [[w / 2.0, h / 2.0, float(w), float(h)]], np.float32)
+            # Same full-frame box convention as folder/video modes
+            # (0.9*max-side square, data/detection.py).
+            full = full_image_bboxes({'f': (h, w)})['f']
             persons = pred.predict([rgb], [full], cameras=[cam])[0]
         latencies.append((time.perf_counter() - t0) * 1000.0)
 

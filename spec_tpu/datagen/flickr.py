@@ -51,13 +51,12 @@ class FlickrDownloader:
             except Exception as e:
                 print(f'[flickr] {pid}: {e}')
 
-    def download_group(self, group_id: str, per_page: int = 500,
-                       max_pages: int = 20):
-        """Group-scrape path (:185-217)."""
+    def _download_pages(self, method: str, per_page: int, max_pages: int,
+                        **params):
+        """Shared paginate-and-download loop for the scrape paths."""
         for page in range(1, max_pages + 1):
-            data = self._call('flickr.groups.pools.getPhotos',
-                              group_id=group_id, per_page=per_page,
-                              page=page)
+            data = self._call(method, per_page=per_page, page=page,
+                              **params)
             photos = data.get('photos', {}).get('photo', [])
             if not photos:
                 break
@@ -67,23 +66,19 @@ class FlickrDownloader:
                 except Exception as e:
                     print(f"[flickr] {p['id']}: {e}")
 
+    def download_group(self, group_id: str, per_page: int = 500,
+                       max_pages: int = 20):
+        """Group-scrape path (:185-217)."""
+        self._download_pages('flickr.groups.pools.getPhotos', per_page,
+                             max_pages, group_id=group_id)
+
     def download_tag(self, tag: str, per_page: int = 500,
                      max_pages: int = 20):
         """Tag-scrape path (reference ``scrape_and_download`` with
         ``download_type='tag'``, :206-217): ``flickr.photos.search``
         over a tag, newest first."""
-        for page in range(1, max_pages + 1):
-            data = self._call('flickr.photos.search', tags=tag,
-                              per_page=per_page, page=page,
-                              sort='date-posted-desc')
-            photos = data.get('photos', {}).get('photo', [])
-            if not photos:
-                break
-            for p in photos:
-                try:
-                    self._download_photo(p['id'])
-                except Exception as e:
-                    print(f"[flickr] {p['id']}: {e}")
+        self._download_pages('flickr.photos.search', per_page, max_pages,
+                             tags=tag, sort='date-posted-desc')
 
     def _download_photo(self, photo_id: str):
         import requests

@@ -64,6 +64,8 @@ class SpecPredictor:
         MPT detection in-pipeline before HMR).
       yolo_weights: path to the official darknet ``yolov3.weights`` for
         ``detector='yolo'`` (random init without it — smoke tests only).
+      yolo_img_size: detector letterbox size (multiple of 32) for
+        ``detector='yolo'``; mirrors the demo's ``--yolo_img_size``.
     """
 
     def __init__(
@@ -84,6 +86,7 @@ class SpecPredictor:
         data_parallel: bool = False,
         detector: str = '',
         yolo_weights: str = '',
+        yolo_img_size: int = 416,
     ):
         import jax
         import jax.numpy as jnp
@@ -163,7 +166,8 @@ class SpecPredictor:
                       'yolo_weights runs a random-init detector '
                       '(pipeline smoke only)')
             self.detector = YoloDetector(
-                weights_path=yolo_weights or None)
+                weights_path=yolo_weights or None,
+                img_size=yolo_img_size)
         elif detector:
             raise ValueError(f'unknown detector {detector!r}; '
                              "use '' (caller boxes) or 'yolo'")
@@ -315,8 +319,8 @@ class SpecPredictor:
                     'predict(frames) without boxes needs an in-process '
                     "detector — construct SpecPredictor(detector='yolo', "
                     "yolo_weights=...) or pass per-frame boxes")
-            # Detection dispatches before stage 1 so its device work
-            # overlaps the host-side stage-1 resizes.
+            # Note: detect() synchronizes (host NMS per chunk), so
+            # detection and stage 1 run back-to-back, not overlapped.
             boxes = self.detector.detect(frames)
         if cameras is None:
             cameras = self.estimate_cameras(frames)

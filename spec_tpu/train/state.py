@@ -72,12 +72,17 @@ def lr_schedule(
     if schedule == 'cosine':
         if decay_steps <= 0:
             raise ValueError("SCHEDULE='cosine' needs DECAY_STEPS > 0 "
-                             '(total steps of the cosine ramp-down)')
+                             '(length of the cosine ramp-down, not '
+                             'counting WARMUP_STEPS)')
+        # optax's decay_steps is the TOTAL schedule length including the
+        # warmup segment; DECAY_STEPS here is the ramp-down length, so a
+        # config can never silently produce a degenerate (<= warmup)
+        # cosine segment.
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0 if warmup_steps else lr,
             peak_value=lr,
             warmup_steps=warmup_steps,
-            decay_steps=decay_steps,
+            decay_steps=warmup_steps + decay_steps,
             end_value=lr * min_lr_ratio,
         )
     if schedule == 'step':

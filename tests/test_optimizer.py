@@ -49,8 +49,10 @@ class TestLrSchedule:
         np.testing.assert_allclose(float(sched(100)), 1e-2, rtol=1e-6)
 
     def test_cosine(self):
+        """DECAY_STEPS is the ramp-down LENGTH (not counting warmup):
+        warmup 10 + cosine 100 -> floor reached at step 110."""
         sched = lr_schedule(1e-2, schedule='cosine', warmup_steps=10,
-                            decay_steps=110, min_lr_ratio=0.1)
+                            decay_steps=100, min_lr_ratio=0.1)
         assert float(sched(0)) == 0.0
         np.testing.assert_allclose(float(sched(10)), 1e-2, rtol=1e-6)
         # halfway through the cosine: mean of peak and floor
@@ -58,6 +60,16 @@ class TestLrSchedule:
                                    rtol=1e-5)
         np.testing.assert_allclose(float(sched(110)), 1e-3, rtol=1e-5)
         np.testing.assert_allclose(float(sched(10 ** 6)), 1e-3, rtol=1e-5)
+
+    def test_cosine_short_decay_not_degenerate(self):
+        """DECAY_STEPS < WARMUP_STEPS must still yield a real cosine
+        segment after warmup (the optax total-length trap)."""
+        sched = lr_schedule(1e-2, schedule='cosine', warmup_steps=1000,
+                            decay_steps=500, min_lr_ratio=0.0)
+        np.testing.assert_allclose(float(sched(1000)), 1e-2, rtol=1e-6)
+        # midway down the 500-step cosine, LR is half the peak
+        np.testing.assert_allclose(float(sched(1250)), 5e-3, rtol=1e-5)
+        assert float(sched(1500)) < 1e-8
 
     def test_step_staircase(self):
         sched = lr_schedule(1e-2, schedule='step', decay_steps=100,

@@ -281,3 +281,35 @@ def test_http_serving_concurrent_requests(rng):
             np.testing.assert_allclose(o['f0_p0_smpl_vertices'], ref)
     finally:
         server.shutdown()
+
+
+def test_decode_request_rejects_orphan_arrays():
+    """A boxes_i index typo or a frame index gap must 400, not silently
+    drop arrays (or downgrade to server-side detection)."""
+    import io
+
+    import pytest
+
+    from spec_tpu.cli.serve import _decode_request
+
+    frame = np.zeros((8, 8, 3), np.uint8)
+    bx = np.zeros((1, 4), np.float32)
+
+    def enc(**arrs):
+        buf = io.BytesIO()
+        np.savez(buf, **arrs)
+        return buf.getvalue()
+
+    # boxes_1 orphaned by an index typo (frame_0 + boxes_1)
+    with pytest.raises(ValueError, match='boxes_1'):
+        _decode_request(enc(frame_0=frame, boxes_1=bx))
+    # frame index gap: frame_2 unreachable from the contiguous run
+    with pytest.raises(ValueError, match='frame_2'):
+        _decode_request(enc(frame_0=frame, boxes_0=bx, frame_2=frame,
+                            boxes_2=bx))
+    # well-formed requests still decode
+    frames, boxes = _decode_request(enc(frame_0=frame, boxes_0=bx,
+                                        frame_1=frame, boxes_1=bx))
+    assert len(frames) == 2 and len(boxes) == 2
+    frames, boxes = _decode_request(enc(frame_0=frame, frame_1=frame))
+    assert len(frames) == 2 and boxes is None

@@ -69,3 +69,50 @@ def test_smooth_track_params_contract(rng):
     def jitter(p):
         return float(np.mean((p[1:] - p[:-1]) ** 2))
     assert jitter(sm['pose']) < jitter(pose)
+
+
+def test_one_euro_gap_aware_timestamps():
+    """Across a track gap (occlusion bridged by the tracker) the filter
+    must use theTRUE elapsed time: a large dt means little low-pass memory,
+    so the output at the rejoin hugs the raw sample more than the
+    uniform-1/fps assumption would."""
+    rng = np.random.RandomState(0)
+    x = np.zeros((4, 1), np.float64)
+    x[3] = 5.0                       # jump after a 7-frame gap
+    t_idx = np.array([0, 1, 2, 10])  # frames 3..9 occluded
+    y_gap = one_euro(x, fps=30, t_idx=t_idx)[3, 0]
+    y_uni = one_euro(x, fps=30)[3, 0]
+    assert abs(y_gap - 5.0) < abs(y_uni - 5.0)
+    # constant signal stays exact regardless of spacing
+    const = np.full((5, 2), 3.25)
+    np.testing.assert_allclose(
+        one_euro(const, fps=30, t_idx=np.array([0, 1, 5, 6, 20])),
+        const, atol=1e-6)
+    del rng
+
+
+def test_one_euro_t_idx_validation():
+    x = np.zeros((3, 1))
+    with np.testing.assert_raises(ValueError):
+        one_euro(x, fps=30, t_idx=np.array([0, 2, 2]))
+    with np.testing.assert_raises(ValueError):
+        one_euro(x, fps=30, t_idx=np.array([0, 1]))
+
+
+def test_smooth_track_params_accepts_frames():
+    rng = np.random.RandomState(1)
+    T = 6
+    import jax.numpy as jnp
+    from spec_tpu.core import geometry as G
+    r6 = rng.standard_normal((T * 24, 6)).astype(np.float32)
+    pose = np.asarray(G.rot6d_to_rotmat(jnp.asarray(r6))).reshape(
+        T, 24, 3, 3)
+    out = smooth_track_params(
+        pose, rng.standard_normal((T, 10)).astype(np.float32),
+        rng.standard_normal((T, 3)).astype(np.float32), fps=30,
+        frames=np.array([0, 1, 2, 9, 10, 11]))
+    assert out['pose'].shape == (T, 24, 3, 3)
+    # still valid rotations after gap-aware smoothing
+    eye = np.einsum('tjab,tjcb->tjac', out['pose'], out['pose'])
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3),
+                               (T, 24, 3, 3)), atol=1e-5)
