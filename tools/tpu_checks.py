@@ -272,6 +272,59 @@ def main():
     assert (np.diff(y_top[..., 4], axis=-1) <= 1e-6).all()
     check('yolov3 device top-K monotone scores', 0.0, 1.0, unit='')
 
+    # ---- 5b. Training LEARNS on chip: camcalib on synthetic horizon
+    # images (sky/ground two-tone; geometry = reference vis_utils.py:
+    # 86-88). Guards the whole bf16 train graph (conv backward, BN stats,
+    # optax update) against hardware lowering surprises that forward-only
+    # checks and the CPU suite (tests/test_learning.py) cannot see.
+    from spec_tpu.core import bins as CB
+    from spec_tpu.data.pano_dataset import encode_targets
+    from spec_tpu.models import CameraRegressorNetwork
+    from spec_tpu.train import adam, create_train_state, make_camcalib_train_step
+
+    def _horizon_imgs(n, res=64, vfov=1.2):
+        pitch = (rng.rand(n) * 0.7 - 0.35).astype('f4')
+        roll = (rng.rand(n) * 0.7 - 0.35).astype('f4')
+        ys, xs = np.mgrid[0:res, 0:res].astype('f4')
+        ims = np.empty((n, res, res, 3), 'f4')
+        for i in range(n):
+            ctr = res * (0.5 - 0.5 * np.tan(pitch[i]) / np.tan(vfov / 2))
+            sky = (ys < ctr + (xs - res / 2) * np.tan(roll[i])).astype('f4')
+            ims[i] = np.stack([0.8 * sky + 0.1, 0.6 * sky + 0.2,
+                               0.2 * sky + 0.5], -1)
+            ims[i] += rng.randn(res, res, 3).astype('f4') * 0.05
+        return ims, pitch, roll
+
+    cm = CameraRegressorNetwork(backbone='resnet18')
+    imgs, pitch, roll = _horizon_imgs(128)
+    tx = adam(3e-4)
+    cvars = cm.init(jax.random.PRNGKey(3), jnp.asarray(imgs[:2]))
+    cstate = create_train_state(cvars, tx)
+    cstep = jax.jit(make_camcalib_train_step(cm, tx, loss_type='ce'))
+    cl_losses = []
+    for ep in range(10):                       # 40 steps, fixed 128-set
+        order = rng.permutation(128)
+        for s0 in range(0, 128, 32):
+            idx = order[s0:s0 + 32]
+            enc = encode_targets(np.full(32, 1.2, 'f4'), pitch[idx],
+                                 roll[idx], 'ce')
+            cstate, d = cstep(cstate, {
+                'img': jnp.asarray(imgs[idx]),
+                'vfov': jnp.asarray(enc['vfov']),
+                'pitch': jnp.asarray(enc['pitch']),
+                'roll': jnp.asarray(enc['roll'])})
+            cl_losses.append(float(d['loss']))   # scalar fetch = honest
+    ratio = float(np.mean(cl_losses[-4:]) / np.mean(cl_losses[:4]))
+    check('camcalib train step learns on chip (late/early loss)',
+          ratio, 0.6, unit='ratio')
+    logits = cm.apply({'params': cstate.params,
+                       'batch_stats': cstate.batch_stats},
+                      jnp.asarray(imgs[:64]), train=False)
+    _, p_pred, _ = CB.convert_preds_to_angles(*logits, loss_type='ce')
+    mae_p = float(np.abs(np.asarray(p_pred) - pitch[:64]).mean())
+    check('camcalib on-chip trained pitch MAE (train set)', mae_p, 0.15,
+          unit='rad')
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
