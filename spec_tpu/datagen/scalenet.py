@@ -94,14 +94,24 @@ def generate_calibration_dataset(
     crops_per_pano: int = 12,
     seed: int = 0,
     val_ratio: float = 0.1,
+    debug: bool = False,
 ) -> dict:
     """Crops + per-image JSONs in the 'pano_scalenet' layout (json next to
-    the jpg, vfov in radians — reference pano_dataset.py:122-127)."""
+    the jpg, vfov in radians — reference pano_dataset.py:122-127).
+
+    ``debug=True`` additionally writes ``debug/<name>`` copies with the GT
+    horizon line + angle text burned in, for visual QA of the sampled
+    geometry (reference ``generateCalibrationDataset.py:119-136`` +
+    ``debugging.py`` ``showHorizonLine``)."""
     import cv2
     import joblib
 
     img_dir = os.path.join(out_folder, 'images')
     os.makedirs(img_dir, exist_ok=True)
+    if debug:
+        from spec_tpu.utils.vis import draw_horizon_line
+        dbg_dir = os.path.join(out_folder, 'debug')
+        os.makedirs(dbg_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
 
     n_val = max(1, int(len(pano_files) * val_ratio)) \
@@ -129,6 +139,11 @@ def generate_calibration_dataset(
             name = f'{stem}_sn_{k:02d}.jpg'
             cv2.imwrite(os.path.join(img_dir, name),
                         cv2.cvtColor(crop, cv2.COLOR_RGB2BGR))
+            if debug:
+                overlay = draw_horizon_line(
+                    crop, cam['vfov'], cam['pitch'], cam['roll'])
+                cv2.imwrite(os.path.join(dbg_dir, name),
+                            cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
             with open(os.path.join(img_dir, name.replace('.jpg', '.json')),
                       'w') as f:
                 json.dump({

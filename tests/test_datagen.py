@@ -189,6 +189,42 @@ def test_preprocess_calib_data_end_to_end(tmp_path, rng):
     assert np.isfinite(item['vfov_angle'])
 
 
+def test_generate_calibration_dataset_end_to_end(tmp_path, rng):
+    """ScaleNet-recipe generator writes the 'pano_scalenet' layout (json
+    next to the jpg, vfov in radians) plus debug horizon overlays
+    (reference generateCalibrationDataset.py:119-136)."""
+    import cv2
+    from spec_tpu.datagen import generate_calibration_dataset
+    panos = []
+    for i in range(2):
+        p = str(tmp_path / f'pano_{i}.jpg')
+        cv2.imwrite(p, (rng.rand(128, 256, 3) * 255).astype('u1'))
+        panos.append(p)
+    out = str(tmp_path / 'gen_sn')
+    splits = generate_calibration_dataset(
+        panos, out, crops_per_pano=2, seed=0, debug=True)
+    assert len(splits['train_images']) == 2
+    assert len(splits['val_images']) == 2
+    for name in splits['train_images'] + splits['val_images']:
+        assert os.path.exists(os.path.join(out, 'images', name))
+        assert os.path.exists(os.path.join(out, 'debug', name))
+        with open(os.path.join(out, 'images',
+                               name.replace('.jpg', '.json'))) as f:
+            a = json.load(f)
+        assert 0.0 < a['vfov'] < np.pi  # radians in pano_scalenet layout
+        assert abs(a['roll']) < np.pi / 6
+    # crop height is always 600 (image_extraction.py:133)
+    im = cv2.imread(os.path.join(out, 'images', splits['train_images'][0]))
+    assert im.shape[0] == 600
+    # round-trips through the CamCalib dataset in scalenet dialect
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset
+    ds = CameraRegressorDataset(out, dataset='pano_scalenet', is_train=True,
+                                min_size=128, max_size=256)
+    item = ds[0]
+    assert item['img'].ndim == 3
+    assert np.isfinite(item['vfov_angle'])
+
+
 def test_flickr_downloader_offline_and_cli(tmp_path, monkeypatch):
     """Offline behavior: a missing API key fails fast with a clear error
     (never hangs); the CLI mirrors the reference's download modes
