@@ -421,6 +421,7 @@ def run_spec_on_video(
     smooth: bool = False,
     smooth_min_cutoff: Optional[float] = None,
     smooth_beta: Optional[float] = None,
+    tracker: str = 'sort',
     **folder_kwargs,
 ):
     """Video demo: decode frames -> the folder pipeline -> re-encode an
@@ -517,7 +518,8 @@ def run_spec_on_video(
     shutil.rmtree(work_dir, ignore_errors=True)
 
     # Person-identity tracking across frames (the reference ecosystem
-    # gets this from multi_person_tracker/SORT; greedy IoU here).
+    # gets this from multi_person_tracker; same SORT algorithm in-repo,
+    # greedy IoU selectable via --tracker iou).
     from spec_tpu.data.tracking import track_video_boxes
 
     h, w = first_hw
@@ -531,7 +533,7 @@ def run_spec_on_video(
         dets = full_image_bboxes({n: (h, w) for n in names})
     per_frame = [np.asarray(dets.get(n, np.zeros((0, 4), np.float32)),
                             np.float32).reshape(-1, 4) for n in names]
-    ids = track_video_boxes(per_frame)
+    ids = track_video_boxes(per_frame, method=tracker)
     tracks: dict = {}
     for fi, (bx, tid_arr) in enumerate(zip(per_frame, ids)):
         for b, tid in zip(bx, tid_arr):
@@ -795,6 +797,11 @@ def main(argv=None):
                                  'detection is pluggable via --bbox_file')
     parser.add_argument('--tracker_batch_size', type=int, default=None,
                         help='accepted for reference CLI parity')
+    parser.add_argument('--tracker', type=str, default='sort',
+                        choices=['sort', 'iou'],
+                        help='[video] identity tracker: sort (Kalman + '
+                             'Hungarian, the reference MPT algorithm) or '
+                             'iou (greedy last-box IoU)')
     parser.add_argument('--min_cutoff', type=float, default=None,
                         help='[video --smooth] One-Euro cutoff floor Hz '
                              '(default 0.004; lower = smoother at rest)')
@@ -882,7 +889,8 @@ def main(argv=None):
                           keep_frames=args.keep_frames,
                           smooth=args.smooth,
                           smooth_min_cutoff=args.min_cutoff,
-                          smooth_beta=args.beta, **common)
+                          smooth_beta=args.beta,
+                          tracker=args.tracker, **common)
     else:
         if args.smooth:
             print('[spec] WARNING: --smooth is temporal and applies to '

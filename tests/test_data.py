@@ -224,3 +224,51 @@ def test_iou_tracker():
 
     ids = track_video_boxes([np.array([[10, 10, 8, 8]], 'f4')] * 3)
     assert all(i.tolist() == [0] for i in ids)
+
+
+def test_sort_tracker_motion_model():
+    """SORT (Kalman + Hungarian, the reference MPT algorithm): the
+    velocity model bridges a two-frame detection miss on a walker —
+    greedy last-box IoU cannot (after two missed frames the stale box
+    no longer overlaps the target at all)."""
+    from spec_tpu.data.tracking import IoUTracker, SortTracker
+
+    # walker: 18 px/frame, width 40 -> consecutive-frame IoU ~0.38,
+    # trackable by both; 3-frame displacement 54 px > width -> IoU 0
+    def boxes_at(t):
+        return np.array([[50 + 18 * t, 60, 40, 50]], 'f4')
+
+    sort = SortTracker(iou_threshold=0.3, max_age=3)
+    greedy = IoUTracker(iou_threshold=0.3, max_age=3)
+    for t in range(5):
+        sid = sort.update(boxes_at(t))[0]
+        gid = greedy.update(boxes_at(t))[0]
+        if t == 0:
+            sid0, gid0 = sid, gid
+    assert sid == sid0 and gid == gid0    # both follow while detected
+    # detector misses t=5 and t=6 (still walking), reappears at t=7
+    for _ in range(2):
+        sort.update(np.zeros((0, 4), 'f4'))
+        greedy.update(np.zeros((0, 4), 'f4'))
+    assert sort.update(boxes_at(7))[0] == sid0      # prediction bridges
+    assert greedy.update(boxes_at(7))[0] != gid0    # stale box lost it
+
+    # two crossing walkers keep their ids through the crossover
+    sort2 = SortTracker(iou_threshold=0.3, max_age=2)
+    left = lambda t: [40 + 8 * t, 60, 28, 56]      # ->
+    right = lambda t: [280 - 8 * t, 64, 28, 56]    # <-
+    first = sort2.update(np.array([left(0), right(0)], 'f4'))
+    for t in range(1, 31):
+        cur = sort2.update(np.array([left(t), right(t)], 'f4'))
+    assert cur.tolist() == first.tolist()          # no identity swap
+
+
+def test_track_video_boxes_method_switch():
+    from spec_tpu.data.tracking import track_video_boxes
+
+    frames = [np.array([[10 + 2 * t, 10, 8, 8]], 'f4') for t in range(4)]
+    for method in ('sort', 'iou'):
+        ids = track_video_boxes(frames, method=method)
+        assert all(i.tolist() == [0] for i in ids), method
+    with pytest.raises(KeyError):
+        track_video_boxes(frames, method='nope')
