@@ -245,3 +245,36 @@ def test_step_dirs_skip_orbax_temp(tmp_path):
     assert latest_step(str(ck)) == 5
     with pytest.raises(FileNotFoundError):
         restore_checkpoint(str(tmp_path / 'empty'), {})
+
+
+def test_bench_backend_probe(monkeypatch):
+    """bench._wait_for_backend: returns immediately on a healthy probe,
+    and returns (never raises) when the budget is exhausted on a dead
+    tunnel — a transient axon outage must not turn the BENCH artifact
+    red (round-1 MULTICHIP postmortem)."""
+    import subprocess
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    calls = []
+
+    class _P:
+        def __init__(self, rc):
+            self.returncode = rc
+            self.stderr = b'RuntimeError: tunnel down'
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        return _P(0)
+
+    monkeypatch.setattr(subprocess, 'run', fake_run)
+    bench._wait_for_backend(budget_s=1)
+    assert len(calls) == 1          # healthy: single probe, no sleep
+
+    calls.clear()
+    monkeypatch.setattr(subprocess, 'run', lambda *a, **k: _P(1))
+    monkeypatch.setattr(bench.time, 'sleep', lambda s: calls.append(s))
+    t0 = bench.time.perf_counter()
+    bench._wait_for_backend(budget_s=0)   # budget exhausted on first fail
+    assert bench.time.perf_counter() - t0 < 5.0
