@@ -32,46 +32,10 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 def _wait_for_backend(budget_s=600):
-    """Ride out transient axon-tunnel outages instead of failing red.
-
-    The TPU here is reached through a remote tunnel that flakes for
-    minutes at a time (libtpu upgrades, pool churn — the round-1
-    MULTICHIP artifact died to exactly this). A failed backend init is
-    cached in-process by jax and cannot be retried, so probe in a
-    SUBPROCESS until a trivial device op answers or the budget runs out;
-    only then touch the backend in this process. Healthy path cost: one
-    ~5 s python startup. Prints to stderr only (stdout is the one-JSON-
-    line contract)."""
-    import subprocess
-    import sys
-
-    deadline = time.time() + budget_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            p = subprocess.run(
-                [sys.executable, '-c',
-                 'import jax, jax.numpy as jnp; '
-                 'print(float(jnp.ones((8, 8)).sum()))'],
-                timeout=180, capture_output=True)
-            if p.returncode == 0:
-                if attempt > 1:
-                    print(f'[bench] backend recovered on attempt '
-                          f'{attempt}', file=sys.stderr)
-                return
-            err = p.stderr.decode(errors='replace').strip().splitlines()
-        except subprocess.TimeoutExpired:
-            err = ['probe timed out (180 s)']
-        if time.time() >= deadline:
-            print('[bench] backend probe budget exhausted; proceeding '
-                  '(the run itself will surface the error)',
-                  file=sys.stderr)
-            return
-        print(f'[bench] backend probe attempt {attempt} failed '
-              f'({err[-1] if err else "?"}); retrying in 30 s',
-              file=sys.stderr)
-        time.sleep(30)
+    """Ride out transient axon-tunnel outages instead of failing red
+    (round-1 MULTICHIP died to exactly this); see utils/backend.py."""
+    from spec_tpu.utils.backend import wait_for_backend
+    wait_for_backend(budget_s=budget_s)
 
 
 def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224,

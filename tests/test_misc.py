@@ -247,15 +247,15 @@ def test_step_dirs_skip_orbax_temp(tmp_path):
         restore_checkpoint(str(tmp_path / 'empty'), {})
 
 
-def test_bench_backend_probe(monkeypatch):
-    """bench._wait_for_backend: returns immediately on a healthy probe,
-    and returns (never raises) when the budget is exhausted on a dead
-    tunnel — a transient axon outage must not turn the BENCH artifact
-    red (round-1 MULTICHIP postmortem)."""
+def test_backend_probe(monkeypatch):
+    """utils.backend.wait_for_backend: returns True immediately on a
+    healthy probe; returns False (never raises) when the budget is
+    exhausted on a dead tunnel — a transient axon outage must not turn
+    the BENCH/entry artifacts red (round-1 MULTICHIP postmortem). Used
+    by bench.py and __graft_entry__.entry()."""
     import subprocess
-    import sys
-    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-    import bench
+
+    from spec_tpu.utils import backend as BK
 
     calls = []
 
@@ -269,12 +269,29 @@ def test_bench_backend_probe(monkeypatch):
         return _P(0)
 
     monkeypatch.setattr(subprocess, 'run', fake_run)
-    bench._wait_for_backend(budget_s=1)
+    assert BK.wait_for_backend(budget_s=1) is True
     assert len(calls) == 1          # healthy: single probe, no sleep
 
-    calls.clear()
+    slept = []
     monkeypatch.setattr(subprocess, 'run', lambda *a, **k: _P(1))
-    monkeypatch.setattr(bench.time, 'sleep', lambda s: calls.append(s))
-    t0 = bench.time.perf_counter()
-    bench._wait_for_backend(budget_s=0)   # budget exhausted on first fail
-    assert bench.time.perf_counter() - t0 < 5.0
+    monkeypatch.setattr(BK.time, 'sleep', lambda s: slept.append(s))
+    t0 = BK.time.time()
+    # budget exhausted on first failure: returns False without sleeping
+    assert BK.wait_for_backend(budget_s=0) is False
+    assert BK.time.time() - t0 < 5.0 and not slept
+
+    # one retry then exhaustion: sleeps once, still returns False
+    monkeypatch.setattr(
+        BK.time, 'time',
+        _Clock(step=1.0).now)
+    assert BK.wait_for_backend(budget_s=1.5, retry_sleep_s=3) is False
+    assert slept == [3]
+
+
+class _Clock:
+    def __init__(self, step):
+        self.t, self.step = 0.0, step
+
+    def now(self):
+        self.t += self.step
+        return self.t
