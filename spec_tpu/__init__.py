@@ -7,6 +7,7 @@ see README.md / PARITY.md for the full component map).
 Public surface (lazily imported — ``import spec_tpu`` stays cheap):
 
   SpecPredictor            persistent two-stage inference engine
+  export_predictor, load_predictor   .specx AOT deployment artifacts
   HMR, CameraRegressorNetwork   the two model families
   load_smpl_assets, smpl_forward   SMPL body model
   smplify_fit              in-graph batched SMPLify fitting
@@ -19,6 +20,8 @@ __version__ = '0.1.0'
 
 _LAZY = {
     'SpecPredictor': ('spec_tpu.serving', 'SpecPredictor'),
+    'export_predictor': ('spec_tpu.export', 'export_predictor'),
+    'load_predictor': ('spec_tpu.export', 'load_predictor'),
     'HMR': ('spec_tpu.models', 'HMR'),
     'CameraRegressorNetwork': ('spec_tpu.models', 'CameraRegressorNetwork'),
     'load_smpl_assets': ('spec_tpu.core.smpl', 'load_smpl_assets'),

@@ -183,19 +183,29 @@ def main(argv=None):
                         help='detector letterbox size (multiple of 32)')
     parser.add_argument('--data_parallel', action='store_true',
                         help='shard every batch over all visible chips')
+    parser.add_argument('--exported', type=str, default='',
+                        help='serve from a .specx AOT artifact '
+                             '(spec_export; ignores ckpt/cfg/detector '
+                             'flags — the artifact is the model)')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()
 
-    from spec_tpu.serving import SpecPredictor
+    if args.exported:
+        from spec_tpu.export import load_predictor
 
-    predictor = SpecPredictor(
-        spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
-        smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
-        cfg_file=args.cfg, detector=args.detector,
-        yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
-        data_parallel=args.data_parallel)
+        predictor = load_predictor(args.exported,
+                                   batch_size=args.batch_size)
+    else:
+        from spec_tpu.serving import SpecPredictor
+
+        predictor = SpecPredictor(
+            spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
+            smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
+            cfg_file=args.cfg, detector=args.detector,
+            yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
+            data_parallel=args.data_parallel)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20)
     print(f'[serve] listening on {args.host}:{server.server_address[1]}')
