@@ -325,6 +325,32 @@ def main():
     check('camcalib on-chip trained pitch MAE (train set)', mae_p, 0.15,
           unit='rad')
 
+    # ---- 5c. .specx AOT artifact executes on chip and matches the CPU
+    # deserialization (the cross-platform lowering claim of export.py:
+    # one artifact, cpu AND tpu platforms; parity budget = bf16-conv
+    # forward, same as the live-pipeline checks).
+    import tempfile
+
+    from spec_tpu.export import export_predictor, load_predictor
+    from spec_tpu.serving import SpecPredictor
+
+    sp = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                       batch_size=2, min_size=64, use_fused_lbs=False)
+    with tempfile.TemporaryDirectory() as td:
+        art = os.path.join(td, 'm.specx')
+        export_predictor(sp, art, platforms=('cpu', 'tpu'))
+        ld = load_predictor(art)
+        frame = (rng.rand(80, 112, 3) * 255).astype('u1')
+        boxes = np.array([[56, 40, 50, 64]], 'f4')
+        r_tpu = ld.predict([frame], [boxes])[0][0]
+        with jax.default_device(_cpu()):
+            ld_cpu = load_predictor(art)
+            r_cpu = ld_cpu.predict([frame], [boxes])[0][0]
+        verr = float(np.abs(np.asarray(r_tpu['smpl_vertices'])
+                            - np.asarray(r_cpu['smpl_vertices'])).max())
+        check('.specx artifact chip-vs-cpu vertices', verr * 1000.0, 5.0,
+              unit='mm (bf16 conv budget)')
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
