@@ -37,6 +37,12 @@ Design notes (TPU-first):
 The reference has no equivalent (its deployment story is "clone the repo
 and reload checkpoints", ``spec/tester.py:49-88``); this is the
 jax-native answer to torchscript/ONNX packaging.
+
+Scope: the artifact executes on one device. Multi-chip serving
+(``data_parallel=True``) stays on the live :class:`SpecPredictor` —
+sharded deployments re-jit from model code where XLA can lay out the
+mesh for the actual topology, which a frozen single-device program
+cannot.
 """
 
 from __future__ import annotations

@@ -28,20 +28,9 @@ VFOV = 1.2  # fixed: vfov is not identifiable from a bare horizon line
 
 def _render_horizon_batch(rng, n):
     """(n, RES, RES, 3) two-tone sky/ground images + (pitch, roll)."""
-    pitch = (rng.rand(n) * 0.7 - 0.35).astype(np.float32)
-    roll = (rng.rand(n) * 0.7 - 0.35).astype(np.float32)
-    ys, xs = np.mgrid[0:RES, 0:RES].astype(np.float32)
-    imgs = np.empty((n, RES, RES, 3), np.float32)
-    for i in range(n):
-        # reference horizon geometry (vis_utils.py:86-88): midline
-        # crossing + per-column roll offset.
-        ctr = RES * (0.5 - 0.5 * np.tan(pitch[i]) / np.tan(VFOV / 2))
-        line_y = ctr + (xs - RES / 2) * np.tan(roll[i])
-        sky = (ys < line_y).astype(np.float32)
-        img = np.stack([0.8 * sky + 0.1, 0.6 * sky + 0.2,
-                        0.2 * sky + 0.5], -1)
-        imgs[i] = img + rng.randn(RES, RES, 3).astype(np.float32) * 0.05
-    return imgs, pitch, roll
+    from spec_tpu.datagen.synthetic import render_horizon_batch
+
+    return render_horizon_batch(rng, n, res=RES, vfov=VFOV)
 
 
 def _make_batch(imgs, pitch, roll):

@@ -282,18 +282,10 @@ def main():
     from spec_tpu.models import CameraRegressorNetwork
     from spec_tpu.train import adam, create_train_state, make_camcalib_train_step
 
+    from spec_tpu.datagen.synthetic import render_horizon_batch
+
     def _horizon_imgs(n, res=64, vfov=1.2):
-        pitch = (rng.rand(n) * 0.7 - 0.35).astype('f4')
-        roll = (rng.rand(n) * 0.7 - 0.35).astype('f4')
-        ys, xs = np.mgrid[0:res, 0:res].astype('f4')
-        ims = np.empty((n, res, res, 3), 'f4')
-        for i in range(n):
-            ctr = res * (0.5 - 0.5 * np.tan(pitch[i]) / np.tan(vfov / 2))
-            sky = (ys < ctr + (xs - res / 2) * np.tan(roll[i])).astype('f4')
-            ims[i] = np.stack([0.8 * sky + 0.1, 0.6 * sky + 0.2,
-                               0.2 * sky + 0.5], -1)
-            ims[i] += rng.randn(res, res, 3).astype('f4') * 0.05
-        return ims, pitch, roll
+        return render_horizon_batch(rng, n, res=res, vfov=vfov)
 
     cm = CameraRegressorNetwork(backbone='resnet18')
     imgs, pitch, roll = _horizon_imgs(128)
