@@ -170,7 +170,10 @@ def main(argv=None):
     parser.add_argument('--smpl_model_dir', type=str, default='')
     parser.add_argument('--cfg', type=str, default='',
                         help='model config yaml shipped with the ckpt')
-    parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--batch_size', type=int, default=None,
+                        help='pad ceiling per compiled graph (default: '
+                             '32, or the value recorded in --exported '
+                             'artifacts)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
     parser.add_argument('--detector', type=str, default='',
@@ -202,7 +205,8 @@ def main(argv=None):
 
         predictor = SpecPredictor(
             spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
-            smpl_model_dir=args.smpl_model_dir, batch_size=args.batch_size,
+            smpl_model_dir=args.smpl_model_dir,
+            batch_size=args.batch_size or 32,
             cfg_file=args.cfg, detector=args.detector,
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
             data_parallel=args.data_parallel)

@@ -12,12 +12,18 @@ work):
   through missed detections and crossing paths, which greedy
   last-box IoU cannot.
 - :class:`IoUTracker` — greedy best-first IoU on the last seen box;
-  simpler, kept for zero-scipy environments and as the webcam-mode
-  tracker (no lookahead, strictly causal either way).
+  simpler, no scipy needed (SORT's Hungarian step is scipy's
+  ``linear_sum_assignment``); the automatic fallback when scipy is
+  absent. Both are strictly causal (no lookahead).
+
+Webcam mode does per-frame prediction without any tracker
+(``cli/spec_demo.py`` ``run_spec_webcam``).
 """
 
 from __future__ import annotations
 
+import importlib.util
+import warnings
 from typing import Dict, List
 
 import numpy as np
@@ -188,7 +194,15 @@ def track_video_boxes(per_frame_boxes: List[np.ndarray],
                       method: str = 'sort') -> List[np.ndarray]:
     """Convenience: run a tracker over a whole clip.
     Returns per-frame (N_i,) track-id arrays. ``method`` is 'sort'
-    (reference-equivalent, default) or 'iou' (greedy last-box IoU)."""
+    (reference-equivalent, default) or 'iou' (greedy last-box IoU).
+    Without scipy, 'sort' degrades to 'iou' with a warning instead of
+    crashing after the (potentially long) model pass that produced the
+    boxes."""
+    if method == 'sort' and importlib.util.find_spec('scipy') is None:
+        warnings.warn('scipy is not installed; SORT needs '
+                      'scipy.optimize.linear_sum_assignment — falling '
+                      'back to the greedy IoU tracker (--tracker iou)')
+        method = 'iou'
     cls = {'sort': SortTracker, 'iou': IoUTracker}[method]
     tracker = cls(iou_threshold=iou_threshold, max_age=max_age)
     return [tracker.update(b) for b in per_frame_boxes]

@@ -75,7 +75,24 @@ def _flatten(tree, prefix='') -> dict:
     return out
 
 
-def _unflatten(flat: dict) -> dict:
+def _skeleton(tree):
+    """Nested-dict shape of ``tree`` with leaves as ``None`` — kept in the
+    artifact so empty variable collections (dict nodes with no leaves,
+    which a flat npz cannot represent) survive the round trip; the
+    exported functions' input treedefs include them."""
+    if isinstance(tree, dict):
+        return {k: _skeleton(v) for k, v in tree.items()}
+    return None
+
+
+def _unflatten(flat: dict, skeleton=None) -> dict:
+    if skeleton is not None:
+        def build(skel, prefix=''):
+            if skel is None:
+                return flat[prefix[:-1]]
+            return {k: build(v, f'{prefix}{k}{_SEP}')
+                    for k, v in skel.items()}
+        return build(skeleton)
     tree: dict = {}
     for path, v in flat.items():
         node = tree
@@ -104,37 +121,37 @@ def export_predictor(pred, path: str,
     checkpoints already loaded). Returns ``path``.
     """
     import jax
-    import jax.numpy as jnp
     from jax import export as jexport
-
-    from spec_tpu.core import bins
-    from spec_tpu.core import constants as C
 
     # Portable LBS: strip the Pallas-packed operands (TPU-only custom
     # calls must not enter a multi-platform serialization).
     assets = dataclasses.replace(pred.assets, packed_lbs=None)
-    camcalib, spec, loss_type = pred.camcalib, pred.spec, pred.loss_type
+    spec = pred.spec
 
-    def cam_forward(cc_vars, images_u8):
-        images = (images_u8.astype(jnp.float32) / 255.0
-                  - jnp.asarray(C.IMG_NORM_MEAN)) / jnp.asarray(
-                      C.IMG_NORM_STD)
-        logits = camcalib.apply(cc_vars, images)
-        return bins.convert_preds_to_angles(*logits, loss_type=loss_type)
-
+    # Stage 1 exports the live predictor's own jitted body
+    # (serving.py `_cam_forward`: uint8 normalize + camcalib + bin
+    # decode) — a single source of truth, so a normalization or decode
+    # change can never diverge live-vs-artifact. Stage 2 cannot reuse
+    # `_spec_forward` (it closes over the Pallas-packed assets); it is
+    # the same one-line `spec.apply` delegation over the stripped assets.
     def spec_forward(spec_vars, crops, rotmat, K, scale, center,
                      img_w, img_h):
         return spec.apply(spec_vars, assets, crops, rotmat, K, scale,
                           center, img_w, img_h)
 
     def specs(tree):
+        # .dtype reads metadata without a device->host copy (np.asarray
+        # on a jax array would fetch the full weight tensor).
         return jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            lambda x: jax.ShapeDtypeStruct(
+                np.shape(x),
+                x.dtype if hasattr(x, 'dtype') else np.asarray(x).dtype),
             tree)
 
     b, h, w = jexport.symbolic_shape('b, h, w')
     f4 = np.dtype('float32')
-    exp_cam = jexport.export(jax.jit(cam_forward), platforms=tuple(platforms))(
+    exp_cam = jexport.export(jax.jit(pred._cam_forward),
+                             platforms=tuple(platforms))(
         specs(pred.cc_vars),
         jax.ShapeDtypeStruct((b, h, w, 3), np.dtype('uint8')))
     res = pred.img_res
@@ -153,10 +170,12 @@ def export_predictor(pred, path: str,
         'format': FORMAT,
         'jax_version': jax.__version__,
         'platforms': list(platforms),
-        'loss_type': loss_type,
+        'loss_type': pred.loss_type,
         'min_size': pred.min_size,
         'img_res': pred.img_res,
         'batch_size': pred.batch_size,
+        'cam_tree': _skeleton(pred.cc_vars),
+        'spec_tree': _skeleton(pred.spec_vars),
     }
     with zipfile.ZipFile(path, 'w', zipfile.ZIP_DEFLATED) as z:
         z.writestr('meta.json', json.dumps(meta, indent=1))
@@ -208,8 +227,15 @@ def load_predictor(path: str, batch_size: Optional[int] = None):
     pred.loss_type = meta['loss_type']
     pred.assets = None          # baked into the exported spec stage
     pred.camcalib = pred.spec = None
-    pred.cc_vars = _unflatten(cc_flat)
-    pred.spec_vars = _unflatten(spec_flat)
+    # device_put once: weights live in HBM across calls (numpy-argument
+    # trees would re-transfer the full weight set on every jitted call).
+    # The meta skeletons restore empty variable collections that the
+    # flat npz cannot represent (older artifacts lack them — leaf-path
+    # reconstruction then, correct whenever every dict node has leaves).
+    pred.cc_vars = jax.device_put(
+        _unflatten(cc_flat, meta.get('cam_tree')))
+    pred.spec_vars = jax.device_put(
+        _unflatten(spec_flat, meta.get('spec_tree')))
     pred.detector = None
     pred.mesh = None
     pred._min_pad = 1

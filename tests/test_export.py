@@ -99,6 +99,42 @@ def test_shape_polymorphism_one_artifact_many_shapes(exported, rng):
                             c['f_pix']]).all()
 
 
+def test_weight_tree_roundtrip_preserves_empty_collections():
+    """Empty variable collections (dict nodes with no leaves) must survive
+    the flat-npz round trip via the meta skeleton — the exported
+    function's input treedef includes them, so dropping one breaks every
+    call after load."""
+    tree = {'params': {'w': np.ones((2, 2), np.float32)},
+            'batch_stats': {},
+            'nested': {'empty': {}, 'leaf': np.zeros(3, np.int32)}}
+    flat = EX._flatten(tree)
+    skel = EX._skeleton(tree)
+    back = EX._unflatten(flat, skel)
+    assert back['batch_stats'] == {}
+    assert back['nested']['empty'] == {}
+    np.testing.assert_array_equal(back['params']['w'], tree['params']['w'])
+    np.testing.assert_array_equal(back['nested']['leaf'],
+                                  tree['nested']['leaf'])
+    # skeleton must survive json (it is stored in meta.json)
+    assert json.loads(json.dumps(skel)) == skel
+    # legacy artifacts (no skeleton) still reconstruct leaf-complete trees
+    legacy = EX._unflatten(flat)
+    np.testing.assert_array_equal(legacy['params']['w'], tree['params']['w'])
+
+
+def test_loaded_weights_are_device_resident(exported):
+    """load_predictor must device_put the weight trees once — numpy
+    leaves would re-transfer the full weight set on every jitted call."""
+    import jax
+
+    _, path = exported
+    pred2 = EX.load_predictor(path)
+    assert pred2.batch_size == 4  # meta value honored when not overridden
+    leaves = jax.tree.leaves(pred2.cc_vars) + jax.tree.leaves(
+        pred2.spec_vars)
+    assert leaves and all(isinstance(x, jax.Array) for x in leaves)
+
+
 def test_load_rejects_foreign_format(tmp_path):
     bad = tmp_path / 'bad.specx'
     with zipfile.ZipFile(bad, 'w') as z:
