@@ -31,9 +31,10 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def _wait_for_backend(budget_s=600):
+def _wait_for_backend(budget_s=1800):
     """Ride out transient axon-tunnel outages instead of failing red
-    (round-1 MULTICHIP died to exactly this); see utils/backend.py."""
+    (round-1 MULTICHIP died to exactly this; a round-2 outage exceeded
+    an hour, so the budget is generous); see utils/backend.py."""
     from spec_tpu.utils.backend import wait_for_backend
     wait_for_backend(budget_s=budget_s)
 
