@@ -4,6 +4,10 @@ The reference has no serving layer (SURVEY.md §0 — demo scripts only);
 this exposes the persistent in-process two-stage predictor over HTTP with
 zero extra dependencies (stdlib ``http.server`` + npz payloads). The
 device work stays batched inside the predictor; the server only does IO.
+Concurrent requests are adaptively micro-batched: a single dispatcher
+thread owns the chip and coalesces whatever queued while it was busy
+into one padded device batch (:class:`_Batcher`) — large MXU batches
+under load, zero added latency when idle.
 
 Protocol (numpy .npz over POST, self-describing):
   GET  /healthz            -> 200 'ok'
@@ -34,6 +38,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -98,12 +103,113 @@ def _encode_response(results, cameras) -> bytes:
     return buf.getvalue()
 
 
+class _Batcher:
+    """Adaptive micro-batching for concurrent requests.
+
+    All device calls run on ONE dispatcher thread (a chip is a serial
+    resource); requests that arrive while the device is busy coalesce
+    into a single ``estimate_cameras`` + ``predict`` call instead of
+    queueing as N tiny padded batches. No artificial wait window: an
+    idle server dispatches immediately (zero added latency), a busy one
+    batches whatever accumulated — the MXU sees large batches exactly
+    when there is load. Requests with client boxes and box-less
+    (server-side detection) requests batch separately per round.
+
+    If a coalesced call fails with more than one member, each request is
+    retried individually so one bad input cannot fail its neighbors.
+    """
+
+    _STOP = object()
+
+    def __init__(self, predictor, max_frames: int = 0):
+        self.pred = predictor
+        self.max_frames = int(max_frames or predictor.batch_size)
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name='spec-serve-batcher')
+        self._thread.start()
+
+    def submit(self, frames, boxes):
+        """Blocking: returns (cameras, results) for this request only."""
+        item = {'frames': frames, 'boxes': boxes,
+                'ev': threading.Event()}
+        self._q.put(item)
+        item['ev'].wait()
+        if 'error' in item:
+            raise item['error']
+        return item['cameras'], item['results']
+
+    def stop(self):
+        self._q.put(self._STOP)
+        self._thread.join(timeout=30)
+
+    # -- dispatcher side ----------------------------------------------------
+
+    def _loop(self):
+        while True:
+            first = self._q.get()
+            if first is self._STOP:
+                return
+            batch = [first]
+            n = len(first['frames'])
+            while n < self.max_frames:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._drain(batch)
+                    return
+                batch.append(nxt)
+                n += len(nxt['frames'])
+            self._drain(batch)
+
+    def _call(self, frames, boxes):
+        cameras = self.pred.estimate_cameras(frames)
+        return cameras, self.pred.predict(frames, boxes, cameras=cameras)
+
+    def _drain(self, batch):
+        """One round: service ``batch`` in at most two predictor calls
+        (with-boxes group, detect group), splitting results back out."""
+        for has_boxes in (True, False):
+            group = [b for b in batch
+                     if (b['boxes'] is not None) is has_boxes]
+            if not group:
+                continue
+            frames = [f for b in group for f in b['frames']]
+            boxes = ([bx for b in group for bx in b['boxes']]
+                     if has_boxes else None)
+            try:
+                cameras, results = self._call(frames, boxes)
+            except Exception:
+                # Isolate the offender: one request's failure must not
+                # 500 the others it happened to share a round with.
+                for b in group:
+                    try:
+                        b['cameras'], b['results'] = self._call(
+                            b['frames'], b['boxes'])
+                    except Exception as e:
+                        b['error'] = e
+                    b['ev'].set()
+                continue
+            i = 0
+            for b in group:
+                k = len(b['frames'])
+                b['cameras'] = cameras[i:i + k]
+                b['results'] = results[i:i + k]
+                i += k
+                b['ev'].set()
+
+
 def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
-                  max_request_bytes: int = 512 * 1024 * 1024):
-    """ThreadingHTTPServer serving ``predictor`` (device calls are
-    serialized behind a lock — one chip, one queue). Requests above
+                  max_request_bytes: int = 512 * 1024 * 1024,
+                  max_batch_frames: int = 0):
+    """ThreadingHTTPServer serving ``predictor``. Device work is owned by
+    a single dispatcher thread that micro-batches concurrent requests
+    (:class:`_Batcher`; ``max_batch_frames`` caps frames coalesced per
+    round, 0 = the predictor's batch_size). Requests above
     ``max_request_bytes`` are rejected with 413 before being read."""
-    lock = threading.Lock()
+    batcher = _Batcher(predictor, max_frames=max_batch_frames)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -146,18 +252,25 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
                     'application/json')
                 return
             try:
-                with lock:
-                    # boxes=None -> predict() runs the configured
-                    # detector itself (single dispatch path).
-                    cameras = predictor.estimate_cameras(frames)
-                    results = predictor.predict(frames, boxes,
-                                                cameras=cameras)
+                # boxes=None -> predict() runs the configured detector
+                # itself (single dispatch path). Dispatch + coalescing
+                # happen on the batcher thread.
+                cameras, results = batcher.submit(frames, boxes)
                 self._send(200, _encode_response(results, cameras))
             except Exception as e:      # predictor failure -> server error
                 self._send(500, json.dumps({'error': str(e)}).encode(),
                            'application/json')
 
-    return ThreadingHTTPServer((host, port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.batcher = batcher
+    _orig_shutdown = server.shutdown
+
+    def _shutdown():
+        _orig_shutdown()
+        batcher.stop()
+
+    server.shutdown = _shutdown
+    return server
 
 
 def main(argv=None):
@@ -176,6 +289,10 @@ def main(argv=None):
                              'artifacts)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
+    parser.add_argument('--max_batch_frames', type=int, default=0,
+                        help='cap on frames micro-batched per device '
+                             'round across concurrent requests '
+                             '(0 = batch_size)')
     parser.add_argument('--detector', type=str, default='',
                         choices=['', 'yolo'],
                         help="'yolo' serves box-less requests with the "
@@ -211,7 +328,8 @@ def main(argv=None):
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
             data_parallel=args.data_parallel)
     server = create_server(predictor, args.host, args.port,
-                           max_request_bytes=args.max_request_mb * 2 ** 20)
+                           max_request_bytes=args.max_request_mb * 2 ** 20,
+                           max_batch_frames=args.max_batch_frames)
     print(f'[serve] listening on {args.host}:{server.server_address[1]}')
 
     # SIGTERM (pod preemption / orchestrator stop) -> drain and exit 0.

@@ -236,9 +236,87 @@ def test_http_serving_server_side_detection(rng):
         server.shutdown()
 
 
+class _FakePredictor:
+    """Duck-typed predictor counting device rounds, for _Batcher tests."""
+
+    def __init__(self, batch_size=8, fail_batched=False):
+        self.batch_size = batch_size
+        self.fail_batched = fail_batched
+        self.calls = []          # list of (n_frames, has_boxes)
+
+    def estimate_cameras(self, frames):
+        return [{'vfov': 1.0, 'pitch': 0.0, 'roll': 0.0,
+                 'f_pix': float(np.asarray(f).shape[1])} for f in frames]
+
+    def predict(self, frames, boxes, cameras=None):
+        self.calls.append((len(frames), boxes is not None))
+        if self.fail_batched and len(frames) > 1:
+            raise RuntimeError('batched call sabotaged')
+        if boxes is None:
+            boxes = [np.zeros((1, 4), np.float32) for _ in frames]
+        return [[{'tag': float(np.asarray(f).sum())} for _ in b]
+                for f, b in zip(frames, boxes)]
+
+
+def test_batcher_coalesces_queued_requests():
+    """Requests that queue while the device is busy are serviced in ONE
+    predictor call per box-mode, each getting only its own results."""
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor()
+    b = _Batcher.__new__(_Batcher)      # no dispatcher thread: drive _drain
+    b.pred, b.max_frames = pred, 8
+    f = [np.full((4, 4, 3), i, np.uint8) for i in range(3)]
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    items = [{'frames': [f[0]], 'boxes': [bx], 'ev': __import__('threading').Event()},
+             {'frames': [f[1], f[2]], 'boxes': [bx, bx], 'ev': __import__('threading').Event()},
+             {'frames': [f[0]], 'boxes': None, 'ev': __import__('threading').Event()}]
+    b._drain(items)
+    assert all(i['ev'].is_set() for i in items)
+    # one with-boxes round (3 frames) + one detect round (1 frame)
+    assert sorted(pred.calls) == [(1, False), (3, True)]
+    assert [p['tag'] for p in items[0]['results'][0]] == [
+        float(f[0].sum())]
+    assert [len(i['results']) for i in items] == [1, 2, 1]
+    assert items[1]['results'][1][0]['tag'] == float(f[2].sum())
+    assert len(items[0]['cameras']) == 1 and len(items[1]['cameras']) == 2
+
+
+def test_batcher_isolates_failing_request():
+    """A failed coalesced round retries each member individually — one
+    bad input cannot 500 its neighbors."""
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor(fail_batched=True)
+    b = _Batcher.__new__(_Batcher)
+    b.pred, b.max_frames = pred, 8
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    mk = lambda n: {'frames': [np.zeros((4, 4, 3), np.uint8)] * n,
+                    'boxes': [bx] * n,
+                    'ev': __import__('threading').Event()}
+    one, two = mk(1), mk(2)
+    b._drain([one, two])
+    assert 'results' in one and 'error' not in one      # retried solo: ok
+    assert isinstance(two.get('error'), RuntimeError)   # still >1 frame
+    assert all(i['ev'].is_set() for i in (one, two))
+
+
+def test_batcher_submit_roundtrip_and_stop():
+    """The live dispatcher thread services submits and stop() joins it."""
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor()
+    b = _Batcher(pred)
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    cams, res = b.submit([np.ones((4, 4, 3), np.uint8)], [bx])
+    assert len(cams) == 1 and len(res) == 1
+    b.stop()
+    assert not b._thread.is_alive()
+
+
 def test_http_serving_concurrent_requests(rng):
-    """Parallel clients: the device lock serializes predictor calls but
-    every request completes correctly (ThreadingHTTPServer + lock)."""
+    """Parallel clients: the dispatcher thread serializes device work,
+    micro-batching what queues, and every request completes correctly."""
     import io
     import threading
     import urllib.request
@@ -278,7 +356,11 @@ def test_http_serving_concurrent_requests(rng):
         ref = outs[0]['f0_p0_smpl_vertices']
         for o in outs:
             assert int(o['f0_n_persons']) == 1
-            np.testing.assert_allclose(o['f0_p0_smpl_vertices'], ref)
+            # micro-batching means identical requests may execute in
+            # different batch compositions -> different compiled graphs;
+            # ~2e-6 elementwise drift is expected, not a split bug.
+            np.testing.assert_allclose(o['f0_p0_smpl_vertices'], ref,
+                                       atol=1e-4)
     finally:
         server.shutdown()
 
