@@ -33,8 +33,10 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 def _wait_for_backend(budget_s=1800):
     """Ride out transient axon-tunnel outages instead of failing red
-    (round-1 MULTICHIP died to exactly this; a round-2 outage exceeded
-    an hour, so the budget is generous); see utils/backend.py."""
+    (round-1 MULTICHIP died to exactly this). Deliberate PARTIAL
+    ride-out: observed round-2 outages exceeded an hour, but the
+    round-end artifact must complete in bounded time, so we wait at
+    most 30 min then let the failure surface; see utils/backend.py."""
     from spec_tpu.utils.backend import wait_for_backend
     wait_for_backend(budget_s=budget_s)
 

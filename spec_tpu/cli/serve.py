@@ -125,44 +125,80 @@ class _Batcher:
         self.pred = predictor
         self.max_frames = int(max_frames or predictor.batch_size)
         self._q: queue.Queue = queue.Queue()
+        self._stopped = False
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name='spec-serve-batcher')
         self._thread.start()
 
     def submit(self, frames, boxes):
         """Blocking: returns (cameras, results) for this request only."""
+        if self._stopped:
+            raise RuntimeError('server is shutting down')
         item = {'frames': frames, 'boxes': boxes,
                 'ev': threading.Event()}
         self._q.put(item)
+        if self._stopped:
+            # Raced with stop()/dispatcher exit: the dispatcher may never
+            # drain the queue again, so fail pending items ourselves
+            # (queue.get_nowait is atomic — each item errors exactly once).
+            self._reject_pending()
         item['ev'].wait()
         if 'error' in item:
             raise item['error']
         return item['cameras'], item['results']
 
     def stop(self):
+        self._stopped = True
         self._q.put(self._STOP)
         self._thread.join(timeout=30)
+        self._reject_pending()
+
+    def _reject_pending(self):
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is self._STOP:
+                continue
+            item['error'] = RuntimeError('server is shutting down')
+            item['ev'].set()
 
     # -- dispatcher side ----------------------------------------------------
 
     def _loop(self):
-        while True:
-            first = self._q.get()
-            if first is self._STOP:
-                return
-            batch = [first]
-            n = len(first['frames'])
-            while n < self.max_frames:
-                try:
-                    nxt = self._q.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt is self._STOP:
-                    self._drain(batch)
+        carry = None      # request popped but deferred by the frame cap
+        try:
+            while True:
+                first = carry if carry is not None else self._q.get()
+                carry = None
+                if first is self._STOP:
                     return
-                batch.append(nxt)
-                n += len(nxt['frames'])
-            self._drain(batch)
+                batch = [first]
+                n = len(first['frames'])
+                while n < self.max_frames:
+                    try:
+                        nxt = self._q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is self._STOP:
+                        self._drain(batch)
+                        return
+                    if n + len(nxt['frames']) > self.max_frames:
+                        carry = nxt    # would overshoot the cap: next round
+                        break
+                    batch.append(nxt)
+                    n += len(nxt['frames'])
+                self._drain(batch)
+        finally:
+            # Dispatcher exiting (stop, or a non-Exception error escaping
+            # _drain): nothing will service the queue again — fail fast
+            # instead of leaving submitters blocked forever.
+            self._stopped = True
+            if carry is not None and not carry['ev'].is_set():
+                carry['error'] = RuntimeError('server is shutting down')
+                carry['ev'].set()
+            self._reject_pending()
 
     def _call(self, frames, boxes):
         cameras = self.pred.estimate_cameras(frames)
@@ -181,7 +217,13 @@ class _Batcher:
                      if has_boxes else None)
             try:
                 cameras, results = self._call(frames, boxes)
-            except Exception:
+            except Exception as exc:
+                if len(group) == 1:
+                    # A solo round would retry into the identical failure;
+                    # report it without re-paying the device dispatch.
+                    group[0]['error'] = exc
+                    group[0]['ev'].set()
+                    continue
                 # Isolate the offender: one request's failure must not
                 # 500 the others it happened to share a round with.
                 for b in group:
@@ -209,7 +251,7 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
     (:class:`_Batcher`; ``max_batch_frames`` caps frames coalesced per
     round, 0 = the predictor's batch_size). Requests above
     ``max_request_bytes`` are rejected with 413 before being read."""
-    batcher = _Batcher(predictor, max_frames=max_batch_frames)
+    batcher = None   # bound after the server socket is up (late-bound below)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet by default
@@ -261,15 +303,26 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
                 self._send(500, json.dumps({'error': str(e)}).encode(),
                            'application/json')
 
+    # Server first: if the bind fails (port in use) no dispatcher thread
+    # has been started yet, so nothing leaks.
     server = ThreadingHTTPServer((host, port), Handler)
+    batcher = _Batcher(predictor, max_frames=max_batch_frames)
     server.batcher = batcher
     _orig_shutdown = server.shutdown
+    _orig_close = server.server_close
 
     def _shutdown():
         _orig_shutdown()
         batcher.stop()
 
+    def _close():
+        # socketserver's standard teardown path (server_close without
+        # shutdown) must also stop the dispatcher thread.
+        _orig_close()
+        batcher.stop()
+
     server.shutdown = _shutdown
+    server.server_close = _close
     return server
 
 

@@ -314,6 +314,131 @@ def test_batcher_submit_roundtrip_and_stop():
     assert not b._thread.is_alive()
 
 
+def test_batcher_solo_failure_not_retried():
+    """A failing single-member round reports its error WITHOUT re-running
+    the identical predictor call (no doubled device work)."""
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor(fail_batched=True)
+    # fail on ANY call, not just batched ones
+    pred.fail_batched = False
+
+    def predict(frames, boxes, cameras=None):
+        pred.calls.append((len(frames), boxes is not None))
+        raise RuntimeError('always fails')
+
+    pred.predict = predict
+    b = _Batcher.__new__(_Batcher)
+    b.pred, b.max_frames = pred, 8
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    item = {'frames': [np.zeros((4, 4, 3), np.uint8)], 'boxes': [bx],
+            'ev': __import__('threading').Event()}
+    b._drain([item])
+    assert isinstance(item.get('error'), RuntimeError)
+    assert item['ev'].is_set()
+    assert len(pred.calls) == 1          # NOT 2
+
+
+def test_batcher_hard_frame_cap():
+    """A coalescing round never exceeds max_frames: a request that would
+    overshoot is carried to the NEXT round, not appended."""
+    import threading
+
+    from spec_tpu.cli.serve import _Batcher
+
+    gate = threading.Event()
+    pred = _FakePredictor()
+    orig_predict = pred.predict
+
+    def predict(frames, boxes, cameras=None):
+        gate.wait(timeout=30)            # hold round 1 until all queued
+        return orig_predict(frames, boxes, cameras)
+
+    pred.predict = predict
+    b = _Batcher(pred, max_frames=4)
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+
+    def client(n):
+        fr = [np.zeros((4, 4, 3), np.uint8)] * n
+        b.submit(fr, [bx] * n)
+
+    threads = [threading.Thread(target=client, args=(n,))
+               for n in (1, 3, 3, 3)]
+    for t in threads:
+        t.start()
+    # let all four requests reach the queue while round 1 is held open
+    import time
+    for _ in range(100):
+        if b._q.qsize() >= 3:
+            break
+        time.sleep(0.02)
+    gate.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    b.stop()
+    assert all(n <= 4 for n, _ in pred.calls), pred.calls
+
+
+def test_batcher_stop_rejects_pending_and_late_submits():
+    """Requests concurrent with or after stop() get a RuntimeError rather
+    than hanging forever on an event nobody will set."""
+    import threading
+
+    from spec_tpu.cli.serve import _Batcher
+
+    gate = threading.Event()
+    pred = _FakePredictor()
+    orig_predict = pred.predict
+
+    def predict(frames, boxes, cameras=None):
+        gate.wait(timeout=30)
+        return orig_predict(frames, boxes, cameras)
+
+    pred.predict = predict
+    b = _Batcher(pred, max_frames=1)     # cap 1: no coalescing
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    ok = []
+
+    def client():
+        ok.append(b.submit([np.zeros((4, 4, 3), np.uint8)], [bx]))
+
+    # round 1 occupies the dispatcher at the gate
+    t1 = threading.Thread(target=client)
+    t1.start()
+    import time
+    for _ in range(200):
+        if b._q.qsize() == 0 and b._thread.is_alive():
+            break
+        time.sleep(0.02)
+    # stop() enqueues _STOP while the dispatcher is held at the gate...
+    stopper = threading.Thread(target=b.stop)
+    stopper.start()
+    for _ in range(200):
+        if b._stopped:
+            break
+        time.sleep(0.02)
+    # ...then simulate a submit that passed the pre-check just before
+    # stop(): its item lands BEHIND _STOP and would be abandoned without
+    # _reject_pending.
+    late = {'frames': [np.zeros((4, 4, 3), np.uint8)], 'boxes': [bx],
+            'ev': threading.Event()}
+    b._q.put(late)
+    gate.set()
+    for t in (t1, stopper):
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in (t1, stopper))
+    assert len(ok) == 1                   # pre-stop request was serviced
+    assert late['ev'].wait(timeout=10)    # late item rejected, NOT hung
+    assert 'shutting down' in str(late.get('error'))
+    # and a submit after stop fails fast
+    try:
+        b.submit([np.zeros((4, 4, 3), np.uint8)], [bx])
+        raise AssertionError('expected RuntimeError after stop()')
+    except RuntimeError:
+        pass
+
+
 def test_http_serving_concurrent_requests(rng):
     """Parallel clients: the dispatcher thread serializes device work,
     micro-batching what queues, and every request completes correctly."""
