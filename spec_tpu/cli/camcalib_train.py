@@ -127,9 +127,14 @@ def main(argv=None):
         (len(idxs) + bsz - 1) // bsz
         for idxs in train_ds.shape_buckets().values()), 1)
     start_epoch = min(global_step // steps_per_epoch, max_epochs)
-    if start_epoch:
+    # Sample-exact mid-epoch resume: the bucketed batch order is seeded
+    # by epoch, so the leftover step count maps 1:1 onto index chunks to
+    # skip (no sample trained twice, none missed).
+    skip_first = global_step - start_epoch * steps_per_epoch
+    if start_epoch or skip_first:
         print(f'[camcalib-train] skipping {start_epoch} completed '
-              f'epoch(s) ({steps_per_epoch} steps/epoch)')
+              f'epoch(s) + {skip_first} batch(es) '
+              f'({steps_per_epoch} steps/epoch)')
 
     from spec_tpu.utils.preemption import GracefulShutdown
 
@@ -137,13 +142,13 @@ def main(argv=None):
         return _train_epochs(
             cfg, args, stop_ctx, state, jit_step, mesh, par, jnp, model,
             train_ds, val_ds, loss_type, B, ckpt_dir, save_checkpoint,
-            jax, max_epochs, start_epoch, global_step)
+            jax, max_epochs, start_epoch, global_step, skip_first)
 
 
 def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                   model, train_ds, val_ds, loss_type, B, ckpt_dir,
                   save_checkpoint, jax, max_epochs, start_epoch,
-                  global_step):
+                  global_step, skip_first=0):
     @jax.jit
     def _val_infer(variables, img):
         logits = model.apply(variables, img)
@@ -154,7 +159,8 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
         for batch in _bucketed_batches(
                 train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,
                 num_workers=cfg.DATASET.NUM_WORKERS,
-                max_res=cfg.DATASET.MAX_RES):
+                max_res=cfg.DATASET.MAX_RES,
+                skip=(skip_first if epoch == start_epoch else 0)):
             if stop_ctx.requested:
                 save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
                 print(f'[camcalib-train] preempted at step {global_step}; '
@@ -274,9 +280,11 @@ def _save_horizon_dumps(batch, pred_angles, vis_dir, epoch, max_n=4):
 
 
 def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
-                      max_res):
+                      max_res, skip=0):
     """Group indices by padded shape bucket, then batch within buckets —
-    each bucket shape compiles once."""
+    each bucket shape compiles once. ``skip`` drops the first k chunks at
+    the index level (sample-exact mid-epoch resume, zero IO for the
+    skipped part; the order is fully determined by ``seed``)."""
     import concurrent.futures as cf
 
     from spec_tpu.data.pano_dataset import pad_collate
@@ -292,6 +300,9 @@ def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
             if shuffle:
                 rng.shuffle(idxs)
             for s in range(0, len(idxs), batch_size):
+                if skip > 0:
+                    skip -= 1
+                    continue
                 chunk = idxs[s:s + batch_size]
                 n_valid = len(chunk)
                 while len(chunk) < batch_size:

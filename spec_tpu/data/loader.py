@@ -48,35 +48,45 @@ class DataLoader:
       num_workers: fetch threads.
       prefetch: batches resident in the queue.
       drop_last: drop the final partial batch instead of padding.
+      skip_batches: skip the first k index chunks WITHOUT fetching them
+        (sample-exact mid-epoch resume: the shuffle order is seeded, so
+        skipping at the index level reproduces the preempted epoch's
+        remaining batches at zero IO cost).
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, prefetch: int = 2,
-                 drop_last: bool = False, seed: int = 0):
+                 drop_last: bool = False, seed: int = 0,
+                 skip_batches: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.skip_batches = int(skip_batches)
         self._epoch = 0
         self._seed = seed
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        total = (n // self.batch_size if self.drop_last
+                 else (n + self.batch_size - 1) // self.batch_size)
+        return max(total - self.skip_batches, 0)
 
     def _index_batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
             rng.shuffle(idx)
+        skip = self.skip_batches
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
                 return
+            if skip > 0:
+                skip -= 1
+                continue
             yield chunk
 
     def __iter__(self) -> Iterator[dict]:

@@ -185,6 +185,10 @@ class SpecTrainer:
                 restored_step = str(int(restored.step))
                 if restored_step in meta.get('epochs', {}):
                     self._resume_epoch = int(meta['epochs'][restored_step])
+                # Sample-exact mid-epoch resume: batches already consumed
+                # in the epoch being resumed (0 for epoch-end checkpoints).
+                self._resume_skip = int(
+                    meta.get('skip', {}).get(restored_step, 0))
                 self.best = [
                     (float(e[0]), int(e[1]),
                      e[2] if len(e) > 2 else ckpt_dir)
@@ -199,17 +203,22 @@ class SpecTrainer:
         except (OSError, ValueError):
             return {}
 
-    def _write_meta(self, next_epoch: int, step: int):
+    def _write_meta(self, next_epoch: int, step: int, skip: int = 0):
         """Sidecar keyed BY STEP: resume looks up the epoch of the step
         it actually restored (ranked pruning can delete the newest
         checkpoint, so a single latest-epoch record would be wrong), and
         the top-k ranking survives the process (otherwise a resumed run
         forgets which old checkpoints it was keeping and never prunes
-        them)."""
+        them). ``skip`` = batches already consumed in ``next_epoch`` when
+        the checkpoint is a mid-epoch preemption save — resume skips them
+        at the loader index level so no sample is trained twice."""
         meta = self._read_meta()
         epochs = meta.get('epochs', {})
         epochs[str(int(step))] = int(next_epoch)
         meta['epochs'] = epochs
+        skips = meta.get('skip', {})
+        skips[str(int(step))] = int(skip)
+        meta['skip'] = skips
         meta['ranked'] = [[float(v), int(st), d]
                           for v, st, d in self.best]
         try:
@@ -295,14 +304,24 @@ class SpecTrainer:
         if start_epoch:
             print(f'[train] resuming at epoch {start_epoch} '
                   f'(step {global_step})')
+        resume_skip = getattr(self, '_resume_skip', 0)
+        self._resume_skip = 0            # consume once (this _fit only)
 
         for epoch in range(start_epoch, max_epochs):
+            # Sample-exact continuation of a preempted epoch: the shuffle
+            # is seeded by epoch, so skipping the consumed batch count at
+            # the index level replays exactly the remaining samples.
+            skip = resume_skip if epoch == start_epoch else 0
+            batches_done = skip
             train_ds = self.make_train_dataset(epoch)
             loader = DataLoader(
                 train_ds, batch_size=cfg.DATASET.BATCH_SIZE,
                 shuffle=cfg.DATASET.SHUFFLE_TRAIN,
                 num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True,
-                seed=epoch)
+                seed=epoch, skip_batches=skip)
+            if skip:
+                print(f'[train] epoch {epoch}: skipping {skip} already-'
+                      'trained batches (mid-epoch resume)')
             t0 = time.time()
             n_img = 0
             timer = StepTimer()
@@ -322,7 +341,8 @@ class SpecTrainer:
                     save_checkpoint(self.ckpt_dir,
                                     jax.device_get(self.state), global_step,
                                     keep=1000)
-                    self._write_meta(epoch, global_step)
+                    self._write_meta(epoch, global_step,
+                                     skip=batches_done)
                     print(f'[train] preempted at step {global_step}; '
                           f'checkpoint saved to {self.ckpt_dir}')
                     return
@@ -336,6 +356,7 @@ class SpecTrainer:
                     self.state, metrics = self.jit_step(
                         self.state, dev, jax.device_put(step_rng, self.rep))
                 global_step += 1
+                batches_done += 1
                 n_img += cfg.DATASET.BATCH_SIZE
                 if global_step % cfg.TRAINING.LOG_SAVE_INTERVAL == 0:
                     total = float(metrics['loss/total_loss'])

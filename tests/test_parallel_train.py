@@ -331,6 +331,97 @@ def test_fsdp_preemption_resume_bit_exact(tmp_path, rng):
     assert any('data' in s for s in shardings), shardings
 
 
+def test_mid_epoch_resume_is_sample_exact(tmp_path, rng):
+    """A preempted epoch resumes at the NEXT untrained batch: the resumed
+    run consumes exactly the remaining index chunks of the seeded shuffle
+    (no sample trained twice, none skipped) and finishes the epoch at the
+    same global step an uninterrupted run would."""
+    from test_cli import _make_train_data_root
+
+    from spec_tpu.data import CamDataset
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    root = tmp_path / 'data'
+    _make_train_data_root(root, rng, n=24)
+    annot = str(root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz')
+    img_dir = str(root / 'dataset_folders' / '3dpw')
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = str(tmp_path / 'run')
+    cfg.TRAINING.LOG_SAVE_INTERVAL = 1
+    cfg.DATASET.BATCH_SIZE = 8
+    cfg.DATASET.NUM_WORKERS = 1
+
+    class Recorder:
+        """Map-style wrapper recording which sample indices were fetched."""
+
+        def __init__(self, ds):
+            self.ds, self.seen = ds, []
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            self.seen.append(int(i))
+            return self.ds[i]
+
+    def make_recorded_dataset(epoch, rec_holder):
+        ds = CamDataset(annot, img_dir, dataset='3dpw-test-cam',
+                        is_train=True, img_res=64)
+        rec = Recorder(ds)
+        rec_holder.append(rec)
+        return rec
+
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=False)
+
+    def init_vars(seed):
+        B = 1
+        img = jnp.zeros((B, 64, 64, 3))
+        eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+        one = jnp.ones((B,))
+        return model.init(jax.random.PRNGKey(seed), assets, img, eye, eye,
+                          one, jnp.ones((B, 2)), one, one)
+
+    class StopAtStep:
+        def __init__(self, trainer, at):
+            self.trainer, self.at = trainer, at
+
+        @property
+        def requested(self):
+            return int(self.trainer.state.step) >= self.at
+
+    recs1: list = []
+    t1 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     lambda e: make_recorded_dataset(e, recs1), lambda: {},
+                     init_variables=init_vars(0))
+    t1._fit(1, StopAtStep(t1, 2))       # 24 samples / B=8 -> preempt at 2/3
+    assert int(t1.state.step) == 2
+
+    recs2: list = []
+    t2 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     lambda e: make_recorded_dataset(e, recs2), lambda: {},
+                     init_variables=init_vars(7))
+    t2.resume()
+    assert getattr(t2, '_resume_skip', 0) == 2
+    t2._fit(1, StopAtStep(t2, 99))      # run the epoch to completion
+    assert int(t2.state.step) == 3      # exactly ONE more optimizer step
+
+    # The resumed run fetched exactly the third chunk of the epoch-0
+    # shuffle (DataLoader seeds RandomState(seed + iteration) = 1).
+    expected = np.random.RandomState(1).permutation(24)[16:24]
+    assert set(recs2[0].seen) == set(int(i) for i in expected)
+    # and together with the preempted run's TRAINED batches the epoch
+    # covers each sample at most once (prefetch may fetch a batch that
+    # was never stepped, so compare against the trained prefix).
+    trained_first_two = np.random.RandomState(1).permutation(24)[:16]
+    assert set(int(i) for i in trained_first_two).isdisjoint(
+        set(recs2[0].seen))
+
+
 def test_adam_weight_decay_matches_torch():
     """OPTIMIZER.WD must reproduce torch.optim.Adam(weight_decay=wd) —
     L2 folded into the gradient BEFORE the adaptive moments, NOT AdamW's
