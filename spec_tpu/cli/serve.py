@@ -340,6 +340,12 @@ def main(argv=None):
                         help='pad ceiling per compiled graph (default: '
                              '32, or the value recorded in --exported '
                              'artifacts)')
+    parser.add_argument('--min_size', type=int, default=600,
+                        help='stage-1 (CamCalib) min-side resize bucket; '
+                             'smaller buckets trade accuracy for '
+                             'throughput — pair with a checkpoint '
+                             'fine-tuned at that bucket (configs/'
+                             'camcalib/config_sa_bias_l2_min*.yaml)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
     parser.add_argument('--max_batch_frames', type=int, default=0,
@@ -377,6 +383,7 @@ def main(argv=None):
             spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
             smpl_model_dir=args.smpl_model_dir,
             batch_size=args.batch_size or 32,
+            min_size=args.min_size,
             cfg_file=args.cfg, detector=args.detector,
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
             data_parallel=args.data_parallel)

@@ -115,6 +115,7 @@ def run_spec_on_folder(
     detector: str = '',
     yolo_weights: str = '',
     yolo_img_size: int = 416,
+    min_size: int = 600,
 ):
     import cv2
     import jax
@@ -165,8 +166,12 @@ def run_spec_on_folder(
     t_start = time.perf_counter()
 
     # Stage 1: CamCalib, in-process (jitted per shape bucket).
+    # min_size != 600 is the reduced-bucket serving trade — pair it with
+    # a checkpoint fine-tuned at that bucket
+    # (configs/camcalib/config_sa_bias_l2_min*.yaml).
     run_camcalib_on_folder(
-        image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False)
+        image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False,
+        min_size=min_size)
 
     # Flatten all detections into one work list.
     work = []  # (imgname, det_idx, center, scale, cam_rotmat, K, w, h)
@@ -753,6 +758,13 @@ def main(argv=None):
                              'keys must be the decoded frame names '
                              "'000000.png', '000001.png', ...")
     parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--min_size', type=int, default=600,
+                        help='stage-1 (CamCalib) min-side resize bucket. '
+                             '600 matches the reference fidelity; smaller '
+                             'buckets trade accuracy for throughput and '
+                             'should be paired with a checkpoint '
+                             'fine-tuned at that bucket (configs/'
+                             'camcalib/config_sa_bias_l2_min*.yaml)')
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')
     parser.add_argument('--save_obj', action='store_true')
@@ -869,7 +881,8 @@ def main(argv=None):
         save_results=not args.no_save, render=not args.no_render,
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
         cfg_file=args.cfg, detector=args.detector,
-        yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size)
+        yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
+        min_size=args.min_size)
     if args.mode == 'webcam':
         if args.bbox_file:
             print('[spec] WARNING: --bbox_file is ignored in webcam mode '
@@ -880,7 +893,7 @@ def main(argv=None):
             spec_ckpt=args.spec_ckpt, camcalib_ckpt=args.camcalib_ckpt,
             cfg_file=args.cfg, smpl_model_dir=args.smpl_model_dir,
             detector=args.detector, yolo_weights=args.yolo_weights,
-            yolo_img_size=args.yolo_img_size,
+            yolo_img_size=args.yolo_img_size, min_size=args.min_size,
             max_frames=args.max_frames, display=args.display,
             save_results=not args.no_save)
     elif args.mode == 'video':

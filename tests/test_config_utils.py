@@ -60,6 +60,33 @@ def test_reference_camcalib_config_dialect():
     assert resolve_camcalib_loss(cfg) == 'softargmax_biased_l2'
 
 
+def test_all_shipped_camcalib_presets_load():
+    """Every yaml under configs/camcalib/ must merge cleanly against the
+    default tree (incl. the reduced-bucket fine-tune presets, which must
+    carry a MIN_RES matching their filename)."""
+    import glob
+
+    from spec_tpu.utils.config import (
+        camcalib_default_config,
+        resolve_camcalib_loss,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), '..', 'configs',
+                        'camcalib')
+    paths = sorted(glob.glob(os.path.join(root, '*.yaml')))
+    assert len(paths) >= 7
+    for p in paths:
+        cfg = camcalib_default_config()
+        cfg.merge_from_file(p)
+        assert resolve_camcalib_loss(cfg) in (
+            'ce', 'kl', 'softargmax_l2', 'softargmax_biased_l2'), p
+        assert cfg.DATASET.MIN_RES <= cfg.DATASET.MAX_RES, p
+        name = os.path.basename(p)
+        if '_min' in name:
+            want = int(name.rsplit('_min', 1)[1].split('.')[0])
+            assert cfg.DATASET.MIN_RES == want, p
+
+
 def test_spec_default_tree_reference_keys():
     """Keys present in the reference default tree (spec/config.py:62-163)
     must exist so reference YAML overrides are honored, not silently added

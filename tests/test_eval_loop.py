@@ -88,9 +88,12 @@ def test_spec_demo_cli_end_to_end(tmp_path, rng, monkeypatch):
     cfg_file.write_text('HMR:\n  BACKBONE: resnet18\n  USE_CAM_FEATS: '
                         'true\n')
 
+    # min_size=64 exercises the reduced-bucket plumbing (spec_demo
+    # --min_size -> stage-1 resize) and keeps stage-1 small on CPU.
     outs = run_spec_on_folder(
         str(img_dir), str(tmp_path / 'out'), bbox_file=str(det_file),
-        batch_size=2, render=True, save_obj=True, cfg_file=str(cfg_file))
+        batch_size=2, render=True, save_obj=True, cfg_file=str(cfg_file),
+        min_size=64)
     assert len(outs) == 2
     res_dir = tmp_path / 'out' / 'spec_results'
     assert sorted(os.listdir(res_dir)) == ['p0.pkl', 'p1.pkl']
