@@ -29,9 +29,21 @@ def main(argv=None):
     parser.add_argument('--resume', action='store_true',
                         help='resume from the latest orbax checkpoint')
     parser.add_argument('--fdr', action='store_true')
+    parser.add_argument('--coordinator_address', type=str, default='',
+                        help='multi-host training: host:port of process 0 '
+                             '(jax.distributed). On Cloud TPU pods omit — '
+                             'jax auto-detects')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
     from spec_tpu.cli._compat import add_cluster_flags
     add_cluster_flags(parser, num_gpus=True)
     args = parser.parse_args(argv)
+
+    if args.coordinator_address:
+        from spec_tpu import parallel as par_init
+        par_init.initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()
@@ -154,17 +166,27 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
         logits = model.apply(variables, img)
         return B.convert_preds_to_angles(*logits, loss_type=loss_type)
 
+    # Multi-host: the train batches are process-sharded (each host loads
+    # its slice, parallel.shard_batch assembles the global array); only
+    # process 0 writes checkpoints/artifacts; validation runs identically
+    # on every host from host-local params (no collectives).
+    is_main = jax.process_index() == 0
+
     for epoch in range(start_epoch, max_epochs):
         t0 = time.time()
         for batch in _bucketed_batches(
                 train_ds, cfg.DATASET.BATCH_SIZE, shuffle=True, seed=epoch,
                 num_workers=cfg.DATASET.NUM_WORKERS,
                 max_res=cfg.DATASET.MAX_RES,
-                skip=(skip_first if epoch == start_epoch else 0)):
+                skip=(skip_first if epoch == start_epoch else 0),
+                process_id=jax.process_index(),
+                process_count=jax.process_count()):
             if stop_ctx.requested:
-                save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
-                print(f'[camcalib-train] preempted at step {global_step}; '
-                      f'checkpoint saved to {ckpt_dir}')
+                if is_main:
+                    save_checkpoint(ckpt_dir, jax.device_get(state),
+                                    global_step)
+                    print(f'[camcalib-train] preempted at step '
+                          f'{global_step}; checkpoint saved to {ckpt_dir}')
                 return state
             dev = {
                 'img': batch['img'],
@@ -189,12 +211,21 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
         val_every = max(int(cfg.TRAINING.get('CHECK_VAL_EVERY_N_EPOCH', 1)),
                         1)
         if not args.fdr and (epoch + 1) % val_every != 0:
-            save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+            if is_main:
+                save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
             continue
         errs = {'vfov': [], 'pitch': [], 'roll': []}
-        variables_now = {
-            'params': state.params,
-            'batch_stats': state.batch_stats}
+        if jax.process_count() > 1:
+            # Host-local copies: the val jit then runs per-process with no
+            # collectives (replicated state is process-addressable), every
+            # host computing the identical full-val MAE.
+            variables_now = {
+                'params': jax.device_get(state.params),
+                'batch_stats': jax.device_get(state.batch_stats)}
+        else:
+            variables_now = {
+                'params': state.params,
+                'batch_stats': state.batch_stats}
         first_val_batch = None
         first_val_pred = None
         for batch in _bucketed_batches(
@@ -222,31 +253,32 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                 break
         mae = {k: float(np.mean(v)) for k, v in errs.items() if v}
         print(f'[camcalib-val] epoch {epoch} MAE(deg): {mae}')
-        # Observability artifacts: error CDFs (reference vis_utils CDF
-        # plot) — per-angle, per-epoch.
-        try:
-            from spec_tpu.utils.vis import plot_error_cdf
-            vis_dir = os.path.join(cfg.LOGDIR, 'val_images')
-            os.makedirs(vis_dir, exist_ok=True)
-            for k, v in errs.items():
-                if v:
-                    plot_error_cdf(
-                        v, os.path.join(vis_dir,
-                                        f'cdf_{k}_epoch{epoch}.png'),
-                        label=k)
-        except Exception as e:
-            print(f'[camcalib-val] cdf plots skipped: {e}')
-        # GT (green) vs predicted (yellow) horizon overlays for the first
-        # val batch (reference camcalib/trainer.py:118-169 renders these
-        # each validation epoch).
-        if first_val_batch is not None:
+        if is_main:
+            # Observability artifacts: error CDFs (reference vis_utils CDF
+            # plot) — per-angle, per-epoch.
             try:
-                _save_horizon_dumps(first_val_batch, first_val_pred,
-                                    os.path.join(cfg.LOGDIR, 'val_images'),
-                                    epoch)
+                from spec_tpu.utils.vis import plot_error_cdf
+                vis_dir = os.path.join(cfg.LOGDIR, 'val_images')
+                os.makedirs(vis_dir, exist_ok=True)
+                for k, v in errs.items():
+                    if v:
+                        plot_error_cdf(
+                            v, os.path.join(vis_dir,
+                                            f'cdf_{k}_epoch{epoch}.png'),
+                            label=k)
             except Exception as e:
-                print(f'[camcalib-val] horizon dumps skipped: {e}')
-        save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+                print(f'[camcalib-val] cdf plots skipped: {e}')
+            # GT (green) vs predicted (yellow) horizon overlays for the
+            # first val batch (reference camcalib/trainer.py:118-169
+            # renders these each validation epoch).
+            if first_val_batch is not None:
+                try:
+                    _save_horizon_dumps(
+                        first_val_batch, first_val_pred,
+                        os.path.join(cfg.LOGDIR, 'val_images'), epoch)
+                except Exception as e:
+                    print(f'[camcalib-val] horizon dumps skipped: {e}')
+            save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
         if args.fdr:
             break
     return state
@@ -280,15 +312,25 @@ def _save_horizon_dumps(batch, pred_angles, vis_dir, epoch, max_n=4):
 
 
 def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
-                      max_res, skip=0):
+                      max_res, skip=0, process_id=0, process_count=1):
     """Group indices by padded shape bucket, then batch within buckets —
     each bucket shape compiles once. ``skip`` drops the first k chunks at
     the index level (sample-exact mid-epoch resume, zero IO for the
-    skipped part; the order is fully determined by ``seed``)."""
+    skipped part; the order is fully determined by ``seed``).
+    ``process_id``/``process_count``: multi-host — the global chunking is
+    seed-identical on every host, each host fetches only its contiguous
+    slice of every chunk (see data/loader.py DataLoader for the same
+    contract); ``valid_count`` becomes this process's real-sample count."""
     import concurrent.futures as cf
 
     from spec_tpu.data.pano_dataset import pad_collate
 
+    process_count = max(int(process_count), 1)
+    if batch_size % process_count:
+        raise ValueError(f'batch_size {batch_size} must divide evenly '
+                         f'over {process_count} processes')
+    per = batch_size // process_count
+    lo = int(process_id) * per
     buckets = dataset.shape_buckets()
     rng = np.random.RandomState(seed)
     order = list(buckets.items())
@@ -307,9 +349,10 @@ def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
                 n_valid = len(chunk)
                 while len(chunk) < batch_size:
                     chunk.append(chunk[-1])
-                items = list(pool.map(dataset.__getitem__, chunk))
+                items = list(pool.map(dataset.__getitem__,
+                                      chunk[lo:lo + per]))
                 batch = pad_collate(items, fixed_hw=bucket_hw)
-                batch['valid_count'] = n_valid
+                batch['valid_count'] = int(np.clip(n_valid - lo, 0, per))
                 yield batch
 
 

@@ -32,9 +32,27 @@ def main(argv=None):
     parser.add_argument('--log_root', type=str, default='logs')
     parser.add_argument('--fdr', action='store_true',
                         help='fast dev run: 1 epoch on a tiny slice')
+    parser.add_argument('--coordinator_address', type=str, default='',
+                        help='multi-host training: host:port of process 0 '
+                             '(jax.distributed); the mesh then spans all '
+                             'hosts and each host loads its own data '
+                             'shard. On Cloud TPU pods omit all three '
+                             'flags — jax auto-detects')
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help='multi-host: total process count')
+    parser.add_argument('--process_id', type=int, default=None,
+                        help='multi-host: this process\'s rank')
     from spec_tpu.cli._compat import add_cluster_flags
     add_cluster_flags(parser)
     args = parser.parse_args(argv)
+
+    if args.coordinator_address:
+        # BEFORE any jax backend touch (enable_compilation_cache is
+        # config-only, but initialize must precede device queries).
+        from spec_tpu import parallel as par_init
+        par_init.initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()

@@ -52,12 +52,25 @@ class DataLoader:
         (sample-exact mid-epoch resume: the shuffle order is seeded, so
         skipping at the index level reproduces the preempted epoch's
         remaining batches at zero IO cost).
+      process_id / process_count: multi-host data parallelism
+        (``jax.distributed``). The GLOBAL epoch order (shuffle, chunking,
+        skip) is identical on every host — it depends only on the seed —
+        and each host fetches ONLY its contiguous slice of every global
+        chunk (batch_size/process_count samples), so IO is balanced and
+        no sample is read twice. Feed the local batches through
+        ``parallel.shard_batch``, which assembles the global device array
+        from the per-process shards.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, prefetch: int = 2,
                  drop_last: bool = False, seed: int = 0,
-                 skip_batches: int = 0):
+                 skip_batches: int = 0,
+                 process_id: int = 0, process_count: int = 1):
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f'batch_size {batch_size} must divide evenly over '
+                f'{process_count} processes')
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,6 +78,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.skip_batches = int(skip_batches)
+        self.process_id = int(process_id)
+        self.process_count = max(int(process_count), 1)
         self._epoch = 0
         self._seed = seed
 
@@ -75,11 +90,18 @@ class DataLoader:
         return max(total - self.skip_batches, 0)
 
     def _index_batches(self):
+        """Yield (local_index_chunk, local_valid_count) per global batch.
+
+        Partial final chunks are padded at the INDEX level (repeat the
+        last index) so every process sees its full slice; `local_valid`
+        is how many of this process's entries are real samples."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
             rng.shuffle(idx)
         skip = self.skip_batches
+        per = self.batch_size // self.process_count
+        lo = self.process_id * per
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
@@ -87,7 +109,12 @@ class DataLoader:
             if skip > 0:
                 skip -= 1
                 continue
-            yield chunk
+            valid = len(chunk)
+            if valid < self.batch_size:
+                chunk = np.concatenate(
+                    [chunk, np.full(self.batch_size - valid, chunk[-1],
+                                    chunk.dtype)])
+            yield chunk[lo:lo + per], int(np.clip(valid - lo, 0, per))
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
@@ -111,14 +138,11 @@ class DataLoader:
         def produce():
             try:
                 with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                    for chunk in self._index_batches():
+                    for chunk, valid in self._index_batches():
                         if stop.is_set():
                             return
                         items = list(pool.map(self.dataset.__getitem__,
                                               chunk))
-                        valid = len(items)
-                        while len(items) < self.batch_size:
-                            items.append(items[-1])
                         batch = collate(items)
                         batch['_valid_count'] = valid
                         if not _put(batch):

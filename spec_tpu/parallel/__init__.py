@@ -77,15 +77,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name=None):
-    """Device-put a pytree of host arrays with the batch axis sharded."""
+    """Device-put a pytree of host arrays with the batch axis sharded.
+
+    Single-process: ``batch`` is the GLOBAL batch, device_put shards it.
+    Multi-process (``jax.distributed``): ``batch`` is this process's
+    LOCAL slice (global_batch / process_count rows, distinct per host —
+    see ``DataLoader(process_id=...)``); the global array is assembled
+    from the per-process shards without any cross-host data movement.
+    """
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh. Multi-process:
+    every host passes the same value (deterministic init/seeds make this
+    hold) and contributes its addressable replicas."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
 
 
 def _fsdp_axis(mesh: Mesh) -> str:

@@ -62,6 +62,17 @@ class SpecTrainer:
             self.mesh = par.create_hybrid_mesh(fsdp=fsdp_group)
         else:
             self.mesh = par.create_mesh()
+        if (jax.process_count() > 1 and getattr(cfg.TRAINING, 'FSDP', False)
+                and not (fsdp_group > 1
+                         and len(jax.local_devices()) % fsdp_group == 0)):
+            # Full-axis ZeRO spans hosts: state shards are not process-
+            # addressable, so host-side checkpointing (device_get on
+            # process 0) cannot assemble them. HSDP with within-host fsdp
+            # groups keeps every shard locally addressable.
+            raise SystemExit(
+                'multi-host + TRAINING.FSDP requires HSDP with '
+                'within-host groups: set TRAINING.FSDP_GROUP_SIZE to a '
+                f'divisor of the {len(jax.local_devices())} local devices')
         n_dev = self.mesh.devices.size
         if cfg.DATASET.BATCH_SIZE % n_dev != 0:
             raise SystemExit(
@@ -109,8 +120,11 @@ class SpecTrainer:
             out_shardings=(state_sh, rep),
             donate_argnums=(0,))  # reuse the old state's buffers in place
 
+        # Multi-host: every process runs the same jitted steps (they are
+        # collective); only process 0 writes checkpoints/meta/TB.
+        self.is_main = jax.process_index() == 0
         self.writer = None
-        if cfg.LOGDIR:
+        if cfg.LOGDIR and self.is_main:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self.writer = SummaryWriter(
@@ -318,7 +332,9 @@ class SpecTrainer:
                 train_ds, batch_size=cfg.DATASET.BATCH_SIZE,
                 shuffle=cfg.DATASET.SHUFFLE_TRAIN,
                 num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True,
-                seed=epoch, skip_batches=skip)
+                seed=epoch, skip_batches=skip,
+                process_id=jax.process_index(),
+                process_count=jax.process_count())
             if skip:
                 print(f'[train] epoch {epoch}: skipping {skip} already-'
                       'trained batches (mid-epoch resume)')
@@ -338,13 +354,14 @@ class SpecTrainer:
                     # recency pruning would delete ranked-retained best
                     # checkpoints (_prune_ranked keeps top-k by val loss,
                     # which includes OLD steps).
-                    save_checkpoint(self.ckpt_dir,
-                                    jax.device_get(self.state), global_step,
-                                    keep=1000)
-                    self._write_meta(epoch, global_step,
-                                     skip=batches_done)
-                    print(f'[train] preempted at step {global_step}; '
-                          f'checkpoint saved to {self.ckpt_dir}')
+                    if self.is_main:
+                        save_checkpoint(self.ckpt_dir,
+                                        jax.device_get(self.state),
+                                        global_step, keep=1000)
+                        self._write_meta(epoch, global_step,
+                                         skip=batches_done)
+                        print(f'[train] preempted at step {global_step}; '
+                              f'checkpoint saved to {self.ckpt_dir}')
                     return
                 rng, step_rng = jax.random.split(rng)
                 with timer('h2d'):
@@ -353,8 +370,11 @@ class SpecTrainer:
                     with timer('smplify'):
                         dev = self._run_smplify(dev)
                 with timer('step'):
+                    # par.replicate (not plain device_put): multi-process
+                    # assembles the replicated array from per-host copies
+                    # (step_rng is identical everywhere — same seed/chain).
                     self.state, metrics = self.jit_step(
-                        self.state, dev, jax.device_put(step_rng, self.rep))
+                        self.state, dev, par.replicate(step_rng, self.mesh))
                 global_step += 1
                 batches_done += 1
                 n_img += cfg.DATASET.BATCH_SIZE
@@ -380,11 +400,13 @@ class SpecTrainer:
                 int(self.cfg.TRAINING.CHECK_VAL_EVERY_N_EPOCH), 1)
             if (epoch + 1) % val_every == 0:
                 val_loss = self.validate(epoch, global_step)
-                save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
-                                global_step, keep=1000)
-                self._write_meta(epoch + 1, global_step)
-                self._prune_ranked(val_loss, global_step)
-            else:
+                if self.is_main:
+                    save_checkpoint(self.ckpt_dir,
+                                    jax.device_get(self.state),
+                                    global_step, keep=1000)
+                    self._write_meta(epoch + 1, global_step)
+                    self._prune_ranked(val_loss, global_step)
+            elif self.is_main:
                 save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
                                 global_step, keep=1000)
                 self._write_meta(epoch + 1, global_step)
@@ -503,7 +525,7 @@ class SpecTrainer:
         return total
 
     def _append_results_json(self, ds_name, epoch, summary):
-        if not self.cfg.LOGDIR:
+        if not self.cfg.LOGDIR or not self.is_main:
             return
         path = os.path.join(
             self.cfg.LOGDIR, f'val_accuracy_results_{ds_name}.json')
