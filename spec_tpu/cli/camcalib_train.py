@@ -182,9 +182,11 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                 process_id=jax.process_index(),
                 process_count=jax.process_count()):
             if stop_ctx.requested:
+                # save_checkpoint is an orbax collective: all processes
+                # call it; process 0 does the logging.
+                save_checkpoint(ckpt_dir, jax.device_get(state),
+                                global_step)
                 if is_main:
-                    save_checkpoint(ckpt_dir, jax.device_get(state),
-                                    global_step)
                     print(f'[camcalib-train] preempted at step '
                           f'{global_step}; checkpoint saved to {ckpt_dir}')
                 return state
@@ -211,8 +213,7 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
         val_every = max(int(cfg.TRAINING.get('CHECK_VAL_EVERY_N_EPOCH', 1)),
                         1)
         if not args.fdr and (epoch + 1) % val_every != 0:
-            if is_main:
-                save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+            save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
             continue
         errs = {'vfov': [], 'pitch': [], 'roll': []}
         if jax.process_count() > 1:
@@ -278,7 +279,7 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                         os.path.join(cfg.LOGDIR, 'val_images'), epoch)
                 except Exception as e:
                     print(f'[camcalib-val] horizon dumps skipped: {e}')
-            save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
+        save_checkpoint(ckpt_dir, jax.device_get(state), global_step)
         if args.fdr:
             break
     return state

@@ -353,11 +353,13 @@ class SpecTrainer:
                     # keep=1000 matches the epoch-end path: the default
                     # recency pruning would delete ranked-retained best
                     # checkpoints (_prune_ranked keeps top-k by val loss,
-                    # which includes OLD steps).
+                    # which includes OLD steps). save_checkpoint is a
+                    # collective (orbax barriers all hosts) — every
+                    # process calls it; plain-file writes are process 0's.
+                    save_checkpoint(self.ckpt_dir,
+                                    jax.device_get(self.state),
+                                    global_step, keep=1000)
                     if self.is_main:
-                        save_checkpoint(self.ckpt_dir,
-                                        jax.device_get(self.state),
-                                        global_step, keep=1000)
                         self._write_meta(epoch, global_step,
                                          skip=batches_done)
                         print(f'[train] preempted at step {global_step}; '
@@ -400,16 +402,16 @@ class SpecTrainer:
                 int(self.cfg.TRAINING.CHECK_VAL_EVERY_N_EPOCH), 1)
             if (epoch + 1) % val_every == 0:
                 val_loss = self.validate(epoch, global_step)
-                if self.is_main:
-                    save_checkpoint(self.ckpt_dir,
-                                    jax.device_get(self.state),
-                                    global_step, keep=1000)
-                    self._write_meta(epoch + 1, global_step)
-                    self._prune_ranked(val_loss, global_step)
-            elif self.is_main:
                 save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
                                 global_step, keep=1000)
-                self._write_meta(epoch + 1, global_step)
+                if self.is_main:
+                    self._write_meta(epoch + 1, global_step)
+                    self._prune_ranked(val_loss, global_step)
+            else:
+                save_checkpoint(self.ckpt_dir, jax.device_get(self.state),
+                                global_step, keep=1000)
+                if self.is_main:
+                    self._write_meta(epoch + 1, global_step)
         if self.writer:
             self.writer.flush()
         return self.state

@@ -115,7 +115,12 @@ def load_spec_variables(path: str, backbone: str = 'resnet50',
 def save_checkpoint(directory: str, state, step: int, keep: int = 30):
     """Save a TrainState with orbax, keeping the ``keep`` most recent
     (the reference keeps top-30 by val loss, scripts/spec_train.py:92-98;
-    ranking happens in the trainer which calls :func:`prune_checkpoints`)."""
+    ranking happens in the trainer which calls :func:`prune_checkpoints`).
+
+    Multi-host: orbax's save is a COLLECTIVE (it barriers all processes
+    internally), so every process must call this; orbax writes the data
+    from the primary host. Host-side pruning runs on process 0 only."""
+    import jax
     import orbax.checkpoint as ocp
 
     directory = os.path.abspath(directory)
@@ -123,7 +128,8 @@ def save_checkpoint(directory: str, state, step: int, keep: int = 30):
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.join(directory, f'step_{step:08d}'), state,
                    force=True)
-    _keep_latest(directory, keep)
+    if jax.process_index() == 0:
+        _keep_latest(directory, keep)
 
 
 def _step_dirs(directory: str) -> dict:

@@ -14,6 +14,7 @@ subprocesses.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -84,11 +85,115 @@ def run_steps(jax, mesh, state, step, process_id, process_count):
     return state, losses
 
 
+def flatten_params(params):
+    flat = {}
+
+    def _flatten(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                _flatten(f'{prefix}/{k}', v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    _flatten('p', params)
+    return flat
+
+
+def main_camcalib(jax, pid, nproc, out_npz):
+    from spec_tpu import parallel as par
+
+    mesh = par.create_mesh()               # spans ALL processes' devices
+    state, step = build(jax)
+    state, losses = run_steps(jax, mesh, state, step,
+                              process_id=pid, process_count=nproc)
+    print(f'[p{pid}] losses={losses}', flush=True)
+    if pid == 0:
+        np.savez(out_npz, losses=np.asarray(losses),
+                 **flatten_params(jax.device_get(state.params)))
+
+
+def main_spec(jax, pid, nproc, out_npz):
+    """Full SpecTrainer under 2 processes: mid-epoch SIGTERM-latch
+    preemption (process-0 checkpoint), resume on BOTH processes from the
+    shared logdir, sample-exact epoch completion; every process must end
+    with identical replicated params."""
+    import jax.numpy as jnp
+
+    from jax.experimental import multihost_utils
+
+    from spec_tpu.core import smpl as S
+    from spec_tpu.data import CamDataset
+    from spec_tpu.models import HMR
+    from spec_tpu.train.trainer import SpecTrainer
+    from spec_tpu.utils.config import spec_default_config
+
+    data_root = os.environ['SPEC_DATA_ROOT']
+    logdir = os.environ['MP_LOGDIR']
+
+    cfg = spec_default_config()
+    cfg.LOGDIR = logdir
+    cfg.TRAINING.LOG_SAVE_INTERVAL = 1
+    cfg.DATASET.BATCH_SIZE = 8
+    cfg.DATASET.NUM_WORKERS = 1
+
+    annot = os.path.join(data_root, 'dataset_extras',
+                         '3dpw_test_cam_camcalib.npz')
+    img_dir = os.path.join(data_root, 'dataset_folders', '3dpw')
+
+    def make_train_dataset(epoch):
+        return CamDataset(annot, img_dir, dataset='3dpw-test-cam',
+                          is_train=True, img_res=32)
+
+    assets = S.create_test_assets(num_vertices=64)
+    model = HMR(backbone='resnet18', use_cam=True, use_cam_feats=False)
+
+    def init_vars(seed):
+        B = 1
+        img = jnp.zeros((B, 32, 32, 3))
+        eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+        one = jnp.ones((B,))
+        return model.init(jax.random.PRNGKey(seed), assets, img, eye, eye,
+                          one, jnp.ones((B, 2)), one, one)
+
+    class StopAtStep:
+        def __init__(self, trainer, at):
+            self.trainer, self.at = trainer, at
+
+        @property
+        def requested(self):
+            return int(self.trainer.state.step) >= self.at
+
+    t1 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     make_train_dataset, lambda: {},
+                     init_variables=init_vars(0))
+    assert t1.is_main == (pid == 0)
+    t1._fit(1, StopAtStep(t1, 2))       # preempted at 2/3 batches
+    assert int(t1.state.step) == 2
+    # process 0 wrote the checkpoint; everyone waits before resuming
+    multihost_utils.sync_global_devices('ckpt_written')
+
+    t2 = SpecTrainer(cfg, model, {'neutral': assets},
+                     np.asarray(assets.j_regressor_h36m),
+                     make_train_dataset, lambda: {},
+                     init_variables=init_vars(7))
+    t2.resume()
+    assert int(t2.state.step) == 2, int(t2.state.step)
+    assert getattr(t2, '_resume_skip', 0) == 2
+    t2._fit(1, StopAtStep(t2, 99))      # finish the epoch: ONE more step
+    assert int(t2.state.step) == 3, int(t2.state.step)
+
+    flat = flatten_params(jax.device_get(t2.state.params))
+    np.savez(out_npz.replace('.npz', f'_p{pid}.npz'),
+             step=np.int64(int(t2.state.step)), **flat)
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
     port = sys.argv[3]
     out_npz = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else 'camcalib'
 
     import jax
 
@@ -98,27 +203,10 @@ def main():
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
 
-    from spec_tpu import parallel as par
-
-    mesh = par.create_mesh()               # spans ALL processes' devices
-    state, step = build(jax)
-    state, losses = run_steps(jax, mesh, state, step,
-                              process_id=pid, process_count=nproc)
-    print(f'[p{pid}] losses={losses}', flush=True)
-    if pid == 0:
-        import jax as _j
-        params = _j.device_get(state.params)
-        flat = {}
-
-        def _flatten(prefix, tree):
-            if isinstance(tree, dict):
-                for k, v in tree.items():
-                    _flatten(f'{prefix}/{k}', v)
-            else:
-                flat[prefix] = np.asarray(tree)
-
-        _flatten('p', params)
-        np.savez(out_npz, losses=np.asarray(losses), **flat)
+    if mode == 'spec':
+        main_spec(jax, pid, nproc, out_npz)
+    else:
+        main_camcalib(jax, pid, nproc, out_npz)
     print(f'[p{pid}] DONE', flush=True)
 
 

@@ -95,6 +95,59 @@ def test_two_process_training_matches_single_process(tmp_path):
                     'single-process training')
 
 
+@pytest.mark.slow
+def test_two_process_spec_trainer_preempt_resume(tmp_path, rng):
+    """The flagship SpecTrainer under 2 real jax.distributed processes:
+    process-sharded loading, mid-epoch preemption (process-0-only
+    checkpoint), resume on both processes from the shared logdir with
+    sample-exact continuation, and identical final replicated params on
+    every process."""
+    from test_cli import _make_train_data_root
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, 'tests', 'mp_train_worker.py')
+    port = _free_port()
+    root = tmp_path / 'data'
+    _make_train_data_root(root, rng, n=24)
+    out = str(tmp_path / 'spec_params.npz')
+
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (repo + os.pathsep + os.path.join(repo, 'tests')
+                         + os.pathsep + env.get('PYTHONPATH', ''))
+    env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+    env['SPEC_DATA_ROOT'] = str(root)
+    env['MP_LOGDIR'] = str(tmp_path / 'run')
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), '2', str(port), out,
+             'spec'],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout)
+    assert all(p.returncode == 0 for p in procs), '\n'.join(logs)
+
+    p0 = np.load(out.replace('.npz', '_p0.npz'))
+    p1 = np.load(out.replace('.npz', '_p1.npz'))
+    assert int(p0['step']) == 3 and int(p1['step']) == 3
+    keys = [k for k in p0.files if k != 'step']
+    assert keys and sorted(keys) == sorted(
+        k for k in p1.files if k != 'step')
+    for k in keys:
+        np.testing.assert_array_equal(
+            p0[k], p1[k],
+            err_msg=f'replicated param {k} differs across processes')
+    # only process 0 wrote checkpoints (its log mentions the preemption
+    # save; process 1's must not)
+    assert 'checkpoint saved' in logs[0]
+    assert 'checkpoint saved' not in logs[1]
+
+
 def test_loader_process_sharding_partitions_batches():
     """Every global chunk is exactly the concatenation of the per-process
     slices, in process order, for shuffled seeded epochs."""
