@@ -59,6 +59,12 @@ def main(argv=None):
         cfg_id=args.cfg_id, opts=args.opts, log_root=args.log_root)
 
     import jax
+
+    if jax.process_count() > 1:
+        # one agreed LOGDIR (process 0's) — see spec_train.py
+        from spec_tpu import parallel as _par
+        cfg.LOGDIR = _par.broadcast_string(cfg.LOGDIR)
+        os.makedirs(cfg.LOGDIR, exist_ok=True)
     import jax.numpy as jnp
     from spec_tpu import parallel as par
     from spec_tpu.core import bins as B
@@ -181,7 +187,9 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                 skip=(skip_first if epoch == start_epoch else 0),
                 process_id=jax.process_index(),
                 process_count=jax.process_count()):
-            if stop_ctx.requested:
+            # cross-host agreement before the collective save/return path
+            # (see parallel.all_processes_any)
+            if par.all_processes_any(stop_ctx.requested):
                 # save_checkpoint is an orbax collective: all processes
                 # call it; process 0 does the logging.
                 save_checkpoint(ckpt_dir, jax.device_get(state),
@@ -324,14 +332,9 @@ def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
     contract); ``valid_count`` becomes this process's real-sample count."""
     import concurrent.futures as cf
 
+    from spec_tpu.data.loader import shard_index_chunk
     from spec_tpu.data.pano_dataset import pad_collate
 
-    process_count = max(int(process_count), 1)
-    if batch_size % process_count:
-        raise ValueError(f'batch_size {batch_size} must divide evenly '
-                         f'over {process_count} processes')
-    per = batch_size // process_count
-    lo = int(process_id) * per
     buckets = dataset.shape_buckets()
     rng = np.random.RandomState(seed)
     order = list(buckets.items())
@@ -346,14 +349,16 @@ def _bucketed_batches(dataset, batch_size, shuffle, seed, num_workers,
                 if skip > 0:
                     skip -= 1
                     continue
-                chunk = idxs[s:s + batch_size]
-                n_valid = len(chunk)
-                while len(chunk) < batch_size:
-                    chunk.append(chunk[-1])
-                items = list(pool.map(dataset.__getitem__,
-                                      chunk[lo:lo + per]))
+                local, n_valid = shard_index_chunk(
+                    idxs[s:s + batch_size], batch_size,
+                    process_id, process_count)
+                # fetch only real entries; pad rows repeat the last item
+                real = local[:n_valid] if n_valid else local[:1]
+                items = list(pool.map(dataset.__getitem__, real))
+                while len(items) < len(local):
+                    items.append(items[-1])
                 batch = pad_collate(items, fixed_hw=bucket_hw)
-                batch['valid_count'] = int(np.clip(n_valid - lo, 0, per))
+                batch['valid_count'] = n_valid
                 yield batch
 
 

@@ -67,6 +67,14 @@ def main(argv=None):
         cfg_id=args.cfg_id, opts=args.opts, log_root=args.log_root)
 
     import jax
+
+    if jax.process_count() > 1:
+        # Every process minted its own second-resolution timestamped
+        # LOGDIR; checkpoints/meta/resume need ONE agreed directory (on
+        # shared storage) — take process 0's.
+        from spec_tpu import parallel as _par
+        cfg.LOGDIR = _par.broadcast_string(cfg.LOGDIR)
+        os.makedirs(cfg.LOGDIR, exist_ok=True)
     from spec_tpu.core import smpl as S
     from spec_tpu.data import (
         CamDataset,

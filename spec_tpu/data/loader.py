@@ -23,6 +23,32 @@ import numpy as np
 _NON_TENSOR_KEYS = ('imgname', 'dataset_name', 'maskname', 'partname')
 
 
+def check_process_divisibility(batch_size: int, process_count: int) -> int:
+    """-> per-process batch rows; raises unless batch_size divides."""
+    process_count = max(int(process_count), 1)
+    if batch_size % process_count:
+        raise ValueError(
+            f'batch_size {batch_size} must divide evenly over '
+            f'{process_count} processes')
+    return batch_size // process_count
+
+
+def shard_index_chunk(chunk, batch_size: int, process_id: int,
+                      process_count: int):
+    """The single definition of the multi-host chunk contract (used by
+    DataLoader and camcalib's bucketed batcher): pad a global index chunk
+    to ``batch_size`` by repeating the last index, return this process's
+    contiguous slice and how many of its entries are real samples."""
+    per = check_process_divisibility(batch_size, process_count)
+    lo = int(process_id) * per
+    valid = len(chunk)
+    chunk = np.asarray(chunk)
+    if valid < batch_size:
+        chunk = np.concatenate(
+            [chunk, np.full(batch_size - valid, chunk[-1], chunk.dtype)])
+    return chunk[lo:lo + per], int(np.clip(valid - lo, 0, per))
+
+
 def collate(items) -> dict:
     """Stack a list of item dicts into a batch dict (numpy), keeping
     string fields as lists."""
@@ -51,7 +77,9 @@ class DataLoader:
       skip_batches: skip the first k index chunks WITHOUT fetching them
         (sample-exact mid-epoch resume: the shuffle order is seeded, so
         skipping at the index level reproduces the preempted epoch's
-        remaining batches at zero IO cost).
+        remaining batches at zero IO cost). Applies to the FIRST
+        iteration of this loader only — the resumed epoch; re-iterating
+        the same loader (next epoch) yields full epochs again.
       process_id / process_count: multi-host data parallelism
         (``jax.distributed``). The GLOBAL epoch order (shuffle, chunking,
         skip) is identical on every host — it depends only on the seed —
@@ -67,10 +95,7 @@ class DataLoader:
                  drop_last: bool = False, seed: int = 0,
                  skip_batches: int = 0,
                  process_id: int = 0, process_count: int = 1):
-        if batch_size % max(process_count, 1):
-            raise ValueError(
-                f'batch_size {batch_size} must divide evenly over '
-                f'{process_count} processes')
+        check_process_divisibility(batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -87,7 +112,10 @@ class DataLoader:
         n = len(self.dataset)
         total = (n // self.batch_size if self.drop_last
                  else (n + self.batch_size - 1) // self.batch_size)
-        return max(total - self.skip_batches, 0)
+        # skip applies to the UPCOMING first (resumed) iteration only;
+        # once that epoch has started, later epochs are full length.
+        skip = self.skip_batches if self._epoch == 0 else 0
+        return max(total - skip, 0)
 
     def _index_batches(self):
         """Yield (local_index_chunk, local_valid_count) per global batch.
@@ -99,9 +127,9 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
             rng.shuffle(idx)
-        skip = self.skip_batches
-        per = self.batch_size // self.process_count
-        lo = self.process_id * per
+        # only the first iteration is a resumed (partial) epoch; a reused
+        # loader must not silently drop the head of every later epoch.
+        skip = self.skip_batches if self._epoch == 1 else 0
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if len(chunk) < self.batch_size and self.drop_last:
@@ -109,12 +137,8 @@ class DataLoader:
             if skip > 0:
                 skip -= 1
                 continue
-            valid = len(chunk)
-            if valid < self.batch_size:
-                chunk = np.concatenate(
-                    [chunk, np.full(self.batch_size - valid, chunk[-1],
-                                    chunk.dtype)])
-            yield chunk[lo:lo + per], int(np.clip(valid - lo, 0, per))
+            yield shard_index_chunk(chunk, self.batch_size,
+                                    self.process_id, self.process_count)
 
     def __iter__(self) -> Iterator[dict]:
         self._epoch += 1
@@ -141,8 +165,14 @@ class DataLoader:
                     for chunk, valid in self._index_batches():
                         if stop.is_set():
                             return
+                        # Fetch only the REAL entries; padded tail rows
+                        # repeat the last fetched item instead of paying
+                        # decode+augment again per pad row.
+                        real = chunk[:valid] if valid else chunk[:1]
                         items = list(pool.map(self.dataset.__getitem__,
-                                              chunk))
+                                              real))
+                        while len(items) < len(chunk):
+                            items.append(items[-1])
                         batch = collate(items)
                         batch['_valid_count'] = valid
                         if not _put(batch):

@@ -164,6 +164,40 @@ def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
 
 
+def broadcast_string(s: str, max_len: int = 1024) -> str:
+    """Process 0's string on every host (no-op single-process). Used to
+    agree on the run LOGDIR: each process mints its own timestamped dir,
+    but checkpoints/meta must land in ONE directory for resume."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    data = s.encode()
+    if len(data) > max_len:
+        raise ValueError(f'string longer than {max_len} bytes: {s!r}')
+    buf = np.zeros(max_len, np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    nz = np.nonzero(out == 0)[0]
+    end = int(nz[0]) if nz.size else max_len
+    return bytes(out[:end]).decode()
+
+
+def all_processes_any(flag: bool) -> bool:
+    """Cross-host OR of a per-process boolean (no-op single-process).
+
+    Branching into a collective (checkpoint save, early return) on a
+    per-process signal like a SIGTERM latch is a distributed-deadlock
+    hazard: hosts whose signal delivery skews by one iteration would
+    execute mismatched collectives. Agree first, branch after."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    return bool(np.asarray(multihost_utils.process_allgather(
+        np.asarray([bool(flag)]))).any())
+
+
 def initialize_multihost(coordinator_address=None, num_processes=None,
                          process_id=None):
     """Multi-host setup: call once per host before building the mesh; the

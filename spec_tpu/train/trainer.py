@@ -347,7 +347,11 @@ class SpecTrainer:
                     batch = next(batch_iter, None)
                 if batch is None:
                     break
-                if stop.requested:
+                # Cross-host agreement BEFORE branching into collectives
+                # (save/early-return): a per-host SIGTERM latch can skew
+                # by an iteration between hosts, which would pit a psum
+                # against an orbax barrier — distributed deadlock.
+                if par.all_processes_any(stop.requested):
                     # Preemption (SIGTERM grace window): checkpoint the
                     # in-flight state so --resume continues from here.
                     # keep=1000 matches the epoch-end path: the default
@@ -493,7 +497,12 @@ class SpecTrainer:
                 self.model, variables, loader, self.assets, self.jreg,
                 use_gt_cam=self.cfg.TESTING.USE_GT_CAM,
                 use_gender=self.cfg.DATASET.USE_GENDER,
-                save_results=False, logdir=self.cfg.LOGDIR,
+                save_results=False,
+                # multi-host: metrics run on every process (identical);
+                # file artifacts are process 0's — logdir=None disables
+                # writes without tripping the qualitative-dataset check
+                # (save_images stays the semantic flag).
+                logdir=self.cfg.LOGDIR if self.is_main else None,
                 save_images=self.cfg.TESTING.SAVE_IMAGES,
                 save_freq=max(int(self.cfg.TESTING.SAVE_FREQ), 1),
                 dataset_name=ds_name)

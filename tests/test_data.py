@@ -190,6 +190,28 @@ def test_loader_batches_and_padding(synthetic_dataset):
     assert isinstance(batches[0]['imgname'][0], str)
 
 
+def test_loader_skip_applies_to_first_iteration_only():
+    """skip_batches models a resumed (partial) epoch: only the FIRST
+    iteration of the loader skips; re-iterating the same loader (next
+    epoch) must yield full epochs, and len() must match each phase."""
+
+    class Idx:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {'i': np.int64(i)}
+
+    loader = DataLoader(Idx(), batch_size=4, num_workers=1,
+                        skip_batches=3)
+    assert len(loader) == 1
+    first = list(loader)
+    assert len(first) == 1                      # resumed epoch: 1 batch
+    assert len(loader) == 4
+    second = list(loader)
+    assert len(second) == 4                     # next epoch: full
+
+
 
 def test_iou_tracker():
     """Greedy IoU tracking: stable ids across motion, occlusion grace
