@@ -36,9 +36,63 @@ def _wait_for_backend(budget_s=1800):
     (round-1 MULTICHIP died to exactly this). Deliberate PARTIAL
     ride-out: observed round-2 outages exceeded an hour, but the
     round-end artifact must complete in bounded time, so we wait at
-    most 30 min then let the failure surface; see utils/backend.py."""
+    most 30 min, then fall back to the last cached real measurement
+    (marked stale) or let the failure surface. SPEC_BENCH_BACKEND_BUDGET_S
+    overrides the budget (tests use a short one)."""
     from spec_tpu.utils.backend import wait_for_backend
-    wait_for_backend(budget_s=budget_s)
+    budget_s = float(os.environ.get('SPEC_BENCH_BACKEND_BUDGET_S',
+                                    budget_s))
+    return wait_for_backend(budget_s=budget_s)
+
+
+_CACHE_PATH = '/root/repo/.bench_cache.json'
+
+
+def _cache_key(args) -> str:
+    return (f'{args.mode}|b{args.batch}|{args.frame_h}x{args.frame_w}|'
+            f'{args.stage1}|min{args.min_size}|f{args.frames}|'
+            f'p{args.persons}')
+
+
+def emit(payload: dict, args) -> None:
+    """Print the ONE JSON line AND cache it, so an axon-tunnel outage at
+    round end can report the last real measurement (clearly marked
+    stale) instead of a red artifact."""
+    print(json.dumps(payload))
+    try:
+        cache = {}
+        if os.path.exists(_CACHE_PATH):
+            with open(_CACHE_PATH) as f:
+                cache = json.load(f)
+        cache[_cache_key(args)] = {'payload': payload,
+                                   'measured_at': time.time()}
+        with open(_CACHE_PATH, 'w') as f:
+            json.dump(cache, f, indent=1)
+    except OSError:
+        pass
+
+
+def emit_stale_if_cached(args) -> bool:
+    """Backend unreachable: print the last REAL measurement for this
+    exact configuration, marked stale. Returns False when there is no
+    cached measurement (caller proceeds and surfaces the real error)."""
+    try:
+        with open(_CACHE_PATH) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        return False
+    entry = cache.get(_cache_key(args))
+    if not entry:
+        return False
+    age_h = (time.time() - entry['measured_at']) / 3600.0
+    payload = dict(entry['payload'])
+    payload['stale'] = True
+    payload['stale_reason'] = (
+        f'axon backend unavailable after the ride-out budget; value is '
+        f'the last real on-chip measurement of this exact configuration '
+        f'({age_h:.1f} h old)')
+    print(json.dumps(payload))
+    return True
 
 
 def build_pipeline(compute_dtype=jnp.bfloat16, img_res=224,
@@ -185,12 +239,12 @@ def train_bench(args):
     final = float(total)  # forces the whole rng-chained sequence
     dt = time.perf_counter() - t0 - rtt
     assert np.isfinite(final)
-    print(json.dumps({
+    emit({
         'metric': f'SPEC train step (fwd+bwd+Adam, donated), B={B} 224^2',
         'value': round(B * iters / dt, 2),
         'unit': 'img/s/chip',
         'ms_per_step': round(1000.0 * dt / iters, 3),
-    }))
+    }, args)
 
 
 def serving_bench(args):
@@ -230,14 +284,14 @@ def serving_bench(args):
     dt = time.perf_counter() - t0
     assert n_person == reps * F * K
     frames_per_s = reps * F / dt
-    print(json.dumps({
+    emit({
         'metric': f'serving predict() e2e, {K} persons/frame '
                   f'(480x640 frames, stage-1 min_size={args.min_size})',
         'value': round(frames_per_s, 2),
         'unit': 'frames/s/chip',
         'persons_per_s': round(n_person / dt, 2),
         'ms_per_frame': round(1000.0 * dt / (reps * F), 3),
-    }))
+    }, args)
 
 
 def detect_bench(args):
@@ -270,13 +324,13 @@ def detect_bench(args):
     total = float(acc)
     dt = time.perf_counter() - t0 - rtt
     assert np.isfinite(total)
-    print(json.dumps({
+    emit({
         'metric': f'yolov3 person detection (416^2 bf16, device top-K), '
                   f'B={B}',
         'value': round(B * iters / dt, 2),
         'unit': 'img/s/chip',
         'ms_per_batch': round(1000.0 * dt / iters, 3),
-    }))
+    }, args)
 
 
 def main(argv=None):
@@ -314,7 +368,12 @@ def main(argv=None):
     if args.batch is None:
         args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)
 
-    _wait_for_backend()
+    if not _wait_for_backend():
+        # Chip unreachable: a clearly-marked stale line beats a red
+        # artifact, but only if this exact config was really measured.
+        if emit_stale_if_cached(args):
+            return
+        # else proceed — the real backend error is the honest failure
 
     if args.mode == 'serving':
         return serving_bench(args)
@@ -392,13 +451,13 @@ def main(argv=None):
         jax.default_backend() == 'tpu' else 1
     img_per_s = B * iters / dt / n_chips
     baseline = 250.0  # img/s/chip (2000 img/s on v5e-8)
-    print(json.dumps({
+    emit({
         'metric': 'camcalib+spec e2e inference throughput '
                   '(raw frames in, on-device preprocessing)',
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / baseline, 3),
-    }))
+    }, args)
 
 
 if __name__ == '__main__':

@@ -56,3 +56,25 @@ def test_dryrun_multichip_survives_broken_tpu_backend():
         timeout=900)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert '[dryrun_multichip] n=8 ok' in r.stdout, r.stdout[-2000:]
+
+
+def test_bench_emits_stale_cached_result_when_backend_down():
+    """bench.py with an unreachable backend must still print ONE JSON
+    line: the last cached real measurement for the exact config, clearly
+    marked stale (a red round-end artifact would otherwise conflate an
+    infra outage with a perf regression). Requires the committed
+    .bench_cache.json headline entry."""
+    import json
+
+    env = _broken_tpu_env()
+    env['SPEC_BENCH_BACKEND_BUDGET_S'] = '5'   # don't ride out 30 min
+    r = subprocess.run(
+        [sys.executable, 'bench.py'],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    line = r.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload['stale'] is True
+    assert payload['unit'] == 'img/s/chip'
+    assert payload['value'] > 0
+    assert 'backend unavailable' in payload['stale_reason']
