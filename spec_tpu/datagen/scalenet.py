@@ -95,6 +95,7 @@ def generate_calibration_dataset(
     seed: int = 0,
     val_ratio: float = 0.1,
     debug: bool = False,
+    workers: int = 0,
 ) -> dict:
     """Crops + per-image JSONs in the 'pano_scalenet' layout (json next to
     the jpg, vfov in radians — reference pano_dataset.py:122-127).
@@ -112,14 +113,19 @@ def generate_calibration_dataset(
         from spec_tpu.utils.vis import draw_horizon_line
         dbg_dir = os.path.join(out_folder, 'debug')
         os.makedirs(dbg_dir, exist_ok=True)
-    rng = np.random.RandomState(seed)
-
     n_val = max(1, int(len(pano_files) * val_ratio)) \
         if len(pano_files) > 1 else 0
     val_panos = set(pano_files[:n_val])
-    splits = {'train_images': [], 'val_images': []}
 
-    for pano_path in pano_files:
+    def process_pano(pi_path):
+        """One panorama end-to-end: decode -> crops_per_pano projections
+        -> jpg + json (+ debug overlay). cv2 decode/remap/encode release
+        the GIL, so pano-level threads scale with cores on a real host
+        (~130 ms/crop single-thread at 4k equirect -> hours at Pano360
+        scale); workers defaults to min(8, cpu_count). Deterministic
+        regardless of scheduling: each pano draws from its own
+        (seed, index) RNG stream."""
+        pi, pano_path = pi_path
         # Per-pano fault isolation (the sibling generator in
         # pano_preprocessing logs and continues for the same reason): one
         # corrupt jpg must not abort a multi-hour generation run with
@@ -128,9 +134,12 @@ def generate_calibration_dataset(
         if raw is None:
             print(f'[scalenet-datagen] unreadable panorama skipped: '
                   f'{pano_path}')
-            continue
+            return []
         pano = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         stem = os.path.splitext(os.path.basename(pano_path))[0]
+        rng = np.random.RandomState([seed, pi])
+        key = ('val_images' if pano_path in val_panos else 'train_images')
+        out = []
         for k in range(crops_per_pano):
             cam = sample_scalenet_cam(rng)
             crop = equirect_to_perspective(
@@ -156,10 +165,53 @@ def generate_calibration_dataset(
                     'sensor_size': cam['sensor_size'],
                     'horizon': cam['horizon'], 'yaw': cam['yaw'],
                 }, f)
-            key = ('val_images' if pano_path in val_panos
-                   else 'train_images')
-            splits[key].append(name)
+            out.append((key, name))
+        return out
+
+    import concurrent.futures as cf
+    workers = int(workers or min(8, os.cpu_count() or 1))
+    splits = {'train_images': [], 'val_images': []}
+    with cf.ThreadPoolExecutor(workers) as pool:
+        for results in pool.map(process_pano, enumerate(pano_files)):
+            for key, name in results:
+                splits[key].append(name)
 
     for key, names in splits.items():
         joblib.dump(names, os.path.join(out_folder, f'{key}.pkl'))
     return splits
+
+
+def main(argv=None):
+    """``python -m spec_tpu.datagen.scalenet <pano_dir> <out_folder>`` —
+    the reference runs its generator as a script
+    (camcalib/datagen/generateCalibrationDataset.py:187-216)."""
+    import argparse
+    import glob
+
+    parser = argparse.ArgumentParser(
+        description='ScaleNet-recipe Pano360 crop generator')
+    parser.add_argument('pano_dir', help='directory of equirect panoramas')
+    parser.add_argument('out_folder')
+    parser.add_argument('--crops_per_pano', type=int, default=12)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--val_ratio', type=float, default=0.1)
+    parser.add_argument('--debug', action='store_true',
+                        help='also write horizon-overlay QA images')
+    parser.add_argument('--workers', type=int, default=0,
+                        help='pano-level threads (0 = min(8, cpu_count))')
+    args = parser.parse_args(argv)
+    panos = sorted(
+        p for ext in ('jpg', 'jpeg', 'png')
+        for p in glob.glob(os.path.join(args.pano_dir, f'*.{ext}')))
+    if not panos:
+        raise SystemExit(f'no panoramas found in {args.pano_dir}')
+    splits = generate_calibration_dataset(
+        panos, args.out_folder, crops_per_pano=args.crops_per_pano,
+        seed=args.seed, val_ratio=args.val_ratio, debug=args.debug,
+        workers=args.workers)
+    print(f'[scalenet-datagen] wrote {len(splits["train_images"])} train '
+          f'+ {len(splits["val_images"])} val crops to {args.out_folder}')
+
+
+if __name__ == '__main__':
+    main()

@@ -225,6 +225,38 @@ def test_generate_calibration_dataset_end_to_end(tmp_path, rng):
     assert np.isfinite(item['vfov_angle'])
 
 
+def test_datagen_deterministic_across_worker_counts(tmp_path, rng):
+    """Pano-level parallelism must not change outputs: each pano draws
+    from its own (seed, index) RNG stream, so workers=1 and workers=4
+    produce identical splits and annotations. Also covers the module
+    CLI (`python -m spec_tpu.datagen.scalenet`)."""
+    import cv2
+    from spec_tpu.datagen import scalenet
+
+    pano_dir = tmp_path / 'panos'
+    pano_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(pano_dir / f'p{i}.jpg'),
+                    (rng.rand(64, 128, 3) * 255).astype('u1'))
+
+    outs = []
+    for w in (1, 4):
+        out = str(tmp_path / f'gen_w{w}')
+        scalenet.main([str(pano_dir), out, '--crops_per_pano', '2',
+                       '--seed', '3', '--workers', str(w)])
+        import joblib
+        outs.append({
+            'train': joblib.load(os.path.join(out, 'train_images.pkl')),
+            'val': joblib.load(os.path.join(out, 'val_images.pkl')),
+            'annots': {
+                n: json.load(open(os.path.join(
+                    out, 'images', n.replace('.jpg', '.json'))))
+                for n in joblib.load(
+                    os.path.join(out, 'train_images.pkl'))},
+        })
+    assert outs[0] == outs[1]
+
+
 def test_flickr_downloader_offline_and_cli(tmp_path, monkeypatch):
     """Offline behavior: a missing API key fails fast with a clear error
     (never hangs); the CLI mirrors the reference's download modes
