@@ -55,6 +55,51 @@ def test_prepare_data_verify(data_root, capsys):
     assert status['SPEC checkpoint'][0] is False
 
 
+def test_annotate_camcalib_cli(data_root, tmp_path):
+    """spec_annotate_camcalib writes fresh camcalib_* prediction columns
+    into an eval npz (the tool the reference never shipped: its
+    dataset_extras carry the columns precomputed), and the output npz
+    drives CamDataset's predicted-camera path."""
+    from spec_tpu.cli.annotate_camcalib import main
+
+    npz = str(data_root / 'dataset_extras' / '3dpw_test_cam_camcalib.npz')
+    img_dir = str(data_root / 'dataset_folders' / '3dpw')
+    out = str(tmp_path / 'annotated.npz')
+    old = dict(np.load(npz, allow_pickle=True))
+
+    main(['--npz', npz, '--img_dir', img_dir, '--out', out,
+          '--backbone', 'resnet18', '--min_size', '64',
+          '--batch_size', '4'])
+
+    new = dict(np.load(out, allow_pickle=True))
+    n = len(old['imgname'])
+    for col in ('camcalib_vfov', 'camcalib_pitch', 'camcalib_roll',
+                'camcalib_f_pix'):
+        assert new[col].shape == (n,) and np.isfinite(new[col]).all()
+    # fresh predictions, not the fixture's random placeholders
+    assert not np.allclose(new['camcalib_vfov'], old['camcalib_vfov'])
+    # f_pix derived from the ORIGINAL image height (120 px here)
+    np.testing.assert_allclose(
+        new['camcalib_f_pix'],
+        120.0 / 2.0 / np.tan(new['camcalib_vfov'] / 2.0), rtol=1e-5)
+    # non-camcalib columns untouched
+    np.testing.assert_array_equal(new['scale'], old['scale'])
+
+    # the augmented npz drives the predicted-camera dataset path
+    from spec_tpu.data.cam_dataset import CamDataset
+    ds = CamDataset(out, img_dir, dataset='3dpw-test-cam', img_res=64)
+    item = ds[0]
+    assert np.isfinite(np.asarray(item['pred_cam_rotmat'])).all()
+    np.testing.assert_allclose(float(item['pred_cam_vfov']),
+                               float(new['camcalib_vfov'][0]), rtol=1e-6)
+
+    # a missing image fails fast with a pointed error
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match='not found'):
+        main(['--npz', npz, '--img_dir', str(tmp_path / 'nowhere'),
+              '--out', out])
+
+
 @pytest.mark.slow
 def test_spec_eval_then_compute_error_cli(data_root, tmp_path):
     """spec_eval end-to-end on the synthetic dataset (random weights,
