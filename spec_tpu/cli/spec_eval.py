@@ -127,6 +127,15 @@ def main(argv=None):
                         render_res=cfg.DATASET.RENDER_RES,
                         num_images=num_images,
                         emit_disp_img=cfg.TESTING.SAVE_IMAGES)
+        if not cfg.TESTING.USE_GT_CAM and ds.camcalib_pitch is None:
+            # Without camcalib_* columns the 'predicted camera' silently
+            # degrades to the identity-rotation f=5000 fallback and the
+            # W-frame numbers are meaningless — say so loudly.
+            print(f'[eval] WARNING: {ds_name} has no camcalib_* columns '
+                  'but TESTING.USE_GT_CAM=False — the predicted camera '
+                  'falls back to identity/f=5000. Generate the columns '
+                  'with: spec_annotate_camcalib --npz '
+                  f'{annot} --img_dir {img_dir}')
         loader = DataLoader(ds, batch_size=cfg.DATASET.BATCH_SIZE,
                             num_workers=cfg.DATASET.NUM_WORKERS)
         t0 = time.perf_counter()
