@@ -363,12 +363,17 @@ class YoloDetector:
             lambda v, x: top_person_candidates(
                 self.model.apply(v, x, mutable=False), k=int(topk)))
 
-    def detect(self, frames: Sequence[np.ndarray],
-               conf_thresh: Optional[float] = None,
-               nms_thresh: Optional[float] = None) -> List[np.ndarray]:
-        conf = self.conf_thresh if conf_thresh is None else conf_thresh
-        nms = self.nms_thresh if nms_thresh is None else nms_thresh
-        results: List[np.ndarray] = []
+    def detect_dispatch(self, frames: Sequence[np.ndarray]) -> list:
+        """Queue every detector forward WITHOUT fetching.
+
+        jax dispatch is async, so a caller can queue other device work
+        (e.g. the serving stage-1 CamCalib batches) after this and then
+        :meth:`detect_fetch` — the host-side NMS of chunk k then overlaps
+        the device compute queued behind it instead of serializing
+        (serving.py uses exactly this to remove its detect->stage-1
+        bubble). Returns an opaque pending list for :meth:`detect_fetch`.
+        """
+        pending = []
         B = self.batch_size
         for start in range(0, len(frames), B):
             chunk = frames[start:start + B]
@@ -380,7 +385,20 @@ class YoloDetector:
                 batch = np.concatenate(
                     [batch, np.zeros((bp - len(chunk),) + batch.shape[1:],
                                      np.float32)])
-            dets = np.asarray(self._fwd(self.vars, jnp.asarray(batch)))
+            pending.append(
+                (prepped, self._fwd(self.vars, jnp.asarray(batch))))
+        return pending
+
+    def detect_fetch(self, pending: list,
+                     conf_thresh: Optional[float] = None,
+                     nms_thresh: Optional[float] = None) -> List[np.ndarray]:
+        """Fetch dispatched candidates and finish on host (filter + NMS +
+        MPT square-box convention)."""
+        conf = self.conf_thresh if conf_thresh is None else conf_thresh
+        nms = self.nms_thresh if nms_thresh is None else nms_thresh
+        results: List[np.ndarray] = []
+        for prepped, dets_dev in pending:
+            dets = np.asarray(dets_dev)
             for i, (_, scale, px, py) in enumerate(prepped):
                 kept = nms_person(dets[i], conf, nms)
                 kept[:, 0] = (kept[:, 0] - px) / scale
@@ -388,3 +406,9 @@ class YoloDetector:
                 kept[:, 2:4] = kept[:, 2:4] / scale
                 results.append(square_cxcywh(kept))
         return results
+
+    def detect(self, frames: Sequence[np.ndarray],
+               conf_thresh: Optional[float] = None,
+               nms_thresh: Optional[float] = None) -> List[np.ndarray]:
+        return self.detect_fetch(self.detect_dispatch(frames),
+                                 conf_thresh, nms_thresh)

@@ -233,15 +233,9 @@ class SpecPredictor:
 
     # -- stage 1 ------------------------------------------------------------
 
-    def estimate_cameras(
-        self, frames: Sequence[np.ndarray]
-    ) -> List[Dict[str, float]]:
-        """CamCalib over raw RGB frames (uint8/float HWC, any sizes).
-
-        Returns one dict per frame: {vfov, f_pix, pitch, roll} in the
-        reference pickle's units (radians; f_pix w.r.t. the ORIGINAL
-        frame height, scripts/camcalib_demo.py:129).
-        """
+    def _cameras_dispatch(self, frames: Sequence[np.ndarray]):
+        """Resize/bucket frames on host and queue every stage-1 batch
+        (no fetch). Returns (prepped, pending) for :meth:`_cameras_fetch`."""
         from PIL import Image
 
         from spec_tpu.data.image_folder import resize_min_side
@@ -255,7 +249,6 @@ class SpecPredictor:
             prepped.append((img, h))   # uint8; normalized on device
             buckets[img.shape[:2]].append(i)
 
-        out: List[Optional[dict]] = [None] * len(frames)
         pending = []    # dispatch every bucket/chunk, then fetch (async
         for _, idxs in buckets.items():   # dispatch overlaps host prep)
             for s0 in range(0, len(idxs), self.batch_size):
@@ -271,6 +264,11 @@ class SpecPredictor:
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
                 pending.append(
                     (chunk, self._cam_infer(self.cc_vars, batch)))
+        return prepped, pending
+
+    def _cameras_fetch(self, prepped, pending,
+                       n_frames: int) -> List[Dict[str, float]]:
+        out: List[Optional[dict]] = [None] * n_frames
         for chunk, (vfov, pitch, roll) in pending:
             vfov, pitch, roll = (np.asarray(vfov), np.asarray(pitch),
                                  np.asarray(roll))
@@ -284,6 +282,18 @@ class SpecPredictor:
                     'roll': float(roll[k]),
                 }
         return out  # type: ignore[return-value]
+
+    def estimate_cameras(
+        self, frames: Sequence[np.ndarray]
+    ) -> List[Dict[str, float]]:
+        """CamCalib over raw RGB frames (uint8/float HWC, any sizes).
+
+        Returns one dict per frame: {vfov, f_pix, pitch, roll} in the
+        reference pickle's units (radians; f_pix w.r.t. the ORIGINAL
+        frame height, scripts/camcalib_demo.py:129).
+        """
+        prepped, pending = self._cameras_dispatch(frames)
+        return self._cameras_fetch(prepped, pending, len(frames))
 
     # -- full pipeline --------------------------------------------------------
 
@@ -313,17 +323,24 @@ class SpecPredictor:
         from spec_tpu.data.transforms import crop as spin_crop, normalize_img
 
         jnp = self._jnp
-        if boxes is None:
-            if self.detector is None:
-                raise ValueError(
-                    'predict(frames) without boxes needs an in-process '
-                    "detector — construct SpecPredictor(detector='yolo', "
-                    "yolo_weights=...) or pass per-frame boxes")
-            # Note: detect() synchronizes (host NMS per chunk), so
-            # detection and stage 1 run back-to-back, not overlapped.
-            boxes = self.detector.detect(frames)
-        if cameras is None:
-            cameras = self.estimate_cameras(frames)
+        if boxes is None and self.detector is None:
+            raise ValueError(
+                'predict(frames) without boxes needs an in-process '
+                "detector — construct SpecPredictor(detector='yolo', "
+                "yolo_weights=...) or pass per-frame boxes")
+        # Detection and stage 1 are independent, so both are DISPATCHED
+        # before either is fetched: the detector's host NMS then runs
+        # while the CamCalib batches queued behind it compute on device
+        # (previously detect() synchronized per chunk and the two stages
+        # ran back-to-back).
+        pending_det = (self.detector.detect_dispatch(frames)
+                       if boxes is None else None)
+        cam_pending = (self._cameras_dispatch(frames)
+                       if cameras is None else None)
+        if pending_det is not None:
+            boxes = self.detector.detect_fetch(pending_det)
+        if cam_pending is not None:
+            cameras = self._cameras_fetch(*cam_pending, len(frames))
 
         # Flatten (frame, person) work items.
         work = []

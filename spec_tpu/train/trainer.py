@@ -420,49 +420,56 @@ class SpecTrainer:
             self.writer.flush()
         return self.state
 
-    def _train_image_summary(self, batch, global_step: int):
-        """Render one training sample's prediction overlay to TensorBoard
-        (reference train_summaries, spec/trainer.py:173-228)."""
+    def _train_image_summary(self, batch, global_step: int,
+                             max_samples: int = 4):
+        """Render a multi-sample, multi-sideview prediction grid to
+        TensorBoard (reference train_summaries -> RendererCam.visualize_tb,
+        spec/trainer.py:173-228 + spec/utils/renderer_cam.py:221-393):
+        one row per sample = [crop | overlay | 90/180/270-degree views]."""
         try:
             import numpy as _np
-            from spec_tpu.utils.renderer import render_image_group
+            from spec_tpu.utils.renderer import render_tb_grid
 
             variables = {
                 'params': jax.device_get(self.state.params),
                 'batch_stats': jax.device_get(self.state.batch_stats),
             }
-            img = _np.asarray(batch['img'][0:1], _np.float32)
+            n = min(max_samples, len(batch['img']))
+            img = _np.asarray(batch['img'][:n], _np.float32)
             dev_img = jnp.asarray(
                 (img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD)
             out = self.model.apply(
                 variables, self.assets['neutral'], dev_img,
-                jnp.asarray(batch['cam_rotmat'][0:1]),
-                jnp.asarray(batch['cam_int'][0:1]),
-                jnp.asarray(batch['scale'][0:1]),
-                jnp.asarray(batch['center'][0:1]),
-                jnp.asarray(batch['orig_shape'][0:1, 1].astype(_np.float32)),
-                jnp.asarray(batch['orig_shape'][0:1, 0].astype(_np.float32)))
+                jnp.asarray(batch['cam_rotmat'][:n]),
+                jnp.asarray(batch['cam_int'][:n]),
+                jnp.asarray(batch['scale'][:n]),
+                jnp.asarray(batch['center'][:n]),
+                jnp.asarray(batch['orig_shape'][:n, 1].astype(_np.float32)),
+                jnp.asarray(batch['orig_shape'][:n, 0].astype(_np.float32)))
             res = img.shape[1]
-            K = _np.asarray(batch['cam_int'][0])
             # batch['img'] is the bbox-centered SPIN crop, NOT a resized
             # full frame: map the full-image intrinsics through the crop
             # transform crop_px = (orig_px - ul) * res / box with
             # box = scale*200 and ul = center - box/2.
-            box = max(float(batch['scale'][0]) * 200.0, 1.0)
+            K = _np.asarray(batch['cam_int'][:n])
+            box = _np.maximum(
+                _np.asarray(batch['scale'][:n], _np.float64) * 200.0, 1.0)
             sc = res / box
-            ctr = _np.asarray(batch['center'][0], _np.float64)
-            ulx, uly = ctr[0] - box / 2.0, ctr[1] - box / 2.0
-            group = render_image_group(
-                img[0],
-                camera_translation=_np.asarray(out['pred_cam_t'])[0],
-                vertices=_np.asarray(out['smpl_vertices'])[0],
-                camera_rotation=_np.asarray(batch['cam_rotmat'][0]),
-                focal_length=(K[0, 0] * sc, K[1, 1] * sc),
-                camera_center=((K[0, 2] - ulx) * sc, (K[1, 2] - uly) * sc),
-                faces=_np.asarray(self.assets['neutral'].faces))
+            ctr = _np.asarray(batch['center'][:n], _np.float64)
+            ul = ctr - box[:, None] / 2.0
+            fl = _np.stack([K[:, 0, 0] * sc, K[:, 1, 1] * sc], axis=1)
+            cc = (K[:, :2, 2] - ul) * sc[:, None]
+            grid = render_tb_grid(
+                img,
+                vertices=_np.asarray(out['smpl_vertices']),
+                camera_translation=_np.asarray(out['pred_cam_t']),
+                camera_rotation=_np.asarray(batch['cam_rotmat'][:n]),
+                focal_length=fl,
+                camera_center=cc,
+                faces=_np.asarray(self.assets['neutral'].faces),
+                max_samples=n)
             self.writer.add_image(
-                'train/overlay', _np.clip(group, 0, 1).transpose(2, 0, 1),
-                global_step)
+                'train/mesh_grid', grid.transpose(2, 0, 1), global_step)
         except Exception as e:
             print(f'[train] image summary skipped: {e}')
 

@@ -233,6 +233,56 @@ def render_image_group(
     return out
 
 
+def render_tb_grid(
+    images: np.ndarray,            # (N, H, W, 3) float [0,1] or [0,255]
+    vertices: np.ndarray,          # (N, V, 3)
+    camera_translation: np.ndarray,  # (N, 3)
+    camera_rotation: np.ndarray,     # (N, 3, 3)
+    focal_length: np.ndarray,        # (N, 2)
+    camera_center: np.ndarray,       # (N, 2)
+    faces: np.ndarray,
+    keypoints_2d: Optional[np.ndarray] = None,   # (N, K, 2) crop pixels
+    sideview_angles: Tuple[float, ...] = (90, 180, 270),
+    max_samples: int = 4,
+    mesh_color: str = 'pinkish',
+) -> np.ndarray:
+    """Multi-sample / multi-sideview TensorBoard grid.
+
+    Equivalent of the reference's ``RendererCam.visualize_tb``
+    (``spec/utils/renderer_cam.py:221-393``): one ROW per sample —
+    ``[input(+skeleton) | overlay | side views...]`` — rows stacked
+    vertically into a single image for ``add_image``. All camera args are
+    per-sample (crop-frame intrinsics for crop inputs). Returns float
+    [0, 1] of shape (rows*H, (2+len(sideview_angles))*W, 3).
+    """
+    from spec_tpu.utils.vis import draw_skeleton
+
+    n = min(len(images), max_samples)
+    rows = []
+    for i in range(n):
+        image = np.asarray(images[i], np.float32)
+        if image.max() > 10:
+            image = image / 255.0
+        panel = image
+        if keypoints_2d is not None:
+            panel = draw_skeleton(
+                (panel * 255), np.asarray(keypoints_2d[i])
+            ).astype(np.float32) / 255.0
+        fl = (float(focal_length[i][0]), float(focal_length[i][1]))
+        cc = (float(camera_center[i][0]), float(camera_center[i][1]))
+        cells = [panel, render_overlay_image(
+            panel, camera_translation[i], vertices[i], camera_rotation[i],
+            fl, cc, faces, mesh_color, sideview_angle=0,
+            add_ground_plane=False)]
+        for ang in sideview_angles:
+            cells.append(render_overlay_image(
+                np.zeros_like(image), camera_translation[i], vertices[i],
+                camera_rotation[i], fl, cc, faces, mesh_color,
+                sideview_angle=ang, add_ground_plane=True))
+        rows.append(np.concatenate(cells, axis=1))
+    return np.clip(np.concatenate(rows, axis=0), 0.0, 1.0)
+
+
 def render_mesh_overlay(image_uint8, vertices_batch, cam_t_batch, faces,
                         focal_length, pitch=0.0, roll=0.0):
     """Multi-person overlay helper for the demo CLI: camera rotation from

@@ -425,11 +425,19 @@ def test_spec_train_cli_fdr(tmp_path, rng, monkeypatch):
         'DATASET.VAL_DS', '3dpw-test-cam',
         'DATASET.BATCH_SIZE', '8', 'DATASET.NUM_WORKERS', '1',
         'HMR.BACKBONE', 'resnet18',
-        'TRAINING.LOG_SAVE_INTERVAL', '1'])
+        'TRAINING.LOG_SAVE_INTERVAL', '1',
+        'LOG_FREQ_TB_IMAGES', '1'])
     assert int(trainer.state.step) >= 1
     # fit() ran under the preemption guard and saved a checkpoint
     from spec_tpu.utils.checkpoints import latest_step
     assert latest_step(trainer.ckpt_dir) is not None
+    # The multi-sample/multi-sideview mesh grid reached TensorBoard
+    # (reference RendererCam.visualize_tb parity).
+    from tensorboard.backend.event_processing import event_accumulator
+    ea = event_accumulator.EventAccumulator(
+        trainer.writer.log_dir, size_guidance={'images': 0})
+    ea.Reload()
+    assert 'train/mesh_grid' in ea.Tags()['images']
 
 
 def test_demo_model_cache_reused_across_chunks(tmp_path, rng, monkeypatch):

@@ -74,3 +74,34 @@ def test_render_image_group_layout(rng):
         cam_params=np.array([1.0, 0.05, 0.01, 100.0]))
     assert out.shape == (96, 128 * 3, 3)
     assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+
+
+def test_render_tb_grid_layout(rng):
+    """Multi-sample / multi-sideview grid (reference RendererCam.
+    visualize_tb, renderer_cam.py:221-393): rows = samples, cols =
+    [input | overlay | one per sideview angle]."""
+    from spec_tpu.utils.renderer import render_tb_grid
+
+    N = 3
+    verts, faces = make_quad(z=2.0)
+    images = rng.rand(N, 64, 96, 3).astype(np.float32)
+    out = render_tb_grid(
+        images,
+        vertices=np.stack([verts] * N),
+        camera_translation=np.zeros((N, 3), np.float32),
+        camera_rotation=np.stack([np.eye(3, dtype=np.float32)] * N),
+        focal_length=np.full((N, 2), 100.0, np.float32),
+        camera_center=np.tile(np.array([48.0, 32.0], np.float32), (N, 1)),
+        faces=faces,
+        sideview_angles=(90, 270),
+        max_samples=2)
+    # max_samples caps rows; 2 sideviews -> 4 columns.
+    assert out.shape == (2 * 64, 4 * 96, 3)
+    assert out.min() >= 0 and out.max() <= 1.0 + 1e-6
+    # Row 1 input panel shows sample 1, not sample 0.
+    np.testing.assert_allclose(out[64:128, :96], images[1], atol=1e-6)
+    # Overlay column composites the mesh near each sample's center.
+    changed0 = np.abs(out[:64, 96:192] - images[0]).sum(-1) > 1e-6
+    assert changed0[32, 48]
+    # Side-view panels render on black with a ground plane: non-empty.
+    assert out[:64, 192:288].sum() > 0

@@ -141,11 +141,16 @@ class _StubDetector:
         self.per_frame_boxes = per_frame_boxes
         self.calls = 0
 
-    def detect(self, frames, conf_thresh=None, nms_thresh=None):
+    def detect_dispatch(self, frames):
         self.calls += 1
         assert len(frames) == len(self.per_frame_boxes)
-        return [np.asarray(b, np.float32).reshape(-1, 4)
-                for b in self.per_frame_boxes]
+        return list(self.per_frame_boxes)
+
+    def detect_fetch(self, pending, conf_thresh=None, nms_thresh=None):
+        return [np.asarray(b, np.float32).reshape(-1, 4) for b in pending]
+
+    def detect(self, frames, conf_thresh=None, nms_thresh=None):
+        return self.detect_fetch(self.detect_dispatch(frames))
 
 
 def test_predictor_in_process_detection(rng):
