@@ -51,7 +51,8 @@ _CACHE_PATH = '/root/repo/.bench_cache.json'
 def _cache_key(args) -> str:
     return (f'{args.mode}|b{args.batch}|{args.frame_h}x{args.frame_w}|'
             f'{args.stage1}|min{args.min_size}|f{args.frames}|'
-            f'p{args.persons}')
+            f'p{args.persons}|w{getattr(args, "workers", 8)}|'
+            f'{getattr(args, "backbone", "resnet50")}')
 
 
 def emit(payload: dict, args) -> None:
@@ -294,6 +295,182 @@ def serving_bench(args):
     }, args)
 
 
+def _make_input_bench_data(root, n_frames=96, samples_per_frame=4,
+                           hw=(1080, 1920)):
+    """Synthetic 3DPW-shaped dataset ON DISK: full-HD JPEG frames + the
+    npz annotation contract (multiple person samples per frame, like real
+    3DPW). Smooth gradient + noise frames compress like photos (~150-400
+    KB), not like white noise, so JPEG decode cost is realistic. Cached
+    across runs."""
+    import cv2
+
+    npz = os.path.join(root, 'annots.npz')
+    if os.path.exists(npz):
+        return npz, root
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(0)
+    H, W = hw
+    yy, xx = np.mgrid[0:H, 0:W]
+    names = []
+    for i in range(n_frames):
+        base = 128 + 80 * np.sin(xx / (47.0 + i)) * np.cos(yy / (39.0 + i))
+        img = np.clip(base[..., None] + rng.randn(H, W, 3) * 10, 0, 255)
+        nm = f'im{i:04d}.jpg'
+        cv2.imwrite(os.path.join(root, nm), img.astype('u1'))
+        names.append(nm)
+    n = n_frames * samples_per_frame
+    imgname = np.repeat(np.array(names), samples_per_frame)
+    np.savez(
+        npz,
+        imgname=imgname,
+        # person-sized boxes in a 1080p frame: side = scale*200 px
+        scale=(rng.rand(n) * 1.2 + 1.0).astype('f4'),
+        center=np.stack([rng.rand(n) * 1200 + 360,
+                         rng.rand(n) * 500 + 290], 1).astype('f4'),
+        pose_0yaw_inverseyz=(rng.randn(n, 72) * 0.2).astype('f4'),
+        pose_cam=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 800 + 200,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        cam_int=np.tile(np.array(
+            [[1000, 0, 960], [0, 1000, 540], [0, 0, 1]], 'f4'),
+            (n, 1, 1)),
+        camcalib_pitch=(rng.randn(n) * 0.1).astype('f4'),
+        camcalib_roll=(rng.randn(n) * 0.05).astype('f4'),
+        camcalib_vfov=(rng.rand(n) * 0.5 + 0.6).astype('f4'),
+        camcalib_f_pix=(rng.rand(n) * 200 + 900).astype('f4'),
+    )
+    return npz, root
+
+
+def input_bench(args):
+    """Host input pipeline: JPEG decode (full-HD frames) + SPIN crop +
+    train augmentation through data/loader.py at the production batch,
+    then the same batches feeding the REAL train step.
+
+    Headline value = loader-only throughput (can the host keep the chip
+    fed? — the reference analogue is the 8-worker torch DataLoader,
+    spec/config.py:86-87); extras report the in-HBM device-step ceiling
+    and the loader+step e2e. In THIS sandbox host->device rides the axon
+    tunnel at ~15-30 MB/s, so the e2e number is transport-bound and
+    reported with the upload size for context (a PCIe host pays ~0.3
+    ms/frame for the same upload; CLAUDE.md)."""
+    import itertools
+
+    from spec_tpu.data import DataLoader
+    from spec_tpu.data.cam_dataset import CamDataset
+
+    B = args.batch
+    npz, img_dir = _make_input_bench_data(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.bench_data', 'input_hd'))
+    ds = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True)
+    loader = DataLoader(ds, batch_size=B, shuffle=True,
+                        num_workers=args.workers, drop_last=True)
+    backbone = getattr(args, 'backbone', 'resnet50')
+
+    # (a) loader-only host throughput (decode + crop + aug + collate).
+    it = iter(loader)
+    next(it)                     # warm thread pool + page cache
+    k = max(len(loader) - 2, 2)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in itertools.islice(it, k):
+        n += len(batch['scale'])
+    loader_ips = n / (time.perf_counter() - t0)
+
+    # (b) the real train step consuming loader batches. Upload is uint8
+    # (4x smaller than f32; crops re-normalized on device) to keep the
+    # tunnel-bound e2e number as honest as possible.
+    import __graft_entry__ as ge
+    from functools import partial
+
+    from spec_tpu.core import constants as C
+    from spec_tpu.core import smpl as S
+    from spec_tpu.models import HMR
+    from spec_tpu.train import adam, create_train_state, make_spec_train_step
+
+    rng = np.random.RandomState(0)
+    assets = S.create_test_assets()
+    if jax.default_backend() != 'cpu':
+        assets = S.with_packed_lbs(assets)
+    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=True,
+                dtype=jnp.bfloat16)
+    ex = ge._example_inputs(B, 224, rng)
+    variables = model.init(jax.random.PRNGKey(0), assets, *ex)
+    ge._zero_head_decoders(variables)
+    tx = adam(1e-4)
+    state = create_train_state(variables, tx)
+    raw_step = make_spec_train_step(model, assets, tx)
+    mean = jnp.asarray(C.IMG_NORM_MEAN)
+    std = jnp.asarray(C.IMG_NORM_STD)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch, img_u8, key):
+        batch = dict(batch,
+                     img=(img_u8.astype(jnp.float32) / 255.0 - mean) / std)
+        new_state, losses = raw_step(state, batch, key)
+        total = losses['loss/total_loss']
+        key = key + (total * 1e-30).astype(key.dtype)  # force dependency
+        return new_state, total, key
+
+    def to_device(batch):
+        img_u8 = np.clip(batch['img'] * 255.0, 0,
+                         255).astype(np.uint8)     # (B,224,224,3), 150 KB/img
+        dev = {
+            'pose': batch['pose'], 'betas': batch['betas'],
+            'pose_conf': batch['pose_conf'], 'pose_3d': batch['pose_3d'],
+            'keypoints_orig': batch['keypoints_orig'],
+            'has_smpl': batch['has_smpl'],
+            'has_pose_3d': batch['has_pose_3d'],
+            'orig_shape': batch['orig_shape'].astype(np.float32),
+            'scale': batch['scale'], 'center': batch['center'],
+            'cam_rotmat': batch['cam_rotmat'],
+            'cam_intrinsics': batch['cam_int'],
+        }
+        return ({k: jnp.asarray(v) for k, v in dev.items()},
+                jnp.asarray(img_u8))
+
+    key = jax.random.PRNGKey(1)
+    first = next(iter(loader))
+    dev, img_u8 = to_device(first)
+    state, total, key = step(state, dev, img_u8, key)  # compile
+    assert np.isfinite(float(total))
+    rtt = _fetch_rtt()
+
+    # (b1) in-HBM ceiling: same compiled step, batch already on device.
+    iters = max(args.iters, 4)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, total, key = step(state, dev, img_u8, key)
+    _ = float(total)
+    ceiling_ips = B * iters / (time.perf_counter() - t0 - rtt)
+
+    # (b2) loader -> upload -> step e2e.
+    t0 = time.perf_counter()
+    n = 0
+    for batch in itertools.islice(iter(loader), k):
+        dev, img_u8 = to_device(batch)
+        state, total, key = step(state, dev, img_u8, key)
+        n += B
+    _ = float(total)
+    e2e_ips = n / (time.perf_counter() - t0 - rtt)
+
+    emit({
+        'metric': f'host input pipeline (full-HD JPEG decode + SPIN crop '
+                  f'+ aug, {args.workers} workers), B={B}',
+        'value': round(loader_ips, 2),
+        'unit': 'img/s',
+        'train_e2e_img_s': round(e2e_ips, 2),
+        'device_step_ceiling_img_s': round(ceiling_ips, 2),
+        'upload_mb_per_batch': round(B * 224 * 224 * 3 / 1e6, 1),
+        'note': 'e2e upload rides the axon tunnel (~15-30 MB/s) in this '
+                'sandbox; on PCIe the same upload costs ~0.3 ms/frame, so '
+                'sustained e2e ~= min(loader, device ceiling)',
+    }, args)
+
+
 def detect_bench(args):
     """YOLOv3 detector throughput: jitted bf16 forward + device-side
     top-K person filter at the standard 416 input. Chained-scalar
@@ -349,12 +526,22 @@ def main(argv=None):
                              'folded-BN fused_resnet inference twin')
     parser.add_argument('--iters', type=int, default=10)
     parser.add_argument('--mode',
-                        choices=['pipeline', 'serving', 'train', 'detect'],
+                        choices=['pipeline', 'serving', 'train', 'detect',
+                                 'input'],
                         default='pipeline',
                         help='pipeline: fused one-graph headline bench; '
                              'serving: SpecPredictor multi-person path; '
                              'train: full train-step throughput; '
-                             'detect: YOLOv3 person-detector throughput')
+                             'detect: YOLOv3 person-detector throughput; '
+                             'input: host loader (JPEG decode + SPIN '
+                             'crop) feeding the real train step')
+    parser.add_argument('--backbone', type=str, default='resnet50',
+                        help='[train/input] HMR trunk (the production '
+                             'model is resnet50; smaller trunks for '
+                             'CPU smoke runs)')
+    parser.add_argument('--workers', type=int, default=8,
+                        help='[input] loader worker threads (reference '
+                             'NUM_WORKERS=8, spec/config.py:86-87)')
     parser.add_argument('--profile', type=str, default='',
                         help='[pipeline] dump a jax.profiler trace of '
                              'the measured window to this directory')
@@ -381,6 +568,8 @@ def main(argv=None):
         return train_bench(args)
     if args.mode == 'detect':
         return detect_bench(args)
+    if args.mode == 'input':
+        return input_bench(args)
 
     rng = np.random.RandomState(0)
     B = args.batch
@@ -451,13 +640,24 @@ def main(argv=None):
         jax.default_backend() == 'tpu' else 1
     img_per_s = B * iters / dt / n_chips
     baseline = 250.0  # img/s/chip (2000 img/s on v5e-8)
-    emit({
+    bucket = f'{args.frame_h}x{args.frame_w}'
+    payload = {
         'metric': 'camcalib+spec e2e inference throughput '
-                  '(raw frames in, on-device preprocessing)',
+                  '(raw frames in, on-device preprocessing, '
+                  f'stage-1 bucket {bucket})',
         'value': round(img_per_s, 2),
         'unit': 'img/s/chip',
         'vs_baseline': round(img_per_s / baseline, 3),
-    }, args)
+        'stage1_bucket': bucket,
+    }
+    if bucket != '600x800':
+        payload['fidelity_note'] = (
+            'reference CamCalib serves at min-side 600 (600x800 at 4:3, '
+            'pano_dataset.py:184-220); buckets below 600 need a '
+            'checkpoint fine-tuned at that min_size '
+            '(configs/camcalib/config_sa_bias_l2_min*.yaml) to hold '
+            'angle accuracy — see CLAUDE.md bucket ladder')
+    emit(payload, args)
 
 
 if __name__ == '__main__':

@@ -106,6 +106,31 @@ def main(argv=None):
     rep = par.replicated(mesh)
     ex = jnp.zeros((1, cfg.DATASET.MIN_RES, cfg.DATASET.MIN_RES, 3))
     variables = model.init(jax.random.PRNGKey(0), ex)
+
+    pretrained = cfg.TRAINING.get('PRETRAINED') or None
+    if pretrained and not args.resume:
+        # Fine-tune initialization (the shipped min448/min384 recipes:
+        # configs/camcalib/config_sa_bias_l2_min{448,384}.yaml point
+        # TRAINING.PRETRAINED at the min-600 checkpoint). Torch files
+        # (the released camcalib_sa_biased_l2.ckpt) go through the
+        # converter; an orbax checkpoint dir restores params/batch_stats
+        # only — step and optimizer state start fresh.
+        from spec_tpu.utils.checkpoints import (
+            load_camcalib_variables,
+            restore_checkpoint,
+        )
+
+        if os.path.isdir(pretrained):
+            prev = restore_checkpoint(
+                pretrained, create_train_state(variables, tx))
+            variables = {'params': prev.params,
+                         'batch_stats': prev.batch_stats}
+        else:
+            variables = load_camcalib_variables(
+                pretrained, backbone=cfg.MODEL.BACKBONE,
+                num_fc_layers=cfg.MODEL.NUM_FC_LAYERS,
+                template=variables)
+        print(f'[camcalib-train] fine-tune init from {pretrained}')
     state = par.replicate(create_train_state(variables, tx), mesh)
 
     step = make_camcalib_train_step(
