@@ -59,6 +59,8 @@ def emit(payload: dict, args) -> None:
     """Print the ONE JSON line AND cache it, so an axon-tunnel outage at
     round end can report the last real measurement (clearly marked
     stale) instead of a red artifact."""
+    payload = dict(payload, backend=jax.default_backend(),
+                   host_cores=os.cpu_count())
     print(json.dumps(payload))
     try:
         cache = {}
