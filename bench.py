@@ -52,7 +52,8 @@ def _cache_key(args) -> str:
     return (f'{args.mode}|b{args.batch}|{args.frame_h}x{args.frame_w}|'
             f'{args.stage1}|min{args.min_size}|f{args.frames}|'
             f'p{args.persons}|w{getattr(args, "workers", 8)}|'
-            f'{getattr(args, "backbone", "resnet50")}')
+            f'{getattr(args, "backbone", "resnet50")}|'
+            f'det{int(getattr(args, "detector", False))}')
 
 
 def emit(payload: dict, args) -> None:
@@ -274,7 +275,9 @@ def serving_bench(args):
         for k in range(K)]) for _ in range(F)]
 
     pred = SpecPredictor(batch_size=32, min_size=args.min_size,
-                         dtype=jnp.bfloat16)
+                         dtype=jnp.bfloat16,
+                         detector='yolo' if args.detector else '',
+                         yolo_img_size=416)
     for _ in range(2):           # compile both stages + pad shapes
         pred.predict(frames, boxes)
 
@@ -287,14 +290,34 @@ def serving_bench(args):
     dt = time.perf_counter() - t0
     assert n_person == reps * F * K
     frames_per_s = reps * F / dt
-    emit({
+    payload = {
         'metric': f'serving predict() e2e, {K} persons/frame '
                   f'(480x640 frames, stage-1 min_size={args.min_size})',
         'value': round(frames_per_s, 2),
         'unit': 'frames/s/chip',
         'persons_per_s': round(n_person / dt, 2),
         'ms_per_frame': round(1000.0 * dt / (reps * F), 3),
-    }, args)
+    }
+    if args.detector:
+        # Detect->stage-1 overlap delta: the overlapped path dispatches
+        # the YOLO forwards and the CamCalib batches before fetching
+        # either (host NMS rides stage-1 device compute); the sequential
+        # twin is detect() fully fetched first — the pre-r3 behavior.
+        # Same weights, frames, and total work in both orderings.
+        for _ in range(2):
+            pred.predict(frames)                         # compile yolo
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pred.predict(frames)                         # overlapped
+        ms_overlap = 1000.0 * (time.perf_counter() - t0) / (reps * F)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dets = pred.detector.detect(frames)          # sequential twin
+            pred.predict(frames, boxes=dets)
+        ms_seq = 1000.0 * (time.perf_counter() - t0) / (reps * F)
+        payload['detect_stage1_overlap_ms_per_frame'] = round(ms_overlap, 3)
+        payload['detect_stage1_sequential_ms_per_frame'] = round(ms_seq, 3)
+    emit(payload, args)
 
 
 def _make_input_bench_data(root, n_frames=96, samples_per_frame=4,
@@ -553,6 +576,11 @@ def main(argv=None):
                         help='[serving] persons per frame')
     parser.add_argument('--min_size', type=int, default=600,
                         help='[serving] stage-1 resize target')
+    parser.add_argument('--detector', action='store_true',
+                        help='[serving] also run in-process YOLOv3 '
+                             'detection (random init) and measure the '
+                             'detect->stage-1 overlap vs the sequential '
+                             'ordering')
     args = parser.parse_args(argv)
     if args.batch is None:
         args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)

@@ -54,6 +54,9 @@ class SpecPredictor:
       use_fused_lbs: route SMPL through the fused Pallas kernel.
         Default: on when the default backend is a TPU (the kernel has no
         compiled CPU lowering).
+      uint8_crops: upload stage-2 crops as uint8 + on-device normalize
+        (4x less transfer; <=0.5/255 crop quantization vs the reference's
+        f32 hand-off — opt-in for production serving).
       data_parallel: shard every batch over a 1-D mesh of ALL visible
         devices (params replicated, batch split — the v5e-8 serving
         layout). batch_size must divide by the device count; small calls
@@ -83,6 +86,7 @@ class SpecPredictor:
         min_size: int = 600,
         dtype: Any = None,
         use_fused_lbs: Optional[bool] = None,
+        uint8_crops: bool = False,
         data_parallel: bool = False,
         detector: str = '',
         yolo_weights: str = '',
@@ -109,6 +113,14 @@ class SpecPredictor:
         self.batch_size = batch_size
         self.min_size = min_size
         self.loss_type = loss_type
+        # Opt-in: upload stage-2 person crops as raw uint8 and normalize
+        # on device — 4x less host->device traffic per chunk (f32 crops
+        # are 19 MB per 32-batch on PCIe/tunnel). Costs <=0.5/255 pixel
+        # quantization of the bilinear crop output vs the reference's
+        # f32 hand-off, so it is OFF by default (strict pickle parity);
+        # production serving should turn it on. Stage 1 already uploads
+        # uint8 losslessly (PIL resize output is uint8).
+        self.uint8_crops = bool(uint8_crops)
         dtype = dtype or jnp.float32
 
         if cfg_file:
@@ -228,6 +240,13 @@ class SpecPredictor:
 
     def _spec_forward(self, spec_vars, crops, rotmat, K, scale, center,
                       img_w, img_h):
+        if crops.dtype == self._jnp.uint8:
+            # uint8_crops path: crops arrive as raw [0, 255] bytes and
+            # normalize on device (4x less host->device traffic).
+            jnp = self._jnp
+            crops = (crops.astype(jnp.float32) / 255.0
+                     - jnp.asarray(C.IMG_NORM_MEAN)) / jnp.asarray(
+                         C.IMG_NORM_STD)
         return self.spec.apply(spec_vars, self.assets, crops, rotmat,
                                K, scale, center, img_w, img_h)
 
@@ -384,6 +403,7 @@ class SpecPredictor:
                 if fi not in f32_frames:
                     f32_frames[fi] = np.asarray(frames[fi], np.float32)
                 by_frame[fi].append(ci)
+            u8 = self.uint8_crops
             for fi, cis in by_frame.items():
                 frame = f32_frames[fi]
                 if use_native:
@@ -393,14 +413,19 @@ class SpecPredictor:
                                    np.float32),
                         np.asarray([chunk[ci][2] for ci in cis],
                                    np.float32),
-                        res=self.img_res)
+                        res=self.img_res, normalize=not u8)
                     for k, ci in enumerate(cis):
-                        crops[ci] = batch_crops[k]
+                        # native normalize=False returns v/255 in [0, 1]
+                        crops[ci] = (np.clip(batch_crops[k] * 255.0 + 0.5,
+                                             0, 255).astype(np.uint8)
+                                     if u8 else batch_crops[k])
                 else:
                     for ci in cis:
-                        crops[ci] = normalize_img(spin_crop(
-                            frame, chunk[ci][1], chunk[ci][2],
-                            [self.img_res, self.img_res]) / 255.0)
+                        raw = spin_crop(frame, chunk[ci][1], chunk[ci][2],
+                                        [self.img_res, self.img_res])
+                        crops[ci] = (np.clip(raw + 0.5, 0, 255)
+                                     .astype(np.uint8)
+                                     if u8 else normalize_img(raw / 255.0))
             out = self._spec_infer(
                 self.spec_vars,
                 jnp.asarray(np.stack(crops)),

@@ -525,3 +525,47 @@ def test_decode_request_rejects_orphan_arrays():
     assert len(frames) == 2 and len(boxes) == 2
     frames, boxes = _decode_request(enc(frame_0=frame, frame_1=frame))
     assert len(frames) == 2 and boxes is None
+
+
+def test_predictor_uint8_crops_close_to_f32(rng):
+    """The opt-in uint8 stage-2 upload (4x less transfer, on-device
+    normalize) quantizes the bilinear crop by <=0.5/255 — outputs must
+    stay close to the f32 hand-off, and the camera stage is untouched."""
+    frames = [(rng.rand(96, 128, 3) * 255).astype(np.uint8)]
+    boxes = [np.array([[64, 48, 60, 80]], np.float32)]
+
+    from spec_tpu.core import constants as C
+
+    kw = dict(backbone='resnet18', camcalib_backbone='resnet18',
+              batch_size=2, min_size=64)
+    p32 = SpecPredictor(**kw)
+    pu8 = SpecPredictor(uint8_crops=True, **kw)
+
+    # Capture the crop batches each path hands to the jitted stage 2.
+    seen = {}
+
+    def capture(pred, tag):
+        orig = pred._spec_infer
+
+        def wrapped(spec_vars, crops, *rest):
+            seen[tag] = np.asarray(crops)
+            return orig(spec_vars, crops, *rest)
+        pred._spec_infer = wrapped
+
+    capture(p32, 'f32')
+    capture(pu8, 'u8')
+    r32 = p32.predict(frames, boxes)[0][0]
+    ru8 = pu8.predict(frames, boxes)[0][0]
+
+    assert ru8['camera'] == r32['camera']       # stage 1 identical
+    assert seen['u8'].dtype == np.uint8
+    assert seen['f32'].dtype == np.float32
+    # Device-side normalize of the u8 bytes must reproduce the host f32
+    # normalization within the quantization step 0.5/255/std.
+    norm_u8 = ((seen['u8'].astype(np.float32) / 255.0
+                - np.asarray(C.IMG_NORM_MEAN))
+               / np.asarray(C.IMG_NORM_STD))
+    err = np.abs(norm_u8 - seen['f32']).max()
+    budget = 0.5 / 255.0 / min(C.IMG_NORM_STD)
+    assert 0 < err <= budget + 1e-6
+    assert np.isfinite(np.asarray(ru8['smpl_vertices'])).all()

@@ -343,6 +343,27 @@ def main():
         check('.specx artifact chip-vs-cpu vertices', verr * 1000.0, 5.0,
               unit='mm (bf16 conv budget)')
 
+    # ---- 5d. Serving predict() e2e on chip with the in-process detector:
+    # the overlapped dispatch path (detect_dispatch -> stage-1 dispatch ->
+    # NMS fetch -> camera fetch, serving.py) must produce the SAME
+    # cameras/outputs as the explicit sequential ordering.
+    sp2 = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                        batch_size=4, min_size=64, detector='yolo',
+                        yolo_img_size=64, uint8_crops=True)
+    frames = [(rng.rand(64, 96, 3) * 255).astype('u1') for _ in range(3)]
+    res_overlap = sp2.predict(frames)               # overlapped ordering
+    dets = sp2.detector.detect(frames)              # sequential twin
+    cams = sp2.estimate_cameras(frames)
+    res_seq = sp2.predict(frames, boxes=dets, cameras=cams)
+    assert [len(r) for r in res_overlap] == [len(r) for r in res_seq]
+    cam_err = max(
+        abs(a['camera'][k] - b['camera'][k])
+        for ra, rb in zip(res_overlap, res_seq)
+        for a, b in zip(ra, rb) for k in ('vfov', 'pitch', 'roll')
+    ) if any(res_overlap) else 0.0
+    check('serving overlapped vs sequential detect+stage1 cameras',
+          cam_err, 1e-6, unit='rad')
+
     # ---- 6. Rotation math roundtrip under fp32 pinning.
     aa2 = rng.randn(256, 3).astype('f4')
     R2 = jax.jit(lambda a: rodrigues(a[:, None, :]))(jnp.asarray(aa2))[:, 0]
