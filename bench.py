@@ -381,8 +381,6 @@ def input_bench(args):
     tunnel at ~15-30 MB/s, so the e2e number is transport-bound and
     reported with the upload size for context (a PCIe host pays ~0.3
     ms/frame for the same upload; CLAUDE.md)."""
-    import itertools
-
     from spec_tpu.data import DataLoader
     from spec_tpu.data.cam_dataset import CamDataset
 
@@ -396,13 +394,17 @@ def input_bench(args):
     backbone = getattr(args, 'backbone', 'resnet50')
 
     # (a) loader-only host throughput (decode + crop + aug + collate).
-    it = iter(loader)
-    next(it)                     # warm thread pool + page cache
-    k = max(len(loader) - 2, 2)
+    # At B=128 one epoch is only a few batches; loop epochs until >=12
+    # measured batches so the number isn't two-sample noise.
+    next(iter(loader))           # warm thread pool + page cache
     t0 = time.perf_counter()
-    n = 0
-    for batch in itertools.islice(it, k):
-        n += len(batch['scale'])
+    n, batches = 0, 0
+    while batches < 12:
+        for batch in loader:
+            n += len(batch['scale'])
+            batches += 1
+            if batches >= 12:
+                break
     loader_ips = n / (time.perf_counter() - t0)
 
     # (b) the real train step consuming loader batches. Upload is uint8
@@ -472,13 +474,17 @@ def input_bench(args):
     _ = float(total)
     ceiling_ips = B * iters / (time.perf_counter() - t0 - rtt)
 
-    # (b2) loader -> upload -> step e2e.
+    # (b2) loader -> upload -> step e2e (>= 8 steps).
     t0 = time.perf_counter()
-    n = 0
-    for batch in itertools.islice(iter(loader), k):
-        dev, img_u8 = to_device(batch)
-        state, total, key = step(state, dev, img_u8, key)
-        n += B
+    n, steps = 0, 0
+    while steps < 8:
+        for batch in loader:
+            dev, img_u8 = to_device(batch)
+            state, total, key = step(state, dev, img_u8, key)
+            n += B
+            steps += 1
+            if steps >= 8:
+                break
     _ = float(total)
     e2e_ips = n / (time.perf_counter() - t0 - rtt)
 
