@@ -238,6 +238,9 @@ def load_predictor(path: str, batch_size: Optional[int] = None):
         _unflatten(spec_flat, meta.get('spec_tree')))
     pred.detector = None
     pred.mesh = None
+    # The exported stage-2 StableHLO was traced with the f32-normalized
+    # crop hand-off; the uint8_crops fast path is a live-predictor knob.
+    pred.uint8_crops = False
     pred._min_pad = 1
     # jit(exp.call): per concrete shape XLA compiles once (persistent
     # cache shared with the CLIs); the pow-of-two padding in the host
