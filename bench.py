@@ -190,31 +190,40 @@ def _fetch_rtt():
     return sorted(rtts)[len(rtts) // 2]
 
 
-def train_bench(args):
-    """SPEC training-step throughput: full fwd+bwd (ResNet-50 + HMR head +
-    SMPL + HMRCamLoss) + Adam with donated buffers, at the production crop
-    resolution. Chained-scalar timing (see _fetch_rtt)."""
+def _train_setup(B, backbone):
+    """Shared train-step scaffolding for the train/input modes: test SMPL
+    assets (packed Pallas LBS off-CPU — the kernel has no compiled CPU
+    lowering; plain-jnp LBS measures identical in the train graph,
+    CLAUDE.md), HMR trunk, zeroed head decoders, Adam state, and the raw
+    train step. One definition so the two modes cannot drift into
+    measuring different step semantics."""
     import __graft_entry__ as ge
     from spec_tpu.core import smpl as S
     from spec_tpu.models import HMR
     from spec_tpu.train import adam, create_train_state, make_spec_train_step
 
     rng = np.random.RandomState(0)
-    B, res = args.batch, 224
     assets = S.create_test_assets()
     if jax.default_backend() != 'cpu':
-        # The Pallas LBS kernel has no compiled CPU lowering; plain-jnp
-        # LBS is measured identical in the train graph anyway (CLAUDE.md).
         assets = S.with_packed_lbs(assets)
-    model = HMR(backbone='resnet50', use_cam=True, use_cam_feats=True,
+    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=True,
                 dtype=jnp.bfloat16)
-    ex = ge._example_inputs(B, res, rng)
+    ex = ge._example_inputs(B, 224, rng)
     variables = model.init(jax.random.PRNGKey(0), assets, *ex)
     ge._zero_head_decoders(variables)
     tx = adam(1e-4)
     state = create_train_state(variables, tx)
-    batch = ge._example_batch(B, rng, ex)
     raw_step = make_spec_train_step(model, assets, tx)
+    return ge, rng, ex, state, raw_step
+
+
+def train_bench(args):
+    """SPEC training-step throughput: full fwd+bwd (trunk + HMR head +
+    SMPL + HMRCamLoss) + Adam with donated buffers, at the production crop
+    resolution. Chained-scalar timing (see _fetch_rtt)."""
+    B = args.batch
+    ge, rng, ex, state, raw_step = _train_setup(B, args.backbone)
+    batch = ge._example_batch(B, rng, ex)
 
     # Forcing: the final loss fetch transitively depends on every prior
     # step through the state chain; the rng-key chain below is
@@ -244,7 +253,8 @@ def train_bench(args):
     dt = time.perf_counter() - t0 - rtt
     assert np.isfinite(final)
     emit({
-        'metric': f'SPEC train step (fwd+bwd+Adam, donated), B={B} 224^2',
+        'metric': f'SPEC train step (fwd+bwd+Adam, donated, '
+                  f'{args.backbone}), B={B} 224^2',
         'value': round(B * iters / dt, 2),
         'unit': 'img/s/chip',
         'ms_per_step': round(1000.0 * dt / iters, 3),
@@ -331,7 +341,11 @@ def _make_input_bench_data(root, n_frames=96, samples_per_frame=4,
 
     npz = os.path.join(root, 'annots.npz')
     if os.path.exists(npz):
-        return npz, root
+        # Regenerate when a larger --batch needs more samples than the
+        # cached dataset holds (drop_last=True would otherwise yield
+        # zero batches and the bench would die on StopIteration).
+        if len(np.load(npz)['imgname']) >= n_frames * samples_per_frame:
+            return npz, root
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(0)
     H, W = hw
@@ -385,51 +399,47 @@ def input_bench(args):
     from spec_tpu.data.cam_dataset import CamDataset
 
     B = args.batch
+    # Size the on-disk dataset to the requested batch: >=3 batches per
+    # epoch at 4 samples/frame (drop_last would otherwise starve large
+    # --batch runs).
     npz, img_dir = _make_input_bench_data(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     '.bench_data', 'input_hd'))
+                     '.bench_data', 'input_hd'),
+        n_frames=max(96, (3 * B + 3) // 4))
     ds = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True)
     loader = DataLoader(ds, batch_size=B, shuffle=True,
                         num_workers=args.workers, drop_last=True)
     backbone = getattr(args, 'backbone', 'resnet50')
 
+    # Warm-up epoch, DRAINED to completion: an abandoned iterator keeps
+    # its worker threads decoding into the prefetch queue concurrently
+    # with the timed window (uncounted work that biases the number low
+    # on this 1-core host). `first` doubles as the compile batch below.
+    warm = iter(loader)
+    first = next(warm)
+    for _ in warm:
+        pass
+
     # (a) loader-only host throughput (decode + crop + aug + collate).
-    # At B=128 one epoch is only a few batches; loop epochs until >=12
-    # measured batches so the number isn't two-sample noise.
-    next(iter(loader))           # warm thread pool + page cache
+    # At B=128 one epoch is only a few batches; loop WHOLE epochs until
+    # >=12 measured batches so the number isn't two-sample noise (no
+    # mid-epoch break: see the drain note above).
     t0 = time.perf_counter()
     n, batches = 0, 0
     while batches < 12:
         for batch in loader:
             n += len(batch['scale'])
             batches += 1
-            if batches >= 12:
-                break
     loader_ips = n / (time.perf_counter() - t0)
 
     # (b) the real train step consuming loader batches. Upload is uint8
     # (4x smaller than f32; crops re-normalized on device) to keep the
     # tunnel-bound e2e number as honest as possible.
-    import __graft_entry__ as ge
     from functools import partial
 
     from spec_tpu.core import constants as C
-    from spec_tpu.core import smpl as S
-    from spec_tpu.models import HMR
-    from spec_tpu.train import adam, create_train_state, make_spec_train_step
 
-    rng = np.random.RandomState(0)
-    assets = S.create_test_assets()
-    if jax.default_backend() != 'cpu':
-        assets = S.with_packed_lbs(assets)
-    model = HMR(backbone=backbone, use_cam=True, use_cam_feats=True,
-                dtype=jnp.bfloat16)
-    ex = ge._example_inputs(B, 224, rng)
-    variables = model.init(jax.random.PRNGKey(0), assets, *ex)
-    ge._zero_head_decoders(variables)
-    tx = adam(1e-4)
-    state = create_train_state(variables, tx)
-    raw_step = make_spec_train_step(model, assets, tx)
+    ge, rng, ex, state, raw_step = _train_setup(B, backbone)
     mean = jnp.asarray(C.IMG_NORM_MEAN)
     std = jnp.asarray(C.IMG_NORM_STD)
 
@@ -460,8 +470,7 @@ def input_bench(args):
                 jnp.asarray(img_u8))
 
     key = jax.random.PRNGKey(1)
-    first = next(iter(loader))
-    dev, img_u8 = to_device(first)
+    dev, img_u8 = to_device(first)   # the drained warm-up epoch's batch
     state, total, key = step(state, dev, img_u8, key)  # compile
     assert np.isfinite(float(total))
     rtt = _fetch_rtt()
@@ -474,7 +483,8 @@ def input_bench(args):
     _ = float(total)
     ceiling_ips = B * iters / (time.perf_counter() - t0 - rtt)
 
-    # (b2) loader -> upload -> step e2e (>= 8 steps).
+    # (b2) loader -> upload -> step e2e (>= 8 steps; whole epochs only,
+    # so no abandoned prefetch threads run past the timed window).
     t0 = time.perf_counter()
     n, steps = 0, 0
     while steps < 8:
@@ -483,8 +493,6 @@ def input_bench(args):
             state, total, key = step(state, dev, img_u8, key)
             n += B
             steps += 1
-            if steps >= 8:
-                break
     _ = float(total)
     e2e_ips = n / (time.perf_counter() - t0 - rtt)
 

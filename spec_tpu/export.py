@@ -236,12 +236,11 @@ def load_predictor(path: str, batch_size: Optional[int] = None):
         _unflatten(cc_flat, meta.get('cam_tree')))
     pred.spec_vars = jax.device_put(
         _unflatten(spec_flat, meta.get('spec_tree')))
-    pred.detector = None
-    pred.mesh = None
-    # The exported stage-2 StableHLO was traced with the f32-normalized
-    # crop hand-off; the uint8_crops fast path is a live-predictor knob.
-    pred.uint8_crops = False
-    pred._min_pad = 1
+    # detector / mesh / _min_pad / uint8_crops intentionally NOT set
+    # here: they resolve to SpecPredictor's class-level defaults (the
+    # exported stage-2 StableHLO was traced with the f32-normalized
+    # crop hand-off, so the uint8_crops fast path stays off). New
+    # predictor knobs get a class default there, not a line here.
     # jit(exp.call): per concrete shape XLA compiles once (persistent
     # cache shared with the CLIs); the pow-of-two padding in the host
     # glue keeps the shape count bounded exactly as in the live engine.

@@ -71,6 +71,18 @@ class SpecPredictor:
         ``detector='yolo'``; mirrors the demo's ``--yolo_img_size``.
     """
 
+    # Class-level defaults for optional knobs: export.load_predictor
+    # rebuilds instances via __new__ WITHOUT running __init__, so any
+    # knob predict() consults must resolve through the class when an
+    # older .specx restore path (or a future knob) does not set it on
+    # the instance. Add new constructor knobs here, not only in
+    # __init__ (the uint8_crops AttributeError regression on exported
+    # predictors is the motivating case).
+    uint8_crops = False
+    detector = None
+    mesh = None
+    _min_pad = 1
+
     def __init__(
         self,
         spec_ckpt: str = '',

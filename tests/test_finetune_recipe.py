@@ -22,7 +22,11 @@ from spec_tpu.utils.config import camcalib_default_config, update_hparams
 def test_finetune_preset_loads(min_res):
     cfg = update_hparams(
         f'configs/camcalib/config_sa_bias_l2_min{min_res}.yaml',
-        camcalib_default_config())
+        dialect='camcalib')
+    # A key the YAML does NOT set must come from the CAMCALIB default
+    # tree (the spec tree keeps model hparams under HMR, not MODEL, so a
+    # wrong-dialect merge has no MODEL.DTYPE and fails here).
+    assert cfg.MODEL.DTYPE == camcalib_default_config().MODEL.DTYPE
     assert cfg.DATASET.MIN_RES == min_res
     assert cfg.DATASET.TRAIN_DS == 'pano_scalenet'
     assert cfg.MODEL.LOSS_TYPE == 'softargmax_biased_l2'
@@ -117,7 +121,7 @@ def test_min448_recipe_end_to_end(tmp_path, rng, monkeypatch):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 448, 448, 3))),
         make_optimizer(update_hparams(
             'configs/camcalib/config_sa_bias_l2_min448.yaml',
-            camcalib_default_config()).OPTIMIZER))
+            dialect='camcalib').OPTIMIZER))
     ckpt_dir = str(ckpts[0])
     assert latest_step(ckpt_dir) is not None
     saved = restore_checkpoint(ckpt_dir, template)

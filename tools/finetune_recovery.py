@@ -76,13 +76,9 @@ def eval_mae(ckpt_dir, backbone, min_size, max_size, batch_size=16):
     template = create_train_state(
         model.init(jax.random.PRNGKey(0),
                    jnp.zeros((1, min_size, min_size, 3))), adam(1e-4))
-    try:
-        state = restore_checkpoint(ckpt_dir, template)
-    except Exception:
-        # optimizer-tree mismatch (different recipe): params-only restore
-        # via a fresh template from the matching optimizer is overkill
-        # here — adam trees are identical across LRs, so re-raise.
-        raise
+    # adam trees are identical across LRs, so the adam(1e-4) template
+    # restores checkpoints from every recipe this tool trains.
+    state = restore_checkpoint(ckpt_dir, template)
     variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
     ds = CameraRegressorDataset(
@@ -154,7 +150,7 @@ def main(argv=None):
               'DATASET.BATCH_SIZE', str(args.batch),
               'DATASET.NUM_WORKERS', str(args.workers),
               'TRAINING.LOG_SAVE_INTERVAL', '20',
-              'LOG_FREQ_TB_IMAGES', '0']
+              'TRAINING.LOG_FREQ_TB_IMAGES', '0']
 
     base_logs = os.path.join(args.workdir, 'logs_base')
     camcalib_train.main(
