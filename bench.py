@@ -53,7 +53,9 @@ def _cache_key(args) -> str:
             f'{args.stage1}|min{args.min_size}|f{args.frames}|'
             f'p{args.persons}|w{getattr(args, "workers", 8)}|'
             f'{getattr(args, "backbone", "resnet50")}|'
-            f'det{int(getattr(args, "detector", False))}')
+            f'det{int(getattr(args, "detector", False))}'
+            # appended only when set, so pre-existing cache keys survive
+            + ('|fd1' if getattr(args, 'fast_decode', False) else ''))
 
 
 def emit(payload: dict, args) -> None:
@@ -406,7 +408,8 @@ def input_bench(args):
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      '.bench_data', 'input_hd'),
         n_frames=max(96, (3 * B + 3) // 4))
-    ds = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True)
+    ds = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True,
+                    fast_decode=args.fast_decode)
     loader = DataLoader(ds, batch_size=B, shuffle=True,
                         num_workers=args.workers, drop_last=True)
     backbone = getattr(args, 'backbone', 'resnet50')
@@ -590,6 +593,9 @@ def main(argv=None):
                         help='[serving] persons per frame')
     parser.add_argument('--min_size', type=int, default=600,
                         help='[serving] stage-1 resize target')
+    parser.add_argument('--fast_decode', action='store_true',
+                        help='[input] reduced-scale JPEG decode in the '
+                             'loader (CamDataset fast_decode)')
     parser.add_argument('--detector', action='store_true',
                         help='[serving] also run in-process YOLOv3 '
                              'detection (random init) and measure the '

@@ -129,7 +129,8 @@ def main(argv=None):
             ignore_3d=cfg.DATASET.get('IGNORE_3D', False),
             baseline_cam_rot=cfg.DATASET.BASELINE_CAM_ROT,
             baseline_cam_f=cfg.DATASET.BASELINE_CAM_F,
-            baseline_cam_c=cfg.DATASET.BASELINE_CAM_C)
+            baseline_cam_c=cfg.DATASET.BASELINE_CAM_C,
+            fast_decode=is_train and cfg.DATASET.get('FAST_DECODE', False))
 
     stage_sched = parse_schedule(cfg.DATASET.STAGE_DATASETS)
     tf_sched = parse_schedule(cfg.DATASET.get('TEACHER_FORCE_SCHEDULE', ''))

@@ -89,6 +89,7 @@ class CamDataset:
         emit_disp_img: bool = False,
         num_images: int = 0,
         seed: int = 0,
+        fast_decode: bool = False,
     ):
         self.dataset = dataset
         self.img_dir = img_dir
@@ -103,6 +104,14 @@ class CamDataset:
         self.normalize = normalize
         self.render_res = render_res
         self.emit_disp_img = emit_disp_img
+        # Opt-in reduced-scale decode (libjpeg DCT scaling) when the
+        # person box is much larger than the crop target — the decode is
+        # the host loader's dominant cost (measured: bench.py --mode
+        # input). OFF by default: the crop content drifts by the
+        # resampling-filter difference (see test_data.py fast-decode
+        # parity bounds), so it is a training-throughput knob, not an
+        # eval-path default. No reference analogue.
+        self.fast_decode = fast_decode
         self.rng = np.random.RandomState(seed)
 
         data = np.load(annot_file, allow_pickle=True)
@@ -247,8 +256,21 @@ class CamDataset:
 
         t0 = time.perf_counter()
         imgname = join(self.img_dir, str(self.imgname[index]))
-        cv_img = T.read_img(imgname)
-        orig_shape = np.array(cv_img.shape[:2], np.float32)
+        reduce = 1
+        if self.fast_decode:
+            # The crop consumers of THIS sample set the floor: the
+            # img_res model crop, plus the render_res disp crop on the
+            # eval path. keypoints/K/orig_shape stay in full-res coords.
+            need = self.img_res
+            if not self.is_train and self.emit_disp_img:
+                need = max(need, self.render_res)
+            reduce = T.pick_reduce(T.BBOX_SIDE * sc * scale, need)
+        if reduce > 1:
+            orig_shape = T.image_dims(imgname)  # header-only, exact dims
+            cv_img = T.read_img(imgname, reduce=reduce)
+        else:
+            cv_img = T.read_img(imgname)
+            orig_shape = np.array(cv_img.shape[:2], np.float32)
         load_time = time.perf_counter() - t0
 
         pose = (self.pose[index].copy() if self.has_smpl[index]
@@ -259,15 +281,17 @@ class CamDataset:
         keypoints = self._j2d(keypoints, center, sc * scale, rot, flip)
 
         t1 = time.perf_counter()
-        img = self._rgb(cv_img, center, sc * scale, rot, flip, pn, keypoints)
+        img = self._rgb(cv_img, center, sc * scale, rot, flip, pn,
+                        keypoints, reduce=reduce)
         proc_time = time.perf_counter() - t1
 
         item['img'] = img
         if not self.is_train and self.emit_disp_img:
             # RENDER_RES crop for validation overlays (reference
             # cam_dataset.py:373-381 disp_img).
-            disp = T.crop(cv_img, center, sc * scale,
-                          [self.render_res, self.render_res], rot=rot)
+            disp = T.crop_from_reduced(
+                cv_img, center, sc * scale,
+                [self.render_res, self.render_res], reduce, rot=rot)
             item['disp_img'] = (disp / 255.0).astype(np.float32)
         item['pose'] = self._pose(pose, rot, flip)
         item['betas'] = betas
@@ -366,9 +390,10 @@ class CamDataset:
                 rot = 0.0
         return flip, pn, rot, sc
 
-    def _rgb(self, img, center, scale, rot, flip, pn, kp2d):
-        out = T.crop(img, center, scale, [self.img_res, self.img_res],
-                     rot=rot)
+    def _rgb(self, img, center, scale, rot, flip, pn, kp2d, reduce=1):
+        out = T.crop_from_reduced(img, center, scale,
+                                  [self.img_res, self.img_res], reduce,
+                                  rot=rot)
         if flip:
             out = T.flip_img(out)
         if self.occluders is not None and self.aug.use_occlusion:

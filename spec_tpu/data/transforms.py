@@ -158,12 +158,98 @@ def random_crop(center, scale, crop_scale_factor, axis='all', rng=None):
     return new_center, new_h / BBOX_SIDE
 
 
-def read_img(path):
-    """RGB float image load (reference ``read_img``: cv2 BGR->RGB)."""
-    img = cv2.imread(path, cv2.IMREAD_COLOR)
+_REDUCED_FLAGS = {}  # populated lazily: cv2 may be absent at import
+
+
+def read_img(path, reduce: int = 1):
+    """RGB float image load (reference ``read_img``: cv2 BGR->RGB).
+
+    ``reduce`` in {1, 2, 4, 8} decodes at 1/reduce scale via
+    ``cv2.IMREAD_REDUCED_COLOR_N``. For JPEG this is libjpeg DCT-domain
+    scaling (the decoder skips most of the IDCT work, ~reduce^2 cheaper
+    on the pixel path); other formats decode full-size and downsample
+    inside imread. Output dims are ceil(full/reduce). No reference
+    analogue — this is the opt-in ``fast_decode`` loader path.
+    """
+    if reduce == 1:
+        flag = cv2.IMREAD_COLOR
+    else:
+        if not _REDUCED_FLAGS:
+            _REDUCED_FLAGS.update({2: cv2.IMREAD_REDUCED_COLOR_2,
+                                   4: cv2.IMREAD_REDUCED_COLOR_4,
+                                   8: cv2.IMREAD_REDUCED_COLOR_8})
+        flag = _REDUCED_FLAGS[reduce]
+    img = cv2.imread(path, flag)
     if img is None:
         raise FileNotFoundError(path)
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+
+
+def image_dims(path):
+    """Full-resolution (H, W) from the file header only — no pixel
+    decode (PIL defers raster decoding until pixels are accessed). The
+    fast_decode path needs the true dims for ``orig_shape``/K while the
+    pixels are decoded reduced."""
+    from PIL import Image
+    with Image.open(path) as im:
+        w, h = im.size
+    return np.array([h, w], np.float32)
+
+
+def pick_reduce(box_px: float, out_res: int, margin: float = 1.15,
+                max_reduce: int = 8) -> int:
+    """Largest decode reduction in {1,2,4,8} that keeps the (center,
+    scale) crop a DOWNSAMPLE: box_px/reduce >= margin*out_res. margin
+    >1 absorbs the decoder's ceil-rounding and the +-1px SPIN corner
+    truncation so the final bilinear resize never upsamples."""
+    r = 1
+    while r * 2 <= max_reduce and box_px / (r * 2) >= margin * out_res:
+        r *= 2
+    return r
+
+
+def crop_from_reduced(img, center, scale, res, reduce: int, rot=0):
+    """SPIN crop sampled from a 1/reduce-decoded image.
+
+    ``center``/``scale`` stay in FULL-res coordinates; the function maps
+    the full-res crop window into the reduced grid (reduced pixel i
+    covers full columns [i*r, (i+1)*r), center at i*r + (r-1)/2) and
+    warps in one pass, so the window matches the full-res ``crop`` to
+    sub-pixel. Naively rescaling (center, scale) by 1/reduce instead
+    puts the SPIN integer corner truncation on the coarser grid — a
+    systematic shift of up to ``reduce`` full pixels (measured 0.56 crop
+    px at reduce=2 on an 800 px box; test_data.py pins the bound).
+
+    rot == 0 replicates the slice+resize sampling of the full-res path
+    (same truncated ul/br corners, then the cv2.resize center-aligned
+    map dst j -> src (j+.5)*w/res-.5+ul); rot != 0 composes the train
+    augmentation affine with the grid map. Content differs from the
+    full-res crop only by the resampling-filter difference.
+    """
+    if reduce == 1:
+        return crop(img, center, scale, res, rot=rot)
+    off = (reduce - 1) / 2.0
+    if rot == 0:
+        ul = transform_point([1, 1], center, scale, res, invert=1) - 1
+        br = transform_point([res[0] + 1, res[1] + 1], center, scale, res,
+                             invert=1) - 1
+        ax = (br[0] - ul[0]) / res[1]
+        ay = (br[1] - ul[1]) / res[0]
+        # dst (jx, jy) -> reduced src ((ax*jx + bx - off)/reduce, ...)
+        M = np.array(
+            [[ax / reduce, 0, (0.5 * ax - 0.5 + ul[0] - off) / reduce],
+             [0, ay / reduce, (0.5 * ay - 0.5 + ul[1] - off) / reduce]],
+            dtype=np.float32)
+        return cv2.warpAffine(
+            img.astype(np.float32), M, (int(res[1]), int(res[0])),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    grid = np.array([[reduce, 0, off], [0, reduce, off], [0, 0, 1.0]])
+    t = get_transform(center, scale, res, rot=rot) @ grid
+    return cv2.warpAffine(
+        img.astype(np.float32), t[:2, :].astype(np.float32),
+        (int(res[1]), int(res[0])), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0)
 
 
 def motion_blur(img, rng, p=0.5, kernel_range=(3, 7)):

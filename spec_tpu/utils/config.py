@@ -290,6 +290,10 @@ def spec_default_config() -> CfgNode:
             'CROP_FACTOR': 0.0,
             'BATCH_SIZE': 64,
             'NUM_WORKERS': 8,
+            # Opt-in reduced-scale JPEG decode for train loaders when the
+            # person box dwarfs IMG_RES (spec_tpu extension; no reference
+            # key). See CamDataset(fast_decode=...).
+            'FAST_DECODE': False,
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
             'TRAIN_DS': 'all',

@@ -83,6 +83,66 @@ def test_rot_aa_matches_manual(rng):
     np.testing.assert_allclose(out, expect.reshape(3), atol=1e-5)
 
 
+def test_pick_reduce_keeps_downsample():
+    # box/reduce must stay >= margin*out_res (margin=1.15)
+    assert T.pick_reduce(800.0, 224) == 2      # 400 >= 257.6, 200 < 257.6
+    assert T.pick_reduce(500.0, 224) == 1      # 250 < 257.6
+    assert T.pick_reduce(2200.0, 224) == 8     # capped at max_reduce
+    assert T.pick_reduce(2200.0, 224, max_reduce=4) == 4
+    assert T.pick_reduce(600.0, 480) == 1      # large crop target wins
+
+
+@pytest.fixture
+def big_jpeg(tmp_path):
+    """A 960x1280 JPEG with sharp landmark dots on a smooth gradient."""
+    H, W = 960, 1280
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.stack([xx / W * 255, yy / H * 255,
+                    (xx + yy) / (W + H) * 255], -1).astype(np.uint8)
+    for (y, x) in [(300, 420), (500, 700), (640, 900)]:
+        img[y - 3:y + 4, x - 3:x + 4] = 255
+    p = str(tmp_path / 'big.jpg')
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 97])
+    return p, (H, W)
+
+
+def test_reduced_decode_crop_parity(big_jpeg):
+    """fast-decode parity bounds: the reduced-decode crop must agree with
+    the full-res SPIN crop up to the resampling-filter difference (content)
+    and align geometrically to sub-pixel (phase correlation)."""
+    p, (H, W) = big_jpeg
+    center = np.array([660.0, 470.0])
+    scale = 800.0 / T.BBOX_SIDE
+    res = [224, 224]
+
+    np.testing.assert_array_equal(T.image_dims(p), [H, W])
+    r = T.pick_reduce(T.BBOX_SIDE * scale, 224)
+    assert r == 2
+    red = T.read_img(p, reduce=r)
+    assert red.shape[:2] == (int(np.ceil(H / r)), int(np.ceil(W / r)))
+
+    full = T.read_img(p)
+    crop_full = T.crop(full, center, scale, res)
+    crop_red = T.crop_from_reduced(red, center, scale, res, r)
+
+    diff = np.abs(crop_full - crop_red)
+    assert diff.mean() < 1.0          # 0-255 scale; measured ~0.16
+    assert np.percentile(diff, 99) < 4.0
+
+    # Least-squares shift estimate against the known gradients: channel
+    # 0 is a pure x-ramp, channel 1 a pure y-ramp, so any geometric
+    # misalignment shows up as shift = <d, g> / <g, g>. (phaseCorrelate
+    # is unusable here: its subpixel centroid is biased ~0.5 px by the
+    # resampling-filter difference even on exactly-aligned crops.)
+    d = (crop_red - crop_full)[8:-8, 8:-8]
+    gx = np.gradient(crop_full[8:-8, 8:-8, 0], axis=1)
+    gy = np.gradient(crop_full[8:-8, 8:-8, 1], axis=0)
+    shift_x = (d[..., 0] * gx).sum() / (gx * gx).sum()
+    shift_y = (d[..., 1] * gy).sum() / (gy * gy).sum()
+    assert abs(shift_x) < 0.1 and abs(shift_y) < 0.1, (shift_x, shift_y)
+
+
 # ---------------------------------------------------------------------------
 # dataset
 # ---------------------------------------------------------------------------
@@ -149,6 +209,63 @@ def test_cam_dataset_eval_item(synthetic_dataset):
     R = item['pred_cam_rotmat']
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
     assert item['gender'] in (0, 1)
+
+
+def test_cam_dataset_fast_decode_parity(tmp_path, rng):
+    """fast_decode=True must leave every non-image field bit-identical
+    (coords stay full-res) and the crop within resampling-filter bounds."""
+    n = 2
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    names = []
+    for i in range(n):
+        name = f'big_{i}.jpg'
+        # band-limited content (photo-like): white noise is the
+        # worst case for comparing two downsample filter chains
+        img = (rng.rand(720, 960, 3) * 255).astype(np.float32)
+        img = cv2.GaussianBlur(img, (9, 9), 2.5).astype(np.uint8)
+        cv2.imwrite(str(img_dir / name), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        names.append(name)
+    annot = dict(
+        imgname=np.array(names),
+        scale=np.full(n, 3.0, 'f4'),            # 600 px box -> reduce=2
+        center=np.array([[480.0, 360.0]] * n, 'f4'),
+        pose=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        has_smpl=np.ones(n, 'f4'),
+        S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 700,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        openpose=np.zeros((n, 25, 3), 'f4'),
+        cam_int=np.tile(np.array(
+            [[1000, 0, 480], [0, 1000, 360], [0, 0, 1]], 'f4'),
+            (n, 1, 1)),
+    )
+    annot_file = tmp_path / 'annots.npz'
+    np.savez(annot_file, **annot)
+
+    kw = dict(dataset='3dpw-test-cam', is_train=False)
+    ref = CamDataset(str(annot_file), str(img_dir), **kw)[0]
+    fast = CamDataset(str(annot_file), str(img_dir), fast_decode=True,
+                      **kw)[0]
+    assert fast['img'].shape == ref['img'].shape
+    # fields carrying full-res coordinates must be bit-identical
+    for k in ('keypoints', 'keypoints_orig', 'cam_int', 'orig_shape',
+              'scale', 'center', 'pose', 'pose_3d'):
+        if k in ref:
+            np.testing.assert_array_equal(ref[k], fast[k], err_msg=k)
+    diff = np.abs(ref['img'] - fast['img'])  # images are [0,1] floats
+    assert diff.mean() < 0.02
+
+    # small-box samples must fall back to full decode (reduce=1) and be
+    # bit-identical
+    annot['scale'] = np.full(n, 1.0, 'f4')
+    np.savez(annot_file, **annot)
+    ref = CamDataset(str(annot_file), str(img_dir), **kw)[0]
+    fast = CamDataset(str(annot_file), str(img_dir), fast_decode=True,
+                      **kw)[0]
+    np.testing.assert_array_equal(ref['img'], fast['img'])
 
 
 def test_cam_dataset_train_item_augs(synthetic_dataset):
