@@ -55,7 +55,10 @@ def _cache_key(args) -> str:
             f'{getattr(args, "backbone", "resnet50")}|'
             f'det{int(getattr(args, "detector", False))}'
             # appended only when set, so pre-existing cache keys survive
-            + ('|fd1' if getattr(args, 'fast_decode', False) else ''))
+            + ('|fd1' if getattr(args, 'fast_decode', False) else '')
+            + (f'|dc{args.decode_cache}'
+               if getattr(args, 'decode_cache', 0) else '')
+            + ('|gbf1' if getattr(args, 'group_by_frame', False) else ''))
 
 
 def emit(payload: dict, args) -> None:
@@ -409,9 +412,12 @@ def input_bench(args):
                      '.bench_data', 'input_hd'),
         n_frames=max(96, (3 * B + 3) // 4))
     ds = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True,
-                    fast_decode=args.fast_decode)
+                    fast_decode=args.fast_decode,
+                    decode_cache=args.decode_cache)
     loader = DataLoader(ds, batch_size=B, shuffle=True,
-                        num_workers=args.workers, drop_last=True)
+                        num_workers=args.workers, drop_last=True,
+                        group_keys=(ds.imgname if args.group_by_frame
+                                    else None))
     backbone = getattr(args, 'backbone', 'resnet50')
 
     # Warm-up epoch, DRAINED to completion: an abandoned iterator keeps
@@ -596,6 +602,12 @@ def main(argv=None):
     parser.add_argument('--fast_decode', action='store_true',
                         help='[input] reduced-scale JPEG decode in the '
                              'loader (CamDataset fast_decode)')
+    parser.add_argument('--decode_cache', type=int, default=0,
+                        help='[input] decoded-frame LRU capacity '
+                             '(frames; 0 = off)')
+    parser.add_argument('--group_by_frame', action='store_true',
+                        help='[input] frame-grouped shuffle so cache '
+                             'siblings share a batch')
     parser.add_argument('--detector', action='store_true',
                         help='[serving] also run in-process YOLOv3 '
                              'detection (random init) and measure the '

@@ -87,7 +87,9 @@ def main(argv=None):
         return CameraRegressorDataset(
             folder, dataset=cfg.DATASET.TRAIN_DS, is_train=is_train,
             min_size=cfg.DATASET.MIN_RES, max_size=cfg.DATASET.MAX_RES,
-            loss_type=loss_type)
+            loss_type=loss_type,
+            fast_decode=(is_train
+                         and cfg.DATASET.get('FAST_DECODE', False)))
 
     train_ds = build_dataset(True)
     val_ds = build_dataset(False)

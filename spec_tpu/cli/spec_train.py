@@ -130,7 +130,8 @@ def main(argv=None):
             baseline_cam_rot=cfg.DATASET.BASELINE_CAM_ROT,
             baseline_cam_f=cfg.DATASET.BASELINE_CAM_F,
             baseline_cam_c=cfg.DATASET.BASELINE_CAM_C,
-            fast_decode=is_train and cfg.DATASET.get('FAST_DECODE', False))
+            fast_decode=is_train and cfg.DATASET.get('FAST_DECODE', False),
+            decode_cache=cfg.DATASET.get('DECODE_CACHE', 0))
 
     stage_sched = parse_schedule(cfg.DATASET.STAGE_DATASETS)
     tf_sched = parse_schedule(cfg.DATASET.get('TEACHER_FORCE_SCHEDULE', ''))
@@ -164,8 +165,14 @@ def main(argv=None):
             if not annot or not os.path.exists(annot):
                 continue
             ds = build_cam_dataset(n, False)
-            out[n] = DataLoader(ds, batch_size=cfg.DATASET.BATCH_SIZE,
-                                num_workers=cfg.DATASET.NUM_WORKERS)
+            out[n] = DataLoader(
+                ds, batch_size=cfg.DATASET.BATCH_SIZE,
+                num_workers=cfg.DATASET.NUM_WORKERS,
+                # sequential epochs iterate frame-contiguously so the
+                # decode cache pays even on an unsorted npz
+                group_keys=(ds.imgname
+                            if cfg.DATASET.get('GROUP_BY_FRAME', False)
+                            else None))
         return out
 
     import jax.numpy as _jnp

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import time
 from os.path import join
 from typing import Optional
@@ -44,6 +45,61 @@ class AugmentationConfig:
     use_occlusion: bool = False
     use_motion_blur: bool = True
     use_3d_conf: bool = False
+
+
+class _FrameCache:
+    """Thread-safe LRU of decoded frames keyed by (path, reduce).
+
+    Values are (uint8 RGB frame, orig_shape) tuples; cached frames are
+    shared across loader threads and must be treated as read-only (every
+    crop path copies before writing).
+
+    ``get_or_compute`` deduplicates in-flight decodes: frame-grouped
+    batches hand sibling samples to the pool AT THE SAME TIME, so
+    without a per-key latch every sibling would miss and decode the
+    same frame concurrently, nullifying the cache exactly when it
+    should pay."""
+
+    def __init__(self, capacity: int):
+        import collections
+        self.capacity = int(capacity)
+        self._d = collections.OrderedDict()
+        self._lock = threading.Lock()
+        self._inflight = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_compute(self, key, fn):
+        while True:
+            with self._lock:
+                val = self._d.get(key)
+                if val is not None:
+                    self._d.move_to_end(key)
+                    self.hits += 1
+                    return val
+                event = self._inflight.get(key)
+                if event is None:
+                    event = threading.Event()
+                    self._inflight[key] = event
+                    self.misses += 1
+                    break
+            # another thread is decoding this frame right now
+            event.wait()
+            # loop: the value is normally cached by the owner; if it was
+            # already evicted (tiny capacity) or the owner raised, the
+            # retry either finds it or becomes the new owner
+        try:
+            val = fn()
+            with self._lock:
+                self._d[key] = val
+                self._d.move_to_end(key)
+                while len(self._d) > self.capacity:
+                    self._d.popitem(last=False)
+            return val
+        finally:
+            with self._lock:
+                self._inflight.pop(key, None)
+            event.set()
 
 
 class _NpzView(dict):
@@ -90,6 +146,7 @@ class CamDataset:
         num_images: int = 0,
         seed: int = 0,
         fast_decode: bool = False,
+        decode_cache: int = 0,
     ):
         self.dataset = dataset
         self.img_dir = img_dir
@@ -112,6 +169,15 @@ class CamDataset:
         # parity bounds), so it is a training-throughput knob, not an
         # eval-path default. No reference analogue.
         self.fast_decode = fast_decode
+        # Decoded-frame LRU (frames, uint8): multi-person datasets carry
+        # several samples per frame (3DPW averages ~2-4), so siblings
+        # reuse one decode. Pays when siblings land near each other —
+        # sequential eval order, or DataLoader(group_keys=ds.imgname)
+        # for shuffled training. Thread-safe (the loader pool shares
+        # it); frames are treated read-only downstream. No reference
+        # analogue (the torch loader decodes per sample).
+        self._frame_cache = _FrameCache(decode_cache) if decode_cache \
+            else None
         self.rng = np.random.RandomState(seed)
 
         data = np.load(annot_file, allow_pickle=True)
@@ -265,12 +331,19 @@ class CamDataset:
             if not self.is_train and self.emit_disp_img:
                 need = max(need, self.render_res)
             reduce = T.pick_reduce(T.BBOX_SIDE * sc * scale, need)
-        if reduce > 1:
-            orig_shape = T.image_dims(imgname)  # header-only, exact dims
-            cv_img = T.read_img(imgname, reduce=reduce)
+        def _decode():
+            if reduce > 1:
+                # header-only exact dims; pixels decode reduced
+                return (T.read_img(imgname, reduce=reduce),
+                        T.image_dims(imgname))
+            img = T.read_img(imgname)
+            return img, np.array(img.shape[:2], np.float32)
+
+        if self._frame_cache is not None:
+            cv_img, orig_shape = self._frame_cache.get_or_compute(
+                (imgname, reduce), _decode)
         else:
-            cv_img = T.read_img(imgname)
-            orig_shape = np.array(cv_img.shape[:2], np.float32)
+            cv_img, orig_shape = _decode()
         load_time = time.perf_counter() - t0
 
         pose = (self.pose[index].copy() if self.has_smpl[index]

@@ -88,13 +88,23 @@ class DataLoader:
         no sample is read twice. Feed the local batches through
         ``parallel.shard_batch``, which assembles the global device array
         from the per-process shards.
+      group_keys: optional per-sample key array (len(dataset)); with
+        ``shuffle``, the epoch permutes GROUPS (samples sharing a key
+        stay adjacent, original relative order) instead of samples.
+        Pass ``ds.imgname`` so multi-person samples of one frame land in
+        the same batch and share one decode via the dataset's
+        ``decode_cache``. Trade-off: batch rows are frame-correlated
+        (same trick as sequence packing); the reference's torch loader
+        has no analogue. The group permutation is seed-deterministic,
+        so the multi-host contract is unchanged.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  num_workers: int = 8, prefetch: int = 2,
                  drop_last: bool = False, seed: int = 0,
                  skip_batches: int = 0,
-                 process_id: int = 0, process_count: int = 1):
+                 process_id: int = 0, process_count: int = 1,
+                 group_keys=None):
         check_process_divisibility(batch_size, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
@@ -107,6 +117,17 @@ class DataLoader:
         self.process_count = max(int(process_count), 1)
         self._epoch = 0
         self._seed = seed
+        self._groups = None
+        if group_keys is not None:
+            keys = np.asarray(group_keys)
+            if len(keys) != len(dataset):
+                raise ValueError(
+                    f'group_keys length {len(keys)} != dataset '
+                    f'{len(dataset)}')
+            _, inv = np.unique(keys, return_inverse=True)
+            order = np.argsort(inv, kind='stable')
+            counts = np.bincount(inv)
+            self._groups = np.split(order, np.cumsum(counts)[:-1])
 
     def __len__(self):
         n = len(self.dataset)
@@ -126,7 +147,15 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self._seed + self._epoch)
-            rng.shuffle(idx)
+            if self._groups is not None:
+                perm = rng.permutation(len(self._groups))
+                idx = np.concatenate([self._groups[g] for g in perm])
+            else:
+                rng.shuffle(idx)
+        elif self._groups is not None:
+            # sequential epochs also iterate group-contiguously, so the
+            # decode cache pays even when the npz isn't frame-sorted
+            idx = np.concatenate(self._groups)
         # only the first iteration is a resumed (partial) epoch; a reused
         # loader must not silently drop the head of every later epoch.
         skip = self.skip_batches if self._epoch == 1 else 0

@@ -101,6 +101,7 @@ class CameraRegressorDataset:
         num_images: int = -1,
         pad_multiple: int = 64,
         seed: int = 0,
+        fast_decode: bool = False,
     ):
         import joblib
 
@@ -111,6 +112,15 @@ class CameraRegressorDataset:
         self.max_size = max_size
         self.loss_type = loss_type
         self.pad_multiple = pad_multiple
+        # Opt-in JPEG DCT-scaled decode (PIL draft): every pano sample is
+        # resized DOWN to min-side `min_size` anyway, so decoding at the
+        # nearest 1/2^k scale >= 1.15x the target keeps the final
+        # bilinear resize a downsample — the only change is the
+        # resampling-filter difference. No reference analogue (the
+        # reference decodes full panorama-scale frames, torchvision
+        # Resize after). color_jitter then also runs on the reduced
+        # image (pointwise ops commute with the resample).
+        self.fast_decode = fast_decode
         self.rng = np.random.RandomState(seed)
 
         split = 'train_images.pkl' if is_train else 'val_images.pkl'
@@ -135,8 +145,19 @@ class CameraRegressorDataset:
     def __getitem__(self, index: int) -> dict:
         imgname = os.path.join(self.dataset_folder, 'images',
                                self.image_filenames[index])
-        pil_img = Image.open(imgname).convert('RGB')
+        pil_img = Image.open(imgname)
         orig_shape = np.array(pil_img.size, np.int32)  # (W, H)
+        if self.fast_decode:
+            w, h = pil_img.size
+            s = self.min_size / min(w, h)
+            if max(w, h) * s > self.max_size:
+                s = self.max_size / max(w, h)
+            if s < 1.0:
+                # draft never returns smaller than requested, so a
+                # 1.15x margin keeps aspect_resize a strict downsample
+                pil_img.draft(None, (int(np.ceil(w * s * 1.15)),
+                                     int(np.ceil(h * s * 1.15))))
+        pil_img = pil_img.convert('RGB')
         if self.is_train:
             pil_img = color_jitter(pil_img, self.rng)
         pil_img = aspect_resize(pil_img, self.min_size, self.max_size)

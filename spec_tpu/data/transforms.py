@@ -162,14 +162,21 @@ _REDUCED_FLAGS = {}  # populated lazily: cv2 may be absent at import
 
 
 def read_img(path, reduce: int = 1):
-    """RGB float image load (reference ``read_img``: cv2 BGR->RGB).
+    """RGB uint8 image load (reference ``read_img``: cv2 BGR->RGB).
+
+    Returns uint8, not the reference's float64/float32: both ``crop``
+    paths convert exactly (the rot==0 slice assigns into a float32
+    buffer; the warp path astypes), so outputs are bit-identical while
+    skipping a full-frame float conversion (+24 MB alloc per full-HD
+    item) on the hot loader path.
 
     ``reduce`` in {1, 2, 4, 8} decodes at 1/reduce scale via
     ``cv2.IMREAD_REDUCED_COLOR_N``. For JPEG this is libjpeg DCT-domain
-    scaling (the decoder skips most of the IDCT work, ~reduce^2 cheaper
-    on the pixel path); other formats decode full-size and downsample
-    inside imread. Output dims are ceil(full/reduce). No reference
-    analogue — this is the opt-in ``fast_decode`` loader path.
+    scaling (the decoder skips most of the IDCT work; the Huffman pass
+    is unavoidable, so the end-to-end decode win is ~1.3-2.5x depending
+    on content); other formats decode full-size and downsample inside
+    imread. Output dims are ceil(full/reduce). No reference analogue —
+    this is the opt-in ``fast_decode`` loader path.
     """
     if reduce == 1:
         flag = cv2.IMREAD_COLOR
@@ -182,7 +189,7 @@ def read_img(path, reduce: int = 1):
     img = cv2.imread(path, flag)
     if img is None:
         raise FileNotFoundError(path)
-    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
 def image_dims(path):

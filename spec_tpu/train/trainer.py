@@ -328,13 +328,21 @@ class SpecTrainer:
             skip = resume_skip if epoch == start_epoch else 0
             batches_done = skip
             train_ds = self.make_train_dataset(epoch)
+            # Frame-grouped epochs (opt-in): siblings of one frame land
+            # adjacently so the dataset's decode_cache deduplicates the
+            # frame decode. Only single CamDatasets expose per-sample
+            # imgnames (a Mixed train set resamples members per index).
+            group_keys = (train_ds.imgname
+                          if cfg.DATASET.get('GROUP_BY_FRAME', False)
+                          and hasattr(train_ds, 'imgname') else None)
             loader = DataLoader(
                 train_ds, batch_size=cfg.DATASET.BATCH_SIZE,
                 shuffle=cfg.DATASET.SHUFFLE_TRAIN,
                 num_workers=cfg.DATASET.NUM_WORKERS, drop_last=True,
                 seed=epoch, skip_batches=skip,
                 process_id=jax.process_index(),
-                process_count=jax.process_count())
+                process_count=jax.process_count(),
+                group_keys=group_keys)
             if skip:
                 print(f'[train] epoch {epoch}: skipping {skip} already-'
                       'trained batches (mid-epoch resume)')

@@ -294,6 +294,15 @@ def spec_default_config() -> CfgNode:
             # person box dwarfs IMG_RES (spec_tpu extension; no reference
             # key). See CamDataset(fast_decode=...).
             'FAST_DECODE': False,
+            # Decoded-frame LRU capacity (frames, uint8) shared by the
+            # loader threads — multi-person frames decode once. 0 = off.
+            # Spec_tpu extension; pair with GROUP_BY_FRAME for shuffled
+            # training (eval iterates frame-contiguously already).
+            'DECODE_CACHE': 0,
+            # Permute frames (groups of samples sharing an imgname)
+            # instead of samples when shuffling train epochs, so cache
+            # siblings land in the same batch. Spec_tpu extension.
+            'GROUP_BY_FRAME': False,
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
             'TRAIN_DS': 'all',
@@ -412,6 +421,10 @@ def camcalib_default_config() -> CfgNode:
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
             'IMG_RES': 224,
+            # Opt-in JPEG DCT-scaled decode for the train loader (PIL
+            # draft; spec_tpu extension, no reference key). Safe-by-
+            # construction here: samples resize DOWN to MIN_RES anyway.
+            'FAST_DECODE': False,
             # Legacy alias; the reference dialect is MODEL.LOSS_TYPE
             # (camcalib/config.py:87). resolve_camcalib_loss() arbitrates.
             'LOSS_TYPE': 'ce',

@@ -307,6 +307,144 @@ def test_loader_batches_and_padding(synthetic_dataset):
     assert isinstance(batches[0]['imgname'][0], str)
 
 
+def test_read_img_returns_uint8_and_crop_parity(big_jpeg):
+    """read_img returns uint8; both crop paths convert exactly, so the
+    crop is bit-identical to cropping a pre-floated frame."""
+    p, _ = big_jpeg
+    img = T.read_img(p)
+    assert img.dtype == np.uint8
+    center, scale, res = np.array([660.0, 470.0]), 4.0, [224, 224]
+    a = T.crop(img, center, scale, res)
+    b = T.crop(img.astype(np.float32), center, scale, res)
+    assert a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)
+    a = T.crop(img, center, scale, res, rot=17.0)
+    b = T.crop(img.astype(np.float32), center, scale, res, rot=17.0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_loader_group_keys_semantics():
+    """Grouped shuffle: one epoch covers each index exactly once, members
+    of a group stay adjacent and in original relative order, and the
+    epoch order is seed-deterministic."""
+
+    class _Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {'i': np.int64(i)}
+
+    keys = np.array(['b', 'a', 'b', 'c', 'a', 'c', 'c', 'a', 'b', 'a'])
+    members = {k: [i for i in range(10) if keys[i] == k] for k in 'abc'}
+
+    def epoch_order(seed):
+        loader = DataLoader(_Idx(), batch_size=5, shuffle=True, seed=seed,
+                            num_workers=2, group_keys=keys)
+        return [int(x) for b in loader for x in b['i'][:b['_valid_count']]]
+
+    order = epoch_order(0)
+    assert sorted(order) == list(range(10))
+    # group members contiguous + original relative order
+    pos = 0
+    while pos < len(order):
+        k = keys[order[pos]]
+        size = len(members[k])
+        assert order[pos:pos + size] == members[k]
+        pos += size
+    assert epoch_order(0) == order
+    # sequential (shuffle=False) also iterates group-contiguously
+    loader = DataLoader(_Idx(), batch_size=10, num_workers=1,
+                        group_keys=keys)
+    seq = [int(x) for b in loader for x in b['i'][:b['_valid_count']]]
+    assert seq == members['a'] + members['b'] + members['c']
+
+    with pytest.raises(ValueError):
+        DataLoader(_Idx(), batch_size=5, group_keys=keys[:4])
+
+
+def test_frame_cache_dedup_and_thread_safety(tmp_path, rng):
+    """decode_cache: sibling samples of one frame decode it once, items
+    are identical with/without the cache, and the in-flight latch holds
+    under concurrent access."""
+    from spec_tpu.data.cam_dataset import _FrameCache
+
+    # pure cache: hammer get_or_compute from many threads
+    import threading
+    cache = _FrameCache(4)
+    calls = {'n': 0}
+    compute_lock = threading.Lock()
+
+    def fn():
+        with compute_lock:
+            calls['n'] += 1
+        return np.zeros(3), np.zeros(2)
+
+    threads = [threading.Thread(target=lambda: cache.get_or_compute('k', fn))
+               for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls['n'] == 1 and cache.hits == 15
+
+    # dataset-level: 2 frames x 3 samples; count actual decodes
+    img_dir = tmp_path / 'imgs'
+    img_dir.mkdir()
+    for i in range(2):
+        img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f'f{i}.jpg'), img)
+    n = 6
+    names = np.array([f'f{i // 3}.jpg' for i in range(n)])
+    annot = dict(
+        imgname=names,
+        scale=np.full(n, 1.0, 'f4'),
+        center=np.array([[160.0, 120.0]] * n, 'f4'),
+        pose=(rng.randn(n, 72) * 0.2).astype('f4'),
+        shape=(rng.randn(n, 10) * 0.5).astype('f4'),
+        has_smpl=np.ones(n, 'f4'), S=rng.randn(n, 24, 4).astype('f4'),
+        part=np.concatenate([rng.rand(n, 24, 2) * 200,
+                             np.ones((n, 24, 1))], -1).astype('f4'),
+        openpose=np.zeros((n, 25, 3), 'f4'),
+    )
+    annot_file = tmp_path / 'annots.npz'
+    np.savez(annot_file, **annot)
+
+    kw = dict(dataset='3dpw-test-cam', is_train=False)
+    plain = CamDataset(str(annot_file), str(img_dir), **kw)
+    cachd = CamDataset(str(annot_file), str(img_dir), decode_cache=4, **kw)
+    decodes = {'n': 0}
+    orig = T.read_img
+
+    def counting_read(path, reduce=1):
+        decodes['n'] += 1
+        return orig(path, reduce=reduce)
+
+    T.read_img, T_read = counting_read, T.read_img
+    try:
+        items_c = [cachd[i] for i in range(n)]
+        assert decodes['n'] == 2          # one decode per frame
+        items_p = [plain[i] for i in range(n)]
+        assert decodes['n'] == 2 + n
+    finally:
+        T.read_img = T_read
+    for a, b in zip(items_c, items_p):
+        np.testing.assert_array_equal(a['img'], b['img'])
+
+    # loader end-to-end with grouping: decodes stay deduped
+    decodes['n'] = 0
+    cachd2 = CamDataset(str(annot_file), str(img_dir), decode_cache=4,
+                        **kw)
+    T.read_img = counting_read
+    try:
+        loader = DataLoader(cachd2, batch_size=3, shuffle=True,
+                            num_workers=3, group_keys=cachd2.imgname)
+        n_rows = sum(b['_valid_count'] for b in loader)
+        assert n_rows == n and decodes['n'] == 2
+    finally:
+        T.read_img = T_read
+
+
 def test_loader_skip_applies_to_first_iteration_only():
     """skip_batches models a resumed (partial) epoch: only the FIRST
     iteration of the loader skips; re-iterating the same loader (next

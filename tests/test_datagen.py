@@ -189,6 +189,49 @@ def test_preprocess_calib_data_end_to_end(tmp_path, rng):
     assert np.isfinite(item['vfov_angle'])
 
 
+def test_pano_dataset_fast_decode_parity(tmp_path, rng):
+    """fast_decode (PIL JPEG draft): output shape and targets are
+    identical; pixels differ only by the resampling-filter difference.
+    Non-JPEG (PNG) inputs fall through draft as a no-op."""
+    import cv2
+    from PIL import Image
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset
+
+    panos = []
+    for i in range(2):
+        p = str(tmp_path / f'pano_{i}.jpg')
+        img = cv2.GaussianBlur(
+            (rng.rand(512, 1024, 3) * 255).astype(np.float32),
+            (9, 9), 2.5).astype('u1')
+        cv2.imwrite(p, img)
+        panos.append(p)
+    out = str(tmp_path / 'gen')
+    # crops are 600 tall; serve at min_size=150 so draft picks 1/2
+    preprocess_calib_data(panos, out, crops_per_pano=3, seed=0)
+    kw = dict(dataset='pano', min_size=150, max_size=260, is_train=False)
+    ref = CameraRegressorDataset(out, **kw)[0]
+    fast = CameraRegressorDataset(out, fast_decode=True, **kw)[0]
+    assert fast['img'].shape == ref['img'].shape
+    np.testing.assert_array_equal(ref['orig_shape'], fast['orig_shape'])
+    for k in ('vfov_angle', 'pitch_angle', 'roll_angle'):
+        assert ref[k] == fast[k]
+    # normalized-space pixels: filter-difference bound
+    assert np.abs(ref['img'] - fast['img']).mean() < 0.15
+
+    # draft never undershoots the requested size: the decoded image fed
+    # to aspect_resize is >= the final target on both sides
+    name = CameraRegressorDataset(out, **kw).image_filenames[0]
+    with Image.open(os.path.join(out, 'images', name)) as im:
+        w0, h0 = im.size
+        s = 150 / min(w0, h0)
+        if max(w0, h0) * s > 260:
+            s = 260 / max(w0, h0)
+        im.draft(None, (int(np.ceil(w0 * s * 1.15)),
+                        int(np.ceil(h0 * s * 1.15))))
+        w1, h1 = im.size
+    assert w1 >= w0 * s and h1 >= h0 * s
+
+
 def test_generate_calibration_dataset_end_to_end(tmp_path, rng):
     """ScaleNet-recipe generator writes the 'pano_scalenet' layout (json
     next to the jpg, vfov in radians) plus debug horizon overlays
