@@ -38,6 +38,12 @@ def main(argv=None):
     parser.add_argument('--fdr', action='store_true',
                         help='fast dev run: one batch per dataset '
                              '(reference scripts/spec_eval.py:102)')
+    parser.add_argument('--data_parallel', action='store_true',
+                        help='shard every eval batch over ALL visible '
+                             'devices (params replicated; BATCH_SIZE '
+                             'must divide the device count). The '
+                             'reference pins eval to one GPU '
+                             '(scripts/spec_eval.py:72-75)')
     from spec_tpu.cli._compat import add_cluster_flags
     add_cluster_flags(parser)
     args = parser.parse_args(argv)
@@ -107,6 +113,19 @@ def main(argv=None):
             jnp.tile(jnp.eye(3), (B, 1, 1)), jnp.tile(jnp.eye(3), (B, 1, 1)),
             jnp.ones((B,)), jnp.ones((B, 2)), jnp.ones((B,)), jnp.ones((B,)))
 
+    mesh = None
+    if args.data_parallel:
+        import spec_tpu.parallel as par
+
+        mesh = par.create_mesh()
+        n_dev = int(mesh.devices.size)
+        if int(cfg.DATASET.BATCH_SIZE) % n_dev:
+            raise SystemExit(
+                f'--data_parallel: DATASET.BATCH_SIZE '
+                f'{cfg.DATASET.BATCH_SIZE} must be a multiple of the '
+                f'{n_dev}-device mesh')
+        print(f'[eval] data_parallel over {n_dev} devices')
+
     from spec_tpu.utils.config import split_ds_names
     val_ds = split_ds_names(cfg.DATASET.VAL_DS)
     all_results = {}
@@ -144,6 +163,7 @@ def main(argv=None):
             model, variables, loader, assets_by_gender, jreg,
             use_gt_cam=cfg.TESTING.USE_GT_CAM,
             use_gender=cfg.DATASET.USE_GENDER,
+            mesh=mesh,
             save_results=cfg.TESTING.SAVE_RESULTS,
             save_images=cfg.TESTING.SAVE_IMAGES,
             save_freq=cfg.TESTING.SAVE_FREQ,

@@ -47,16 +47,21 @@ def _gendered_gt_mesh(assets_by_gender, pose, betas, gender):
 
 
 def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
-                   use_gender: bool = False, protocol: str = 'j14'):
+                   use_gender: bool = False, protocol: str = 'j14',
+                   mesh=None):
     """One compiled eval step: batch -> per-sample metric dict + pred.
 
     ``protocol``: 'j14' (default) or 'j17' — mpi-inf-3dhp evaluates on the
     17-joint H36M selection (reference trainer.py:259-260).
+
+    ``mesh``: optional device mesh — the batch (and every per-sample
+    output) shards over it while variables/assets replicate, so eval
+    throughput scales with the chip count (every row is independent;
+    the reference pins eval to one GPU, scripts/spec_eval.py:72-75).
     """
     neutral = assets_by_gender['neutral']
     jreg = jnp.asarray(j_regressor_h36m, jnp.float32)
 
-    @jax.jit
     def step(variables, batch):
         img_h = batch['orig_shape'][:, 0].astype(jnp.float32)
         img_w = batch['orig_shape'][:, 1].astype(jnp.float32)
@@ -84,7 +89,15 @@ def make_eval_step(model, assets_by_gender: dict, j_regressor_h36m,
         v2v = M.v2v_error(out['smpl_vertices'], gt_verts)
         return out, j14, j24, v2v
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    import spec_tpu.parallel as par
+
+    rep = par.replicated(mesh)
+    bs = par.batch_sharding(mesh)
+    # Every batch leaf and every output leaf is batch-leading, so a
+    # single batch sharding broadcasts over both pytrees.
+    return jax.jit(step, in_shardings=(rep, bs), out_shardings=bs)
 
 
 # Bounded (FIFO) — each entry closes over the model + full SMPL asset
@@ -107,12 +120,19 @@ def evaluate_dataset(
     save_freq: int = 1,
     logdir: Optional[str] = None,
     dataset_name: str = '',
+    mesh=None,
 ) -> dict:
     """Run the eval pass; returns the mm summary and (optionally) dumps
     ``evaluation_results_{ds}.pkl`` (reference trainer.py:469-472).
     ``save_images`` renders an overlay + sideview group for the first
     sample of every ``save_freq``-th batch (reference
-    validation_summaries, trainer.py:355-357)."""
+    validation_summaries, trainer.py:355-357).
+
+    ``mesh``: shard every eval batch over the device mesh (params
+    replicated, rows independent — results are identical to the
+    single-device pass modulo float association). Single-process only:
+    the loader yields the full global batch. The loader's batch size
+    must divide the mesh."""
     import joblib
 
     protocol = 'j17' if dataset_name == 'mpi-inf-3dhp' else 'j14'
@@ -125,18 +145,34 @@ def evaluate_dataset(
             f'{dataset_name} is an in-the-wild dataset (no 3D GT): set '
             'TESTING.SAVE_IMAGES True — its evaluation is qualitative '
             'only (reference spec/trainer.py:262-269)')
-    # Memoized per (model, gender-mode, protocol): evaluate_dataset runs
-    # once per dataset per validation epoch, and a fresh make_eval_step
-    # closure would retrace (and, uncached, remote-recompile) the full
-    # model + GT-LBS + metrics graph every time.
+    if mesh is not None:
+        import jax as _jax
+
+        if _jax.process_count() != 1:
+            raise ValueError(
+                'evaluate_dataset(mesh=...) is single-process: each '
+                'multi-process host evaluates its own loader slice '
+                'instead (train/trainer.py validate)')
+        n_dev = int(mesh.devices.size)
+        bs_loader = int(getattr(loader, 'batch_size', 0))
+        if bs_loader % n_dev:
+            raise ValueError(
+                f'eval batch size {bs_loader} must be a multiple of '
+                f'the {n_dev}-device mesh (loader batches are padded '
+                'to full size, so every batch must shard evenly)')
+    # Memoized per (model, gender-mode, protocol, mesh): evaluate_dataset
+    # runs once per dataset per validation epoch, and a fresh
+    # make_eval_step closure would retrace (and, uncached, remote-
+    # recompile) the full model + GT-LBS + metrics graph every time.
     key = (id(model), id(assets_by_gender), id(j_regressor_h36m),
-           use_gender, protocol)
+           use_gender, protocol, id(mesh) if mesh is not None else None)
     step = _EVAL_STEP_CACHE.get(key)
     if step is None:
         while len(_EVAL_STEP_CACHE) >= _EVAL_STEP_CACHE_MAX:
             _EVAL_STEP_CACHE.pop(next(iter(_EVAL_STEP_CACHE)))
         step = make_eval_step(model, assets_by_gender, j_regressor_h36m,
-                              use_gender=use_gender, protocol=protocol)
+                              use_gender=use_gender, protocol=protocol,
+                              mesh=mesh)
         _EVAL_STEP_CACHE[key] = step
     acc = MetricAccumulator(save_results=save_results)
 

@@ -17,7 +17,13 @@ equivalent is SPMD batch parallelism over a 1-D ``('data',)`` mesh:
   * optional ZeRO/FSDP (1-D, full data axis) and HSDP (2-D
     ``('data', 'fsdp')`` hybrid, :func:`create_hybrid_mesh`) layouts as
     capacity knobs — params/opt shard over the fsdp group, so per-layer
-    all-gathers stay within a slice while gradients all-reduce across.
+    all-gathers stay within a slice while gradients all-reduce across;
+  * :func:`spatial_sharding` — SPMD **spatial partitioning** of the
+    image height for latency-bound small-batch inference (the image-CNN
+    analogue of sequence parallelism): GSPMD inserts the conv halo
+    exchanges (collective-permute) automatically. This is the one
+    model-sharding layout that pays for this family — a batch-1 stage-1
+    frame cannot use data parallelism at all.
 """
 
 from __future__ import annotations
@@ -69,6 +75,32 @@ def batch_sharding(mesh: Mesh, axis_name=None) -> NamedSharding:
     data x fsdp so every device computes a distinct micro-batch)."""
     axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axes))
+
+
+def spatial_sharding(mesh: Mesh, axis_name=None, ndim: int = 4,
+                     dim: int = 1) -> NamedSharding:
+    """Shard an NHWC image batch over its HEIGHT dimension (spatial
+    partitioning).
+
+    For convolutions, XLA's SPMD partitioner handles a spatially-sharded
+    operand by exchanging kernel-halo rows between neighbour shards
+    (collective-permute over ICI) and keeps every stage of the trunk
+    partitioned; global average pooling becomes a psum. Numerics match
+    the replicated run to float-association noise.
+
+    When it pays: LATENCY of a small-batch (especially batch-1) forward
+    on a large input — the stage-1 CamCalib frame at min-side 600 is the
+    use case (``SpecPredictor(spatial_parallel=True)``). Per-device FLOPs
+    drop ~n_devices x while the halo volume (a few rows per conv) stays
+    negligible at these shapes. For throughput at full batches plain
+    data parallelism is strictly better (no halo traffic) — this is a
+    latency knob, not the default. The height dim need not divide the
+    mesh; GSPMD pads the ragged shard internally.
+    """
+    axes = axis_name if axis_name is not None else tuple(mesh.axis_names)
+    spec: list = [None] * ndim
+    spec[dim] = axes
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

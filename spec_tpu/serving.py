@@ -61,6 +61,13 @@ class SpecPredictor:
         devices (params replicated, batch split — the v5e-8 serving
         layout). batch_size must divide by the device count; small calls
         still pad, but never below one item per device.
+      spatial_parallel: single-frame LATENCY layout — stage-1 frames are
+        sharded over their HEIGHT across all devices (SPMD spatial
+        partitioning; GSPMD inserts the conv halo exchanges) so a
+        batch-1 camcalib call uses the whole slice instead of one chip,
+        while stage-2 person crops shard over the batch as in
+        data_parallel. Mutually exclusive with data_parallel (which is
+        the better layout for full-batch throughput).
       detector: '' (caller supplies boxes) or 'yolo' — the in-repo
         TPU-native YOLOv3 (models/detector.py), making ``predict(frames)``
         fully self-contained like the reference demo (spec/tester.py runs
@@ -81,7 +88,8 @@ class SpecPredictor:
     uint8_crops = False
     detector = None
     mesh = None
-    _min_pad = 1
+    _min_pad = 1       # stage-2 (and data_parallel stage-1) pad multiple
+    _min_pad_s1 = 1    # stage-1 pad multiple (1 under spatial_parallel)
 
     def __init__(
         self,
@@ -100,6 +108,7 @@ class SpecPredictor:
         use_fused_lbs: Optional[bool] = None,
         uint8_crops: bool = False,
         data_parallel: bool = False,
+        spatial_parallel: bool = False,
         detector: str = '',
         yolo_weights: str = '',
         yolo_img_size: int = 416,
@@ -197,7 +206,12 @@ class SpecPredictor:
                              "use '' (caller boxes) or 'yolo'")
 
         self._min_pad = 1
-        if data_parallel:
+        self._min_pad_s1 = 1
+        if data_parallel and spatial_parallel:
+            raise ValueError(
+                'data_parallel and spatial_parallel are mutually '
+                'exclusive layouts (throughput vs single-frame latency)')
+        if data_parallel or spatial_parallel:
             import spec_tpu.parallel as par
 
             self.mesh = par.create_mesh()
@@ -205,14 +219,29 @@ class SpecPredictor:
             if self.batch_size % n_dev:
                 raise ValueError(
                     f'batch_size {self.batch_size} must be a multiple '
-                    f'of the device count {n_dev} for data_parallel')
+                    f'of the device count {n_dev} for '
+                    'data_parallel/spatial_parallel')
             rep = par.replicated(self.mesh)
             bs = par.batch_sharding(self.mesh)
             self.cc_vars = jax.device_put(self.cc_vars, rep)
             self.spec_vars = jax.device_put(self.spec_vars, rep)
-            self._cam_infer = jax.jit(self._cam_forward,
-                                      in_shardings=(rep, bs),
-                                      out_shardings=bs)
+            if spatial_parallel:
+                # Stage 1: frame HEIGHT sharded over the mesh (GSPMD
+                # spatial partitioning with conv halo exchange) so a
+                # batch-1 camcalib call engages every device — batches
+                # need no mesh-multiple padding (_min_pad_s1 stays 1).
+                self._cam_infer = jax.jit(
+                    self._cam_forward,
+                    in_shardings=(rep, par.spatial_sharding(self.mesh)),
+                    out_shardings=rep)
+            else:
+                self._cam_infer = jax.jit(self._cam_forward,
+                                          in_shardings=(rep, bs),
+                                          out_shardings=bs)
+                self._min_pad_s1 = n_dev
+            # Stage 2 (224^2 person crops) always shards over the batch:
+            # crops are small, persons batch naturally, and spatial
+            # splitting a 224-px map would be all halo.
             self._spec_infer = jax.jit(self._spec_forward,
                                        in_shardings=(rep,) + (bs,) * 7,
                                        out_shardings=bs)
@@ -224,12 +253,14 @@ class SpecPredictor:
             self._cam_infer = jax.jit(self._cam_forward)
             self._spec_infer = jax.jit(self._spec_forward)
 
-    def _padded(self, n_valid: int) -> int:
+    def _padded(self, n_valid: int, mult: Optional[int] = None) -> int:
         """Compiled batch size for ``n_valid`` work items: next power of
         two capped at batch_size, rounded up to a multiple of the mesh
-        size under data_parallel (so every device shard is non-empty)."""
+        size under batch sharding (so every device shard is non-empty).
+        ``mult`` overrides the multiple (stage 1 under spatial_parallel
+        shards the HEIGHT, not the batch, so its chunks pass 1)."""
         bp = _pad_size(n_valid, self.batch_size)
-        mp = self._min_pad
+        mp = self._min_pad if mult is None else mult
         return -(-bp // mp) * mp
 
     # -- jitted bodies ------------------------------------------------------
@@ -289,8 +320,10 @@ class SpecPredictor:
                 # bounded compile count per bucket without paying a full
                 # batch of stage-1 ResNet for a one-frame call. Under
                 # data_parallel the pad is also rounded up to a multiple
-                # of the device count so every shard is non-empty.
-                bp = self._padded(n_valid)
+                # of the device count so every shard is non-empty; under
+                # spatial_parallel the HEIGHT is sharded instead, so a
+                # one-frame call stays one frame.
+                bp = self._padded(n_valid, self._min_pad_s1)
                 pad = chunk + [chunk[-1]] * (bp - n_valid)
                 batch = jnp.asarray(np.stack([prepped[i][0] for i in pad]))
                 pending.append(

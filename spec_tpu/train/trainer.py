@@ -512,6 +512,12 @@ class SpecTrainer:
                 self.model, variables, loader, self.assets, self.jreg,
                 use_gt_cam=self.cfg.TESTING.USE_GT_CAM,
                 use_gender=self.cfg.DATASET.USE_GENDER,
+                # Single-process: shard the val batches over the train
+                # mesh (rows independent; the val loader batch is the
+                # global BATCH_SIZE, already mesh-divisible). Multi-
+                # process hosts evaluate their own loader slice
+                # host-locally instead (no collectives).
+                mesh=self.mesh if jax.process_count() == 1 else None,
                 save_results=False,
                 # multi-host: metrics run on every process (identical);
                 # file artifacts are process 0's — logdir=None disables

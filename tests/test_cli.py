@@ -282,6 +282,27 @@ def test_spec_eval_fdr(data_root, tmp_path):
     assert np.isfinite(r['val_mpjpe'])
 
 
+def test_spec_eval_data_parallel(data_root, tmp_path):
+    """--data_parallel shards eval batches over the 8-device test mesh
+    (finite metrics; the indivisible-batch guard trips loudly)."""
+    from spec_tpu.cli import spec_eval
+
+    results = spec_eval.main([
+        '--fdr', '--data_parallel', '--log_root', str(tmp_path / 'logs'),
+        '--opts', 'DATASET.VAL_DS', '3dpw-test-cam',
+        'DATASET.BATCH_SIZE', '8', 'DATASET.NUM_WORKERS', '1',
+        'HMR.BACKBONE', 'resnet18'])
+    assert np.isfinite(results['3dpw-test-cam']['val_mpjpe'])
+
+    with pytest.raises(SystemExit, match='multiple'):
+        spec_eval.main([
+            '--fdr', '--data_parallel',
+            '--log_root', str(tmp_path / 'logs2'),
+            '--opts', 'DATASET.VAL_DS', '3dpw-test-cam',
+            'DATASET.BATCH_SIZE', '3', 'DATASET.NUM_WORKERS', '1',
+            'HMR.BACKBONE', 'resnet18'])
+
+
 def test_spec_eval_fdr_subsamples(data_root):
     """The --fdr path subsamples through CamDataset.num_images."""
     from spec_tpu.data.cam_dataset import CamDataset

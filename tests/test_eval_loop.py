@@ -67,6 +67,79 @@ def test_occlusion_paste(rng):
     assert img.max() == 0  # input untouched
 
 
+@pytest.mark.slow
+def test_eval_step_mesh_sharded_matches_plain(rng):
+    """make_eval_step(mesh=...): the eval batch sharded over the
+    8-device mesh reproduces the single-device metrics (rows are
+    independent; spec_eval --data_parallel / trainer validation path)."""
+    import jax
+
+    import spec_tpu.parallel as par
+    from spec_tpu.eval.eval_loop import make_eval_step
+    from spec_tpu.models import HMR
+
+    B, res = 8, 64
+    assets = S.create_test_assets(num_vertices=128)
+    jreg = np.asarray(assets.j_regressor_h36m)
+    model = HMR(backbone='resnet18', use_cam=True, img_res=res)
+    eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+    variables = model.init(
+        jax.random.PRNGKey(0), assets, jnp.zeros((B, res, res, 3)),
+        eye, eye, jnp.ones((B,)), jnp.ones((B, 2)), jnp.ones((B,)),
+        jnp.ones((B,)))
+    K = np.tile(np.array([[500., 0., 64.], [0., 500., 48.],
+                          [0., 0., 1.]], 'f4'), (B, 1, 1))
+    batch = {
+        'img': jnp.asarray(rng.randn(B, res, res, 3).astype('f4')),
+        'pose': jnp.asarray((rng.randn(B, 72) * 0.1).astype('f4')),
+        'betas': jnp.asarray((rng.randn(B, 10) * 0.2).astype('f4')),
+        'gender': jnp.zeros((B,), jnp.int32),
+        'scale': jnp.ones((B,)),
+        'center': jnp.asarray(np.tile([[64., 48.]], (B, 1)).astype('f4')),
+        'orig_shape': jnp.asarray(np.tile([[96., 128.]], (B, 1))),
+        'cam_rotmat': eye,
+        'cam_intrinsics': jnp.asarray(K),
+    }
+
+    step = make_eval_step(model, {'neutral': assets}, jreg)
+    out0, j14_0, j24_0, v2v_0 = step(variables, batch)
+
+    mesh = par.create_mesh()
+    step_m = make_eval_step(model, {'neutral': assets}, jreg, mesh=mesh)
+    out1, j14_1, j24_1, v2v_1 = step_m(variables, batch)
+    assert len(v2v_1.sharding.device_set) == 8  # genuinely distributed
+
+    np.testing.assert_allclose(np.asarray(v2v_1), np.asarray(v2v_0),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in ((j14_1, j14_0), (j24_1, j24_0)):
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]),
+                                       np.asarray(b[k]),
+                                       rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1['smpl_vertices']),
+                               np.asarray(out0['smpl_vertices']),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_evaluate_dataset_mesh_rejects_indivisible_batch(rng):
+    import jax
+    import pytest as _pytest
+
+    import spec_tpu.parallel as par
+    from spec_tpu.eval.eval_loop import evaluate_dataset
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        _pytest.skip('needs a multi-device mesh')
+
+    class _Loader:
+        batch_size = n_dev + 1
+
+    with _pytest.raises(ValueError, match='multiple'):
+        evaluate_dataset(None, None, _Loader(), {'neutral': None}, None,
+                         mesh=par.create_mesh())
+
+
 def test_spec_demo_cli_end_to_end(tmp_path, rng, monkeypatch):
     """Full two-stage demo through the CLI entry (small backbone via
     monkeypatched model builders would be invasive — run resnet50 on two
