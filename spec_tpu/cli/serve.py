@@ -362,6 +362,11 @@ def main(argv=None):
                         help='detector letterbox size (multiple of 32)')
     parser.add_argument('--data_parallel', action='store_true',
                         help='shard every batch over all visible chips')
+    parser.add_argument('--spatial_parallel', action='store_true',
+                        help='single-frame LATENCY layout: stage-1 '
+                             'frames shard over their height (spatial '
+                             'partitioning) instead of batching; '
+                             'exclusive with --data_parallel')
     parser.add_argument('--exported', type=str, default='',
                         help='serve from a .specx AOT artifact '
                              '(spec_export; ignores ckpt/cfg/detector '
@@ -386,7 +391,8 @@ def main(argv=None):
             min_size=args.min_size,
             cfg_file=args.cfg, detector=args.detector,
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
-            data_parallel=args.data_parallel)
+            data_parallel=args.data_parallel,
+            spatial_parallel=args.spatial_parallel)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20,
                            max_batch_frames=args.max_batch_frames)

@@ -337,12 +337,18 @@ class YoloDetector:
 
     ``conf_thresh`` / ``nms_thresh`` are host-side only (never traced) —
     they can be overridden per ``detect`` call without recompiling.
+
+    ``mesh``: optional device mesh — detector batches shard over it
+    (weights replicated), so detection scales with the serving slice
+    like the two SPEC stages (``SpecPredictor(data_parallel=True,
+    detector='yolo')`` passes its mesh through). ``batch_size`` must
+    divide the mesh; tail pads round up to a mesh multiple.
     """
 
     def __init__(self, weights_path: Optional[str] = None,
                  img_size: int = 416, batch_size: int = 8,
                  conf_thresh: float = 0.7, nms_thresh: float = 0.4,
-                 topk: int = 256, seed: int = 0):
+                 topk: int = 256, seed: int = 0, mesh=None):
         if img_size % 32:
             raise ValueError('img_size must be a multiple of 32')
         self.img_size = int(img_size)
@@ -359,9 +365,25 @@ class YoloDetector:
         # Fused forward + device-side top-K person filter: the host
         # fetch is (B, topk, 5) instead of (B, 10647, 85) — candidate
         # scoring stays on device, only NMS-sized data crosses PCIe.
-        self._fwd = jax.jit(
-            lambda v, x: top_person_candidates(
-                self.model.apply(v, x, mutable=False), k=int(topk)))
+        fwd = lambda v, x: top_person_candidates(     # noqa: E731
+            self.model.apply(v, x, mutable=False), k=int(topk))
+        self._min_pad = 1
+        if mesh is not None:
+            import spec_tpu.parallel as par
+
+            n_dev = int(mesh.devices.size)
+            if self.batch_size % n_dev:
+                raise ValueError(
+                    f'detector batch_size {self.batch_size} must be a '
+                    f'multiple of the {n_dev}-device mesh')
+            rep = par.replicated(mesh)
+            self.vars = jax.device_put(self.vars, rep)
+            self._fwd = jax.jit(
+                fwd, in_shardings=(rep, par.batch_sharding(mesh)),
+                out_shardings=par.batch_sharding(mesh))
+            self._min_pad = n_dev
+        else:
+            self._fwd = jax.jit(fwd)
 
     def detect_dispatch(self, frames: Sequence[np.ndarray]) -> list:
         """Queue every detector forward WITHOUT fetching.
@@ -381,6 +403,8 @@ class YoloDetector:
                        for f in chunk]
             batch = np.stack([p[0] for p in prepped])
             bp = pad_pow2(len(chunk), B)
+            # under a mesh, every shard must be non-empty
+            bp = -(-bp // self._min_pad) * self._min_pad
             if len(chunk) < bp:   # pad tail to a compiled-ladder shape
                 batch = np.concatenate(
                     [batch, np.zeros((bp - len(chunk),) + batch.shape[1:],

@@ -190,18 +190,7 @@ class SpecPredictor:
         # bake into the HLO, so compile-cache keys would change with every
         # fresh init and the remote-compile payload would carry the full
         # weight tensors.
-        self.detector = None
-        if detector == 'yolo':
-            from spec_tpu.models.detector import YoloDetector
-
-            if not yolo_weights:
-                print('[serving] WARNING: detector=yolo without '
-                      'yolo_weights runs a random-init detector '
-                      '(pipeline smoke only)')
-            self.detector = YoloDetector(
-                weights_path=yolo_weights or None,
-                img_size=yolo_img_size)
-        elif detector:
+        if detector not in ('', 'yolo'):
             raise ValueError(f'unknown detector {detector!r}; '
                              "use '' (caller boxes) or 'yolo'")
 
@@ -252,6 +241,29 @@ class SpecPredictor:
             self.mesh = None
             self._cam_infer = jax.jit(self._cam_forward)
             self._spec_infer = jax.jit(self._spec_forward)
+
+        self.detector = None
+        if detector == 'yolo':
+            from spec_tpu.models.detector import YoloDetector
+
+            if not yolo_weights:
+                print('[serving] WARNING: detector=yolo without '
+                      'yolo_weights runs a random-init detector '
+                      '(pipeline smoke only)')
+            det_mesh = self.mesh if data_parallel else None
+            det_bs = 8
+            if det_mesh is not None:   # batch must divide the mesh
+                n_dev = int(det_mesh.devices.size)
+                det_bs = -(-det_bs // n_dev) * n_dev
+            self.detector = YoloDetector(
+                weights_path=yolo_weights or None,
+                img_size=yolo_img_size, batch_size=det_bs,
+                # Detection shards over the serving mesh with the two
+                # SPEC stages under data_parallel. Under spatial_parallel
+                # the detector stays unsharded (its batch-1 letterboxed
+                # 416^2 input is small; spatially splitting it would be
+                # mostly halo).
+                mesh=det_mesh)
 
     def _padded(self, n_valid: int, mult: Optional[int] = None) -> int:
         """Compiled batch size for ``n_valid`` work items: next power of

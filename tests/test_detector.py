@@ -256,6 +256,55 @@ def test_detector_pipeline_random_init():
         assert b.ndim == 2 and b.shape[1] == 4
 
 
+def test_detector_mesh_sharded_matches_plain(tmp_path):
+    """YoloDetector(mesh=...): detector batches shard over the 8-device
+    mesh (weights replicated); the full decode matches the plain
+    detector at FIXED indices (rank-by-rank top-K comparison across two
+    compilations reshuffles near-tie scores — the order-insensitivity
+    rule in CLAUDE.md). Serving under data_parallel passes its mesh so
+    detection scales with the slice like the two SPEC stages."""
+    import jax
+
+    import spec_tpu.parallel as par
+
+    buf, _ = _darknet_buffer()   # well-conditioned synthetic weights
+    wpath = tmp_path / 'yolo.weights'
+    wpath.write_bytes(buf)
+
+    rng = np.random.RandomState(0)
+    mesh = par.create_mesh()
+    n_dev = int(mesh.devices.size)
+    plain = YoloDetector(weights_path=str(wpath), img_size=96,
+                         batch_size=8)
+    sharded = YoloDetector(weights_path=str(wpath), img_size=96,
+                           batch_size=8, mesh=mesh)
+    assert sharded._min_pad == n_dev
+
+    # fixed-index full-decode parity, same batch through both programs
+    x = jnp.asarray(rng.rand(8, 96, 96, 3).astype('f4'))
+    rep, bs = par.replicated(mesh), par.batch_sharding(mesh)
+    f0 = jax.jit(lambda v, z: plain.model.apply(v, z, mutable=False))
+    f1 = jax.jit(lambda v, z: sharded.model.apply(v, z, mutable=False),
+                 in_shardings=(rep, bs), out_shardings=bs)
+    d0 = np.asarray(f0(plain.vars, x))
+    d1_dev = f1(sharded.vars, jax.device_put(x, bs))
+    assert len(d1_dev.sharding.device_set) == n_dev  # distributed
+    d1 = np.asarray(d1_dev)
+    rel = np.abs(d1 - d0).max() / (np.abs(d0).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+    # end-to-end contract smoke through the sharded path (tail pad
+    # rounds 3 frames up to the mesh multiple; per-frame fetch masks it)
+    out = sharded.detect([(rng.rand(80, 120, 3) * 255).astype(np.uint8)
+                          for _ in range(3)])
+    assert len(out) == 3
+    for b in out:
+        assert b.ndim == 2 and b.shape[1] == 4
+
+    with pytest.raises(ValueError, match='multiple'):
+        YoloDetector(img_size=96, batch_size=n_dev + 1, mesh=mesh)
+
+
 @pytest.mark.slow
 def test_demo_folder_yolo_detector_path(tmp_path):
     """spec_demo --detector yolo (random init, tiny size): the in-repo
