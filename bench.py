@@ -266,6 +266,82 @@ def train_bench(args):
     }, args)
 
 
+def eval_bench(args):
+    """Evaluation-step throughput: HMR forward + GENDERED GT SMPL (male
+    + female LBS, masked blend) + predicted-params SMPL + J14 H36M
+    Procrustes metrics + J24 + V2V, all in one jitted graph at the
+    production crop resolution — the work the reference does per batch
+    on the GPU (forward) plus per SAMPLE on the CPU (GT SMPL inside
+    dataloader workers, spec/dataset/cam_dataset.py:417-478; numpy
+    Procrustes, spec/trainer.py:291-302). Chained-scalar timing."""
+    import jax
+
+    from spec_tpu.core import smpl as S
+    from spec_tpu.eval.eval_loop import make_eval_step
+    from spec_tpu.models import HMR
+
+    B, res = args.batch, 224
+    rng = np.random.RandomState(0)
+    assets = {g: S.create_test_assets(seed=i)
+              for i, g in enumerate(('neutral', 'male', 'female'))}
+    jreg = np.asarray(assets['neutral'].j_regressor_h36m)
+    model = HMR(backbone=args.backbone, use_cam=True, use_cam_feats=True,
+                dtype=jnp.bfloat16)
+
+    eye = jnp.tile(jnp.eye(3), (B, 1, 1))
+    variables = model.init(
+        jax.random.PRNGKey(0), assets['neutral'],
+        jnp.zeros((B, res, res, 3)), eye, eye, jnp.ones((B,)),
+        jnp.ones((B, 2)), jnp.ones((B,)), jnp.ones((B,)))
+    K = np.tile(np.array([[1000., 0., 960.], [0., 1000., 540.],
+                          [0., 0., 1.]], 'f4'), (B, 1, 1))
+    batch = {
+        'img': jnp.asarray(rng.randn(B, res, res, 3).astype('f4')),
+        'pose': jnp.asarray((rng.randn(B, 72) * 0.15).astype('f4')),
+        'betas': jnp.asarray((rng.randn(B, 10) * 0.3).astype('f4')),
+        'gender': jnp.asarray((rng.rand(B) > 0.5).astype(np.int32)),
+        'scale': jnp.asarray((rng.rand(B) * 0.8 + 0.8).astype('f4')),
+        'center': jnp.asarray(
+            (rng.rand(B, 2) * 300 + np.array([600, 300])).astype('f4')),
+        'orig_shape': jnp.asarray(
+            np.tile(np.array([[1080., 1920.]], 'f4'), (B, 1))),
+        'cam_rotmat': eye,
+        'cam_intrinsics': jnp.asarray(K),
+    }
+
+    step = make_eval_step(model, assets, jreg, use_gender=True)
+
+    @jax.jit
+    def bench_step(acc, variables, batch):
+        out, j14, j24, v2v = step(variables, batch)
+        s = (jnp.sum(v2v)
+             + sum(jnp.sum(v) for v in j14.values())
+             + sum(jnp.sum(v) for v in j24.values())
+             + jnp.sum(out['smpl_vertices'].astype(jnp.float32)))
+        return acc + s
+
+    acc = bench_step(jnp.float32(0), variables, batch)
+    assert np.isfinite(float(acc))
+    rtt = _fetch_rtt()
+
+    iters = args.iters
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(iters):
+        acc = bench_step(acc, variables, batch)
+    total = float(acc)  # single forcing fetch
+    dt = time.perf_counter() - t0 - rtt
+    assert np.isfinite(total)
+    emit({
+        'metric': f'SPEC eval step (fwd + gendered GT LBS + J14 '
+                  f'Procrustes/J24/V2V on device, {args.backbone}), '
+                  f'B={B} 224^2',
+        'value': round(B * iters / dt, 2),
+        'unit': 'img/s/chip',
+        'ms_per_step': round(1000.0 * dt / iters, 3),
+    }, args)
+
+
 def serving_bench(args):
     """Multi-person serving-path bench: SpecPredictor's padded batching
     (stage-1 bucket per frame + stage-2 pad-to-power-of-two person
@@ -575,14 +651,16 @@ def main(argv=None):
     parser.add_argument('--iters', type=int, default=10)
     parser.add_argument('--mode',
                         choices=['pipeline', 'serving', 'train', 'detect',
-                                 'input'],
+                                 'input', 'eval'],
                         default='pipeline',
                         help='pipeline: fused one-graph headline bench; '
                              'serving: SpecPredictor multi-person path; '
                              'train: full train-step throughput; '
                              'detect: YOLOv3 person-detector throughput; '
                              'input: host loader (JPEG decode + SPIN '
-                             'crop) feeding the real train step')
+                             'crop) feeding the real train step; '
+                             'eval: eval step (fwd + gendered GT LBS + '
+                             'on-device J14/J24/V2V metrics)')
     parser.add_argument('--backbone', type=str, default='resnet50',
                         help='[train/input] HMR trunk (the production '
                              'model is resnet50; smaller trunks for '
@@ -628,6 +706,8 @@ def main(argv=None):
         return serving_bench(args)
     if args.mode == 'train':
         return train_bench(args)
+    if args.mode == 'eval':
+        return eval_bench(args)
     if args.mode == 'detect':
         return detect_bench(args)
     if args.mode == 'input':
