@@ -19,6 +19,13 @@ Protocol (numpy .npz over POST, self-describing):
                            scale = max_side/200 convention). Omitting
                            ALL boxes arrays asks the server to detect
                            (start with --detector yolo; 400 otherwise).
+                           Any frame may instead arrive ENCODED as
+                           frame_jpeg / frame_{i}_jpeg: a 1-D uint8
+                           buffer of JPEG (or PNG) bytes, decoded
+                           server-side — 10-20x less request transport
+                           for camera footage (use np.frombuffer(jpg,
+                           'u1'); np.savez_compressed barely helps on
+                           natural images).
        response: npz with n_frames, and per person arrays named
                  f{frame}_p{person}_{key} for the SPEC output tensors
                  (smpl_vertices, smpl_joints3d, smpl_joints2d,
@@ -45,32 +52,50 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def _decode_jpeg(buf: np.ndarray) -> np.ndarray:
+    """JPEG/PNG bytes (1-D uint8) -> RGB (H, W, 3) uint8."""
+    import cv2   # optional dep; only the encoded-frame path needs it
+
+    img = cv2.imdecode(np.asarray(buf, np.uint8).reshape(-1),
+                       cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError('frame_jpeg bytes did not decode as an image')
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
 def _decode_request(body: bytes):
     """-> (frames, boxes) where boxes is None when the request carries
     no box arrays at all (server-side detection, if configured)."""
     data = np.load(io.BytesIO(body), allow_pickle=False)
-    if 'frame' in data:
-        return [data['frame']], ([data['boxes']] if 'boxes' in data
-                                 else None)
+    if 'frame' in data or 'frame_jpeg' in data:
+        frame = (_decode_jpeg(data['frame_jpeg'])
+                 if 'frame_jpeg' in data else data['frame'])
+        return [frame], ([data['boxes']] if 'boxes' in data else None)
     frames, boxes = [], []
     i = 0
-    while f'frame_{i}' in data:
-        frames.append(data[f'frame_{i}'])
+    while f'frame_{i}' in data or f'frame_{i}_jpeg' in data:
+        frames.append(_decode_jpeg(data[f'frame_{i}_jpeg'])
+                      if f'frame_{i}_jpeg' in data
+                      else data[f'frame_{i}'])
         if f'boxes_{i}' in data:
             boxes.append(data[f'boxes_{i}'])
         i += 1
     if not frames:
-        raise ValueError("npz must contain 'frame'[+'boxes'] or "
-                         "'frame_0'[+'boxes_0'], ...")
+        raise ValueError("npz must contain 'frame'/'frame_jpeg'"
+                         "[+'boxes'] or 'frame_0'[+'boxes_0'], ...")
     # Orphaned arrays past the contiguous frame_0..frame_{n-1} run would
     # otherwise be DROPPED silently (e.g. frame_2 without frame_1, or a
     # boxes_1 index typo downgrading the request to server-side
     # detection).
+    def _idx(k: str):
+        parts = k.split('_')
+        return parts[1] if len(parts) >= 2 else ''
+
     orphans = sorted(
         k for k in data.files
         if (k.startswith('frame_') or k.startswith('boxes_'))
-        and not (k.split('_')[1].isdigit()
-                 and int(k.split('_')[1]) < len(frames)))
+        and k != 'frame_jpeg'
+        and not (_idx(k).isdigit() and int(_idx(k)) < len(frames)))
     if orphans:
         raise ValueError(
             f'arrays {orphans} do not match any frame_0..'

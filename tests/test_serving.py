@@ -1,6 +1,7 @@
 """Serving engine: persistent in-process two-stage predictor."""
 
 import numpy as np
+import pytest
 
 from spec_tpu.serving import SpecPredictor
 
@@ -103,6 +104,23 @@ def test_http_serving_roundtrip(rng):
         assert out['f1_camera'].shape == (4,)
         assert np.isfinite(out['f0_p0_smpl_vertices']).all()
 
+        # encoded-frame request: frame_jpeg rides the same pipeline
+        # (same post-resize bucket -> no new compile)
+        import cv2
+        ok, enc = cv2.imencode(
+            '.jpg', cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        assert ok
+        buf = io.BytesIO()
+        np.savez(buf, frame_jpeg=np.frombuffer(enc.tobytes(), np.uint8),
+                 boxes=boxes)
+        req = urllib.request.Request(base + '/predict',
+                                     data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out_j = np.load(io.BytesIO(r.read()))
+        assert int(out_j['n_frames']) == 1
+        assert int(out_j['f0_n_persons']) == 1
+        assert np.isfinite(out_j['f0_p0_smpl_vertices']).all()
+
         # malformed payload -> 400 with a JSON error, server stays up
         bad = urllib.request.Request(base + '/predict', data=b'not-an-npz')
         try:
@@ -151,6 +169,55 @@ class _StubDetector:
 
     def detect(self, frames, conf_thresh=None, nms_thresh=None):
         return self.detect_fetch(self.detect_dispatch(frames))
+
+
+def test_decode_request_jpeg_frames(rng):
+    """frame_jpeg / frame_{i}_jpeg: encoded request frames decode
+    server-side (exact cv2 roundtrip), mix freely with raw frames, keep
+    the contiguity guard, and actually shrink transport."""
+    import io
+
+    import cv2
+
+    from spec_tpu.cli.serve import _decode_request
+
+    # natural-image statistics (raw noise is JPEG's worst case)
+    frame = cv2.GaussianBlur(
+        (rng.rand(96, 128, 3) * 255).astype(np.float32),
+        (9, 9), 2.5).astype(np.uint8)
+    boxes = np.array([[64, 48, 60, 80]], np.float32)
+    ok, enc = cv2.imencode('.jpg', cv2.cvtColor(frame, cv2.COLOR_RGB2BGR),
+                           [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+    assert ok
+    jpg = np.frombuffer(enc.tobytes(), np.uint8)
+    assert jpg.nbytes < frame.nbytes / 3   # the point of the feature
+
+    def req(**arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    frames, bxs = _decode_request(req(frame_jpeg=jpg, boxes=boxes))
+    assert len(frames) == 1 and bxs is not None
+    ref = cv2.cvtColor(cv2.imdecode(jpg, cv2.IMREAD_COLOR),
+                       cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(frames[0], ref)
+
+    # multi-frame, raw and encoded mixed
+    frames, bxs = _decode_request(req(
+        frame_0=frame, boxes_0=boxes, frame_1_jpeg=jpg, boxes_1=boxes))
+    assert len(frames) == 2 and len(bxs) == 2
+    np.testing.assert_array_equal(frames[0], frame)
+    np.testing.assert_array_equal(frames[1], ref)
+
+    # encoded frames respect the index-contiguity guard
+    with pytest.raises(ValueError, match='contiguous'):
+        _decode_request(req(frame_0=frame, boxes_0=boxes,
+                            frame_2_jpeg=jpg))
+
+    # undecodable bytes -> clear error, not a crash
+    with pytest.raises(ValueError, match='decode'):
+        _decode_request(req(frame_jpeg=np.zeros(16, np.uint8)))
 
 
 def test_predictor_in_process_detection(rng):
