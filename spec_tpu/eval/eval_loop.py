@@ -176,6 +176,20 @@ def evaluate_dataset(
         _EVAL_STEP_CACHE[key] = step
     acc = MetricAccumulator(save_results=save_results)
 
+    # Upload the weights ONCE: a numpy pytree (checkpoint load, or the
+    # trainer's host-local device_get) passed straight into a jitted
+    # step re-transfers the full model on EVERY batch — harmless on the
+    # CPU test mesh, dominant through a real host->device link. Under a
+    # mesh the put also pre-replicates, so the step never reshards.
+    if mesh is not None:
+        import spec_tpu.parallel as par
+
+        variables = jax.device_put(variables, par.replicated(mesh))
+    else:
+        variables = jax.tree_util.tree_map(
+            lambda x: x if isinstance(x, jax.Array) else jnp.asarray(x),
+            variables)
+
     mean = jnp.asarray(C.IMG_NORM_MEAN)
     std = jnp.asarray(C.IMG_NORM_STD)
     batch_idx = 0
