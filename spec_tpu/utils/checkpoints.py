@@ -16,6 +16,18 @@ from typing import Optional
 import numpy as np
 
 
+def _on_device(variables: dict) -> dict:
+    """Converted variable trees must leave the loaders as DEVICE arrays:
+    a numpy pytree handed straight to a jitted forward re-uploads the
+    full model on EVERY call (invisible on CPU, ~100 MB/call on a real
+    host->device link). jnp.asarray is a no-op for leaves the
+    converters already created on device."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.asarray, variables)
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Load any of the three torch dialects -> flat {name: np.ndarray},
     with lightning ``model.`` prefixes stripped."""
@@ -90,7 +102,7 @@ def load_camcalib_variables(
         sd, backbone=backbone, num_fc_layers=num_fc_layers)
     if template is not None:
         variables = merge_with_template(variables, template)
-    return variables
+    return _on_device(variables)
 
 
 def load_spec_variables(path: str, backbone: str = 'resnet50',
@@ -104,7 +116,7 @@ def load_spec_variables(path: str, backbone: str = 'resnet50',
     variables = convert_torch_hmr_params(sd, backbone=backbone)
     if template is not None:
         variables = merge_with_template(variables, template)
-    return variables
+    return _on_device(variables)
 
 
 # ---------------------------------------------------------------------------
