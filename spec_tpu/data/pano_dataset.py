@@ -32,12 +32,24 @@ from spec_tpu.core import bins as B
 from spec_tpu.core import constants as C
 
 
-def aspect_resize(pil_img: Image.Image, min_size: int, max_size: int):
-    """torchvision-semantics Resize(min_size) with a max_size cap."""
-    w, h = pil_img.size
+def resize_scale(w: int, h: int, min_size: int, max_size: int) -> float:
+    """torchvision-semantics Resize(min_size) scale with a max_size cap.
+
+    The ONE definition of the resize formula: ``__getitem__`` (both
+    decode paths), ``shape_buckets`` and the fast-decode draft target
+    must all agree on the final ``round(dim * s)`` size or a 1-px drift
+    can cross a pad bucket boundary and break ``pad_collate(fixed_hw)``.
+    """
     s = min_size / min(w, h)
     if max(w, h) * s > max_size:
         s = max_size / max(w, h)
+    return s
+
+
+def aspect_resize(pil_img: Image.Image, min_size: int, max_size: int):
+    """torchvision-semantics Resize(min_size) with a max_size cap."""
+    w, h = pil_img.size
+    s = resize_scale(w, h, min_size, max_size)
     return pil_img.resize((round(w * s), round(h * s)), Image.BILINEAR)
 
 
@@ -147,20 +159,24 @@ class CameraRegressorDataset:
                                self.image_filenames[index])
         pil_img = Image.open(imgname)
         orig_shape = np.array(pil_img.size, np.int32)  # (W, H)
-        if self.fast_decode:
-            w, h = pil_img.size
-            s = self.min_size / min(w, h)
-            if max(w, h) * s > self.max_size:
-                s = self.max_size / max(w, h)
-            if s < 1.0:
-                # draft never returns smaller than requested, so a
-                # 1.15x margin keeps aspect_resize a strict downsample
-                pil_img.draft(None, (int(np.ceil(w * s * 1.15)),
-                                     int(np.ceil(h * s * 1.15))))
+        # The resize TARGET is always computed from the FULL-res header
+        # dims — the same numbers shape_buckets() predicts from. With
+        # fast_decode the draft-reduced dims differ (ceil rounding), and
+        # recomputing the scale from them can land 1 px past the
+        # predicted pad bucket, crashing pad_collate(fixed_hw).
+        w0, h0 = pil_img.size
+        s = resize_scale(w0, h0, self.min_size, self.max_size)
+        target = (round(w0 * s), round(h0 * s))
+        if self.fast_decode and s < 1.0:
+            # draft never returns smaller than requested, so a 1.15x
+            # margin keeps the final resize a strict downsample
+            pil_img.draft(None, (int(np.ceil(w0 * s * 1.15)),
+                                 int(np.ceil(h0 * s * 1.15))))
         pil_img = pil_img.convert('RGB')
         if self.is_train:
             pil_img = color_jitter(pil_img, self.rng)
-        pil_img = aspect_resize(pil_img, self.min_size, self.max_size)
+        if pil_img.size != target:
+            pil_img = pil_img.resize(target, Image.BILINEAR)
         img = np.asarray(pil_img, np.float32) / 255.0
         img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)
 

@@ -196,10 +196,22 @@ def image_dims(path):
     """Full-resolution (H, W) from the file header only — no pixel
     decode (PIL defers raster decoding until pixels are accessed). The
     fast_decode path needs the true dims for ``orig_shape``/K while the
-    pixels are decoded reduced."""
+    pixels are decoded reduced.
+
+    Must match what ``read_img`` (cv2) returns for the same file: cv2
+    APPLIES EXIF orientation by default, while the PIL header reports
+    pre-rotation dims — for orientation 5-8 (90°-family rotations) the
+    decoded raster is transposed, so the header dims are swapped here.
+    """
     from PIL import Image
     with Image.open(path) as im:
         w, h = im.size
+        try:
+            orientation = im.getexif().get(0x0112, 1)
+        except Exception:
+            orientation = 1
+    if orientation in (5, 6, 7, 8):
+        w, h = h, w
     return np.array([h, w], np.float32)
 
 
