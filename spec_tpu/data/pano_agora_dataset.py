@@ -17,6 +17,7 @@ from spec_tpu.data.pano_dataset import (
     aspect_resize,
     color_jitter,
     encode_targets,
+    resize_scale,
 )
 
 
@@ -91,9 +92,7 @@ class PanoAgoraDataset:
             path = os.path.join(self.dataset_folder, str(self.imgname[i]))
             with Image.open(path) as im:
                 w, h = im.size
-            s = self.min_size / min(w, h)
-            if max(w, h) * s > self.max_size:
-                s = self.max_size / max(w, h)
+            s = resize_scale(w, h, self.min_size, self.max_size)
             hh, ww = round(h * s), round(w * s)
             buckets[(-(-hh // m) * m, -(-ww // m) * m)].append(i)
         return dict(buckets)

@@ -212,9 +212,7 @@ class CameraRegressorDataset:
             path = os.path.join(self.dataset_folder, 'images', name)
             with Image.open(path) as im:
                 w, h = im.size
-            s = self.min_size / min(w, h)
-            if max(w, h) * s > self.max_size:
-                s = self.max_size / max(w, h)
+            s = resize_scale(w, h, self.min_size, self.max_size)
             buckets[self.bucket_of((round(h * s), round(w * s)))].append(i)
         return dict(buckets)
 

@@ -143,6 +143,28 @@ def test_reduced_decode_crop_parity(big_jpeg):
     assert abs(shift_x) < 0.1 and abs(shift_y) < 0.1, (shift_x, shift_y)
 
 
+@pytest.mark.parametrize('orientation', [1, 3, 6, 8])
+def test_image_dims_exif_orientation(tmp_path, orientation):
+    """image_dims (header-only) must report the dims of what read_img
+    (cv2, which APPLIES EXIF orientation) decodes — for the 90-degree
+    family (5-8) the raster is transposed vs the stored raster."""
+    from PIL import Image
+
+    H, W = 96, 160
+    arr = (np.mgrid[0:H, 0:W][1] % 256).astype(np.uint8)
+    im = Image.fromarray(np.stack([arr] * 3, -1))
+    exif = Image.Exif()
+    exif[0x0112] = orientation
+    p = str(tmp_path / f'orient{orientation}.jpg')
+    im.save(p, exif=exif)
+
+    decoded = T.read_img(p)
+    assert tuple(T.image_dims(p).astype(int)) == decoded.shape[:2]
+    red = T.read_img(p, reduce=2)
+    assert red.shape[:2] == tuple(
+        int(np.ceil(d / 2)) for d in decoded.shape[:2])
+
+
 # ---------------------------------------------------------------------------
 # dataset
 # ---------------------------------------------------------------------------
