@@ -146,7 +146,9 @@ def main(argv=None):
                         render_res=cfg.DATASET.RENDER_RES,
                         num_images=num_images,
                         emit_disp_img=cfg.TESTING.SAVE_IMAGES,
-                        decode_cache=cfg.DATASET.get('DECODE_CACHE', 0))
+                        decode_cache=cfg.DATASET.get('DECODE_CACHE', 0),
+                        native_decode=cfg.DATASET.get('NATIVE_DECODE',
+                                                      True))
         if not cfg.TESTING.USE_GT_CAM and ds.camcalib_pitch is None:
             # Without camcalib_* columns the 'predicted camera' silently
             # degrades to the identity-rotation f=5000 fallback and the

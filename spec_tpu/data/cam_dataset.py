@@ -147,6 +147,9 @@ class CamDataset:
         seed: int = 0,
         fast_decode: bool = False,
         decode_cache: int = 0,
+        native_decode='auto',
+        region_cache_dir: str = '',
+        region_cache_format: str = 'jpeg',
     ):
         self.dataset = dataset
         self.img_dir = img_dir
@@ -178,6 +181,23 @@ class CamDataset:
         # analogue (the torch loader decodes per sample).
         self._frame_cache = _FrameCache(decode_cache) if decode_cache \
             else None
+        # Native host engine (native/jpegroi.cpp): fused JPEG ROI decode
+        # + crop — decodes ONLY the scanline window the crop samples
+        # (decode is 92% of the python item cost at 1080p). 'auto'/True:
+        # use when the toolchain built _native.so and the file/EXIF
+        # qualifies, else fall back to the cv2 path per item; False:
+        # always cv2 (the parity oracle). Resolved lazily (first item)
+        # so constructing datasets never triggers a g++ build.
+        self.native_decode = bool(native_decode)
+        self._native = None
+        # Per-sample crop-region cache (see data/region_cache.py):
+        # epoch 1 decodes normally, later epochs decode only the small
+        # cached region. Requires the native engine.
+        self._region_cache = None
+        if region_cache_dir:
+            from spec_tpu.data.region_cache import RegionCache
+            self._region_cache = RegionCache(region_cache_dir,
+                                             fmt=region_cache_format)
         self.rng = np.random.RandomState(seed)
 
         data = np.load(annot_file, allow_pickle=True)
@@ -322,28 +342,9 @@ class CamDataset:
 
         t0 = time.perf_counter()
         imgname = join(self.img_dir, str(self.imgname[index]))
-        reduce = 1
-        if self.fast_decode:
-            # The crop consumers of THIS sample set the floor: the
-            # img_res model crop, plus the render_res disp crop on the
-            # eval path. keypoints/K/orig_shape stay in full-res coords.
-            need = self.img_res
-            if not self.is_train and self.emit_disp_img:
-                need = max(need, self.render_res)
-            reduce = T.pick_reduce(T.BBOX_SIDE * sc * scale, need)
-        def _decode():
-            if reduce > 1:
-                # header-only exact dims; pixels decode reduced
-                return (T.read_img(imgname, reduce=reduce),
-                        T.image_dims(imgname))
-            img = T.read_img(imgname)
-            return img, np.array(img.shape[:2], np.float32)
-
-        if self._frame_cache is not None:
-            cv_img, orig_shape = self._frame_cache.get_or_compute(
-                (imgname, reduce), _decode)
-        else:
-            cv_img, orig_shape = _decode()
+        want_disp = not self.is_train and self.emit_disp_img
+        raw_crop, disp, orig_shape = self._crops(
+            index, imgname, center, sc * scale, rot, want_disp)
         load_time = time.perf_counter() - t0
 
         pose = (self.pose[index].copy() if self.has_smpl[index]
@@ -354,17 +355,13 @@ class CamDataset:
         keypoints = self._j2d(keypoints, center, sc * scale, rot, flip)
 
         t1 = time.perf_counter()
-        img = self._rgb(cv_img, center, sc * scale, rot, flip, pn,
-                        keypoints, reduce=reduce)
+        img = self._rgb(raw_crop, flip, pn, keypoints)
         proc_time = time.perf_counter() - t1
 
         item['img'] = img
-        if not self.is_train and self.emit_disp_img:
+        if want_disp:
             # RENDER_RES crop for validation overlays (reference
             # cam_dataset.py:373-381 disp_img).
-            disp = T.crop_from_reduced(
-                cv_img, center, sc * scale,
-                [self.render_res, self.render_res], reduce, rot=rot)
             item['disp_img'] = (disp / 255.0).astype(np.float32)
         item['pose'] = self._pose(pose, rot, flip)
         item['betas'] = betas
@@ -463,10 +460,251 @@ class CamDataset:
                 rot = 0.0
         return flip, pn, rot, sc
 
-    def _rgb(self, img, center, scale, rot, flip, pn, kp2d, reduce=1):
-        out = T.crop_from_reduced(img, center, scale,
-                                  [self.img_res, self.img_res], reduce,
-                                  rot=rot)
+    # -- decode + crop paths ----------------------------------------------
+
+    def _native_ok(self) -> bool:
+        """Lazy native-engine resolution (never builds at __init__)."""
+        if self._native is None:
+            if not self.native_decode:
+                self._native = False
+            else:
+                from spec_tpu import native
+                self._native = native.available()
+        return self._native
+
+    def _reduce_for(self, scale) -> int:
+        """fast_decode ladder: the crop consumers of this sample set the
+        floor — the img_res model crop, plus the render_res disp crop on
+        the eval path. keypoints/K/orig_shape stay in full-res coords."""
+        if not self.fast_decode:
+            return 1
+        need = self.img_res
+        if not self.is_train and self.emit_disp_img:
+            need = max(need, self.render_res)
+        return T.pick_reduce(T.BBOX_SIDE * scale, need)
+
+    def _decode(self, imgname, reduce):
+        if reduce > 1:
+            # header-only exact dims; pixels decode reduced
+            return (T.read_img(imgname, reduce=reduce),
+                    T.image_dims(imgname))
+        img = T.read_img(imgname)
+        return img, np.array(img.shape[:2], np.float32)
+
+    def _plans(self, center, scale, rot, want_disp, reduce):
+        """Crop plan(s) for the native sampler: model crop + optional
+        disp crop. The SPIN clamp box applies exactly where the python
+        path is bit-faithful (transforms.crop: rot == 0 at full res);
+        the reduced/rotated paths are BORDER_CONSTANT affine warps
+        (transforms.crop_from_reduced)."""
+        res = [self.img_res, self.img_res]
+        aff, box = T.crop_affine(center, scale, res, rot)
+        clamp = rot == 0 and reduce == 1
+        plans = [(res, aff, box if clamp else None)]
+        if want_disp:
+            dres = [self.render_res, self.render_res]
+            aff2, box2 = T.crop_affine(center, scale, dres, rot)
+            plans.append((dres, aff2, box2 if clamp else None))
+        return plans
+
+    def _crops(self, index, imgname, center, scale, rot, want_disp):
+        """Decode + crop -> (model crop f32 [0,255] HWC, disp crop or
+        None, orig_shape). Path priority: per-sample region cache >
+        decoded-frame LRU > native fused ROI decode > python cv2; every
+        native step degrades to the cv2 path per item (non-JPEG bytes,
+        EXIF-rotated files, decode errors, missing toolchain)."""
+        native_ok = self._native_ok()
+
+        if self._region_cache is not None and native_ok:
+            out = self._region_crops(index, imgname, center, scale, rot,
+                                     want_disp)
+            if out is not None:
+                return out
+
+        reduce = self._reduce_for(scale)
+
+        if self._frame_cache is not None:
+            cv_img, orig_shape = self._frame_cache.get_or_compute(
+                (imgname, reduce), lambda: self._decode(imgname, reduce))
+            crop, disp = self._crops_from_frame(
+                cv_img, center, scale, rot, want_disp, reduce, native_ok)
+            return crop, disp, orig_shape
+
+        if native_ok:
+            out = self._fused_crops(imgname, center, scale, rot,
+                                    want_disp, reduce)
+            if out is not None:
+                return out
+
+        cv_img, orig_shape = self._decode(imgname, reduce)
+        crop, disp = self._crops_from_frame(
+            cv_img, center, scale, rot, want_disp, reduce, native_ok)
+        return crop, disp, orig_shape
+
+    def _crops_from_frame(self, cv_img, center, scale, rot, want_disp,
+                          reduce, native_ok):
+        """Crop(s) from an in-memory decoded frame — native sampler when
+        available (no full-frame float32 materialization), cv2 twin
+        otherwise."""
+        if native_ok and cv_img.dtype == np.uint8:
+            from spec_tpu import native
+            plans = self._plans(center, scale, rot, want_disp, reduce)
+            crops = [native.crop_affine_u8(cv_img, aff, res, box=box,
+                                           reduce=reduce)
+                     for res, aff, box in plans]
+        else:
+            crops = [T.crop_from_reduced(
+                cv_img, center, scale, [self.img_res, self.img_res],
+                reduce, rot=rot)]
+            if want_disp:
+                crops.append(T.crop_from_reduced(
+                    cv_img, center, scale,
+                    [self.render_res, self.render_res], reduce, rot=rot))
+        return crops[0], (crops[1] if want_disp else None)
+
+    def _fused_crops(self, imgname, center, scale, rot, want_disp,
+                     reduce):
+        """Fused native path: probe the header, then decode ONLY the
+        crop's scanline window and sample the crop(s) in native code —
+        no python-visible frame. None -> caller falls back to cv2."""
+        from spec_tpu import native
+        try:
+            data = np.fromfile(imgname, np.uint8)
+        except OSError:
+            raise FileNotFoundError(imgname)
+        if data.size < 2 or data[0] != 0xFF or data[1] != 0xD8:
+            return None                       # not a JPEG
+        probe = native.jpeg_probe(data)
+        if probe is None or probe[2] != 1:    # undecodable / EXIF-rotated
+            return None
+        H, W = probe[0], probe[1]
+        plans = self._plans(center, scale, rot, want_disp, reduce)
+        crops = T.native_jpeg_crops(data, plans, (H, W), reduce=reduce)
+        if crops is None:
+            return None
+        return crops[0], (crops[1] if want_disp else None), \
+            np.array([H, W], np.float32)
+
+    # -- region cache -------------------------------------------------------
+
+    def _region_window(self, index):
+        """Deterministic per-index decode window covering EVERY crop
+        this sample can request under the augmentation bounds: max scale
+        jitter (sc <= 1 + scale_factor), random_crop center shifts (the
+        sub-box always stays inside the original box, so the
+        (1+sf)-scaled box centered at the ORIGINAL center covers it),
+        and the rotated box's bounding square (side * sqrt(2))."""
+        center = self.center[index]
+        scale = float(self.scale[index])
+        sf = self.aug.scale_factor if self.is_train else 0.0
+        need = self.img_res
+        if not self.is_train and self.emit_disp_img:
+            need = max(need, self.render_res)
+        r = 1
+        if self.fast_decode:
+            # the FINEST grid any jitter needs (smallest possible box)
+            r = T.pick_reduce(T.BBOX_SIDE * max(scale * (1 - sf), 1e-3),
+                              need)
+        side = T.BBOX_SIDE * scale * (1 + sf)
+        if self.is_train and self.aug.rot_factor > 0:
+            side *= np.sqrt(2.0)
+        half = side / 2.0 + 4.0   # corner-truncation + bilinear slack
+        return (float(center[0]) - half, float(center[1]) - half,
+                float(center[0]) + half, float(center[1]) + half), r
+
+    def _clamped_window(self, u0, v0, u1, v1, r, rh, rw):
+        off = (r - 1) / 2.0
+        x0 = max(0, int(np.floor((u0 - off) / r)) - 2)
+        y0 = max(0, int(np.floor((v0 - off) / r)) - 2)
+        x1 = min(rw, int(np.ceil((u1 - off) / r)) + 3)
+        y1 = min(rh, int(np.ceil((v1 - off) / r)) + 3)
+        return x0, y0, x1, y1
+
+    def _fill_region(self, index, imgname):
+        (u0, v0, u1, v1), r = self._region_window(index)
+        from spec_tpu import native
+        try:
+            data = np.fromfile(imgname, np.uint8)
+        except OSError:
+            raise FileNotFoundError(imgname)
+        probe = None
+        if data.size >= 2 and data[0] == 0xFF and data[1] == 0xD8:
+            probe = native.jpeg_probe(data)
+            if probe is not None and probe[2] != 1:
+                probe = None                   # EXIF-rotated: cv2 path
+        if probe is not None:
+            H, W = probe[0], probe[1]
+            x0, y0, x1, y1 = self._clamped_window(
+                u0, v0, u1, v1, r, -(-H // r), -(-W // r))
+            if x1 <= x0 or y1 <= y0:
+                return None                    # box fully off-frame
+            got = native.jpeg_decode_roi(data, x0, y0, x1 - x0, y1 - y0,
+                                         reduce=r)
+            if got is None:
+                return None
+            region = got[0]
+        else:
+            cv_img, dims = self._decode(imgname, r)
+            H, W = int(dims[0]), int(dims[1])
+            x0, y0, x1, y1 = self._clamped_window(
+                u0, v0, u1, v1, r, cv_img.shape[0], cv_img.shape[1])
+            if x1 <= x0 or y1 <= y0 or cv_img.dtype != np.uint8:
+                return None
+            region = np.ascontiguousarray(cv_img[y0:y1, x0:x1])
+        self._region_cache.put(index, region, x0, y0, r, (H, W))
+        return region, {'x0': x0, 'y0': y0, 'reduce': r,
+                        'full_hw': (H, W)}
+
+    def _region_covers(self, region, meta, plans, r):
+        """Does the cached region contain every bilinear tap of every
+        plan? Can go stale when the aug bounds GROW between runs (the
+        window is sized to the fill-time config) — a stale region would
+        silently zero-pad crop borders, so detect and refill instead."""
+        H, W = meta['full_hw']
+        for res, aff, box in plans:
+            win = T.sample_window(aff, box, res, (H, W), r)
+            if win is None:
+                continue    # crop misses the frame: all-zero either way
+            x0, y0, w, h = win
+            if (x0 < meta['x0'] or y0 < meta['y0']
+                    or x0 + w > meta['x0'] + region.shape[1]
+                    or y0 + h > meta['y0'] + region.shape[0]):
+                return False
+        return True
+
+    def _region_crops(self, index, imgname, center, scale, rot,
+                      want_disp):
+        got = self._region_cache.get(index)
+        fresh = got is None
+        if fresh:
+            got = self._fill_region(index, imgname)
+        if got is None:
+            return None
+        region, meta = got
+        r = meta['reduce']
+        from spec_tpu import native
+        plans = self._plans(center, scale, rot, want_disp, r)
+        if not self._region_covers(region, meta, plans, r):
+            if fresh:
+                return None       # window math can't cover: cv2 path
+            got = self._fill_region(index, imgname)   # stale: refill
+            if got is None:
+                return None
+            region, meta = got
+            r = meta['reduce']
+            plans = self._plans(center, scale, rot, want_disp, r)
+            if not self._region_covers(region, meta, plans, r):
+                return None
+        origin = (meta['x0'], meta['y0'])
+        crops = [native.crop_affine_u8(region, aff, res, box=box,
+                                       reduce=r, origin=origin)
+                 for res, aff, box in plans]
+        return crops[0], (crops[1] if want_disp else None), \
+            np.array(meta['full_hw'], np.float32)
+
+    # -- crop post-processing ---------------------------------------------
+
+    def _rgb(self, out, flip, pn, kp2d):
         if flip:
             out = T.flip_img(out)
         if self.occluders is not None and self.aug.use_occlusion:

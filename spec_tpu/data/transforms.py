@@ -271,6 +271,120 @@ def crop_from_reduced(img, center, scale, res, reduce: int, rot=0):
         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
 
 
+def crop_affine(center, scale, res, rot=0):
+    """The SPIN crop as a dst -> full-res-src affine (the single
+    closed-form shared by the python cv2 paths above and the native
+    sampler ``native.crop_affine_u8`` / ``native.jpeg_roi_crop``).
+
+    Returns ``(aff (2, 3) float32, box (4,) float32 or None)``:
+
+    * rot == 0: the zero-pad-slice + cv2.resize map of :func:`crop` —
+      dst (x, y) samples src ``((x + .5) * bw / res_w - .5 + ulx, ...)``
+      with coords CLAMPED to the integer SPIN box (``box`` is
+      ``[x0, y0, x1, y1]`` inclusive; corners from the exact
+      :func:`transform_point` truncation, so knife edges match the
+      python path bit-for-bit).
+    * rot != 0: the inverse of :func:`get_transform` (what
+      cv2.warpAffine inverts internally in :func:`crop`); no clamp box —
+      BORDER_CONSTANT semantics.
+    """
+    if rot == 0:
+        ul = transform_point([1, 1], center, scale, res, invert=1) - 1
+        br = transform_point([res[0] + 1, res[1] + 1], center, scale, res,
+                             invert=1) - 1
+        bw, bh = br[0] - ul[0], br[1] - ul[1]
+        ax, ay = bw / res[1], bh / res[0]
+        aff = np.array([[ax, 0, 0.5 * ax - 0.5 + ul[0]],
+                        [0, ay, 0.5 * ay - 0.5 + ul[1]]], np.float32)
+        box = np.array([ul[0], ul[1], ul[0] + bw - 1, ul[1] + bh - 1],
+                       np.float32)
+        return aff, box
+    t = get_transform(center, scale, res, rot=rot)
+    return np.linalg.inv(t)[:2].astype(np.float32), None
+
+
+def sample_window(aff, box, res, frame_hw, reduce: int = 1,
+                  margin: int = 2):
+    """Smallest reduced-grid window covering every bilinear tap of the
+    crop ``(aff, box)``: the native ROI decode reads only this.
+
+    Returns ``(x0, y0, w, h)`` in 1/reduce-grid coords clamped to the
+    scaled frame, or None when the crop box lies entirely outside the
+    frame (the crop is all zeros)."""
+    if box is not None:
+        u0, v0, u1, v1 = (float(b) for b in box)
+    else:
+        res_h, res_w = int(res[0]), int(res[1])
+        cs = np.array([[0, res_w - 1, 0, res_w - 1],
+                       [0, 0, res_h - 1, res_h - 1],
+                       [1, 1, 1, 1]], np.float64)
+        uv = np.asarray(aff, np.float64) @ cs
+        u0, u1 = uv[0].min(), uv[0].max()
+        v0, v1 = uv[1].min(), uv[1].max()
+    off = (reduce - 1) / 2.0
+    x0 = int(np.floor((u0 - off) / reduce)) - margin
+    x1 = int(np.ceil((u1 - off) / reduce)) + margin + 1
+    y0 = int(np.floor((v0 - off) / reduce)) - margin
+    y1 = int(np.ceil((v1 - off) / reduce)) + margin + 1
+    rh = int(np.ceil(frame_hw[0] / reduce))
+    rw = int(np.ceil(frame_hw[1] / reduce))
+    x0, y0 = max(0, x0), max(0, y0)
+    x1, y1 = min(rw, x1), min(rh, y1)
+    if x1 <= x0 or y1 <= y0:
+        return None
+    return x0, y0, x1 - x0, y1 - y0
+
+
+def native_jpeg_crops(data, plans, frame_hw, reduce: int = 1):
+    """Native fused JPEG ROI decode + SPIN crop(s) of ONE frame.
+
+    ``plans``: list of ``(res, aff, box)`` (from :func:`crop_affine`).
+    A single plan decodes + samples in one native call; multiple plans
+    (the eval disp_img path) decode the union window once and sample
+    each crop from it. Crops whose window misses the frame are zeros
+    (matching :func:`crop`'s zero padding).
+
+    Returns a list of float32 ``(res_h, res_w, 3)`` crops in [0, 255],
+    or None when the native decode is unavailable/fails (caller falls
+    back to the cv2 path)."""
+    from spec_tpu import native
+    if not native.available():
+        return None
+    wins, crops = [], [None] * len(plans)
+    for res, aff, box in plans:
+        wins.append(sample_window(aff, box, res, frame_hw, reduce))
+    live = [i for i, w in enumerate(wins) if w is not None]
+    for i, w in enumerate(wins):
+        if w is None:
+            res = plans[i][0]
+            crops[i] = np.zeros((int(res[0]), int(res[1]), 3), np.float32)
+    if not live:
+        return crops
+    if len(live) == 1:
+        i = live[0]
+        res, aff, box = plans[i]
+        out = native.jpeg_roi_crop(data, wins[i], aff, res, box=box,
+                                   reduce=reduce)
+        if out is None:
+            return None
+        crops[i] = out
+        return crops
+    x0 = min(wins[i][0] for i in live)
+    y0 = min(wins[i][1] for i in live)
+    x1 = max(wins[i][0] + wins[i][2] for i in live)
+    y1 = max(wins[i][1] + wins[i][3] for i in live)
+    got = native.jpeg_decode_roi(data, x0, y0, x1 - x0, y1 - y0,
+                                 reduce=reduce)
+    if got is None:
+        return None
+    strip, _ = got
+    for i in live:
+        res, aff, box = plans[i]
+        crops[i] = native.crop_affine_u8(strip, aff, res, box=box,
+                                         reduce=reduce, origin=(x0, y0))
+    return crops
+
+
 def motion_blur(img, rng, p=0.5, kernel_range=(3, 7)):
     """Albumentations-MotionBlur equivalent (reference
     spec/dataset/cam_dataset.py:267-272): random-direction line kernel."""

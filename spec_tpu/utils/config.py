@@ -303,6 +303,16 @@ def spec_default_config() -> CfgNode:
             # instead of samples when shuffling train epochs, so cache
             # siblings land in the same batch. Spec_tpu extension.
             'GROUP_BY_FRAME': False,
+            # Native fused JPEG ROI decode+crop host engine
+            # (native/jpegroi.cpp) — decodes only the crop's scanline
+            # window. True = use when available, per-item cv2 fallback;
+            # False = always the python/cv2 oracle. Spec_tpu extension.
+            'NATIVE_DECODE': True,
+            # Per-sample crop-region cache directory (''=off): epoch 1
+            # decodes frames once, later epochs decode only the small
+            # cached region (data/region_cache.py). Spec_tpu extension.
+            'REGION_CACHE_DIR': '',
+            'REGION_CACHE_FORMAT': 'jpeg',
             'PIN_MEMORY': True,
             'SHUFFLE_TRAIN': True,
             'TRAIN_DS': 'all',

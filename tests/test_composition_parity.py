@@ -109,12 +109,19 @@ def torch_smpl_joints49(smpl, jre, betas_t, rotmats_t):
 
 
 class TorchSPEC(nn.Module):
-    """Independent torch HMR twin (resnet18 trunk + cam-conditioned head)."""
+    """Independent torch HMR twin (cam-conditioned head; resnet18 for
+    the fast gate, resnet50 — the RELEASED trunk, reference
+    spec/config.py:152-163 — in the slow tier)."""
 
-    def __init__(self):
+    def __init__(self, backbone='resnet18'):
         super().__init__()
-        self.backbone = TorchResNet(TorchBasic, (2, 2, 2, 2))
-        self.head = TorchHMRHead(nfeat=512, use_cam_feats=True)
+        from tests.test_backbones import TorchBottleneck
+        if backbone == 'resnet50':
+            self.backbone = TorchResNet(TorchBottleneck, (3, 4, 6, 3))
+            self.head = TorchHMRHead(nfeat=2048, use_cam_feats=True)
+        else:
+            self.backbone = TorchResNet(TorchBasic, (2, 2, 2, 2))
+            self.head = TorchHMRHead(nfeat=512, use_cam_feats=True)
 
     def forward(self, crops, cam_rotmat, cam_vfov):
         xf = self.backbone(crops).mean(dim=(2, 3))
@@ -202,8 +209,15 @@ def torch_two_stage_pipeline(tm_cc, tm_spec, smpl, jre, frames, boxes):
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope='module')
-def pipeline_fixture(tmp_path_factory):
+@pytest.fixture(scope='module',
+                params=['resnet18',
+                        pytest.param('resnet50', marks=pytest.mark.slow)])
+def pipeline_fixture(request, tmp_path_factory):
+    """resnet18 composes in the fast gate; resnet50 (the RELEASED trunk
+    for both stages — bottleneck converter + 2048-feat cam-conditioned
+    head, exactly what the published checkpoints exercise) runs in the
+    slow tier."""
+    backbone = request.param
     root = tmp_path_factory.mktemp('spec_data')
     torch.manual_seed(0)
 
@@ -221,14 +235,14 @@ def pipeline_fixture(tmp_path_factory):
     np.save(root / 'J_regressor_h36m.npy', jrh / jrh.sum(1, keepdims=True))
 
     # Torch models -> lightning-dialect checkpoints (the REAL ckpt path).
-    tm_cc = TorchCamCalib().eval()
+    tm_cc = TorchCamCalib(backbone=backbone).eval()
     (root / 'camcalib').mkdir()
     cc_ckpt = root / 'camcalib' / 'camcalib.ckpt'
     torch.save({'state_dict': {'model.' + k: v
                                for k, v in tm_cc.state_dict().items()},
                 'epoch': 3}, cc_ckpt)
 
-    tm_spec = TorchSPEC().eval()
+    tm_spec = TorchSPEC(backbone=backbone).eval()
     (root / 'spec').mkdir()
     spec_ckpt = root / 'spec' / 'spec.ckpt'
     torch.save({'state_dict': {'model.' + k: v
@@ -236,7 +250,8 @@ def pipeline_fixture(tmp_path_factory):
                 'epoch': 7}, spec_ckpt)
 
     return dict(root=root, raw=raw, jre=jre, tm_cc=tm_cc, tm_spec=tm_spec,
-                cc_ckpt=str(cc_ckpt), spec_ckpt=str(spec_ckpt))
+                cc_ckpt=str(cc_ckpt), spec_ckpt=str(spec_ckpt),
+                backbone=backbone)
 
 
 def test_full_pipeline_composition_parity(pipeline_fixture, monkeypatch):
@@ -264,8 +279,8 @@ def test_full_pipeline_composition_parity(pipeline_fixture, monkeypatch):
     pred = SpecPredictor(
         spec_ckpt=fx['spec_ckpt'], camcalib_ckpt=fx['cc_ckpt'],
         smpl_model_dir=str(fx['root'] / 'body_models' / 'smpl'),
-        backbone='resnet18', use_cam_feats=True,
-        camcalib_backbone='resnet18', min_size=96, batch_size=8)
+        backbone=fx['backbone'], use_cam_feats=True,
+        camcalib_backbone=fx['backbone'], min_size=96, batch_size=8)
     cams_j = pred.estimate_cameras(frames)
     res_j = pred.predict(frames, boxes, cameras=cams_j)
 

@@ -432,7 +432,9 @@ def test_frame_cache_dedup_and_thread_safety(tmp_path, rng):
     annot_file = tmp_path / 'annots.npz'
     np.savez(annot_file, **annot)
 
-    kw = dict(dataset='3dpw-test-cam', is_train=False)
+    # native_decode=False: the fused native path never calls T.read_img,
+    # which this test patches to count decodes.
+    kw = dict(dataset='3dpw-test-cam', is_train=False, native_decode=False)
     plain = CamDataset(str(annot_file), str(img_dir), **kw)
     cachd = CamDataset(str(annot_file), str(img_dir), decode_cache=4, **kw)
     decodes = {'n': 0}

@@ -30,14 +30,22 @@ from tests.test_backbones import TorchResNet, TorchBasic
 
 class TorchCamCalib(nn.Module):
     """Independent torch construction mirroring the reference
-    CameraRegressorNetwork graph (backbone + avgpool + 3 single FC heads)."""
+    CameraRegressorNetwork graph (backbone + avgpool + 3 single FC
+    heads). ``backbone='resnet50'`` builds the RELEASED trunk
+    (reference scripts/camcalib_demo.py:74-78)."""
 
-    def __init__(self):
+    def __init__(self, backbone='resnet18'):
         super().__init__()
-        self.backbone = TorchResNet(TorchBasic, (2, 2, 2, 2))
-        self.fc_vfov = nn.Linear(512, 256)
-        self.fc_pitch = nn.Linear(512, 256)
-        self.fc_roll = nn.Linear(512, 256)
+        from tests.test_backbones import TorchBottleneck
+        if backbone == 'resnet50':
+            self.backbone = TorchResNet(TorchBottleneck, (3, 4, 6, 3))
+            nf = 2048
+        else:
+            self.backbone = TorchResNet(TorchBasic, (2, 2, 2, 2))
+            nf = 512
+        self.fc_vfov = nn.Linear(nf, 256)
+        self.fc_pitch = nn.Linear(nf, 256)
+        self.fc_roll = nn.Linear(nf, 256)
 
     def forward(self, x):
         f = self.backbone(x)
