@@ -101,7 +101,14 @@ def main(argv=None):
                 use_cam_feats=cfg.HMR.USE_CAM_FEATS,
                 dtype=getattr(_jnp, cfg.HMR.get('DTYPE', 'float32')))
     ckpt = args.ckpt or paths.spec_checkpoint_path()
-    if os.path.exists(ckpt):
+    from spec_tpu.utils.checkpoints import latest_step, load_orbax_variables
+    if os.path.isdir(ckpt) and latest_step(ckpt) is not None:
+        # A spec_train orbax checkpoint dir (<logdir>/checkpoints) — the
+        # native train->eval product path.
+        variables = load_orbax_variables(ckpt)
+        print(f'[eval] loaded orbax checkpoint from {ckpt} '
+              f'(step {latest_step(ckpt)})')
+    elif os.path.exists(ckpt):
         variables = load_spec_variables(ckpt, backbone=cfg.HMR.BACKBONE)
     else:
         print(f'[eval] WARNING: checkpoint {ckpt} missing; random init')

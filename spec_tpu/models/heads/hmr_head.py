@@ -112,12 +112,25 @@ class HMRHead(nn.Module):
                        param_dtype=jnp.float32, name='fc1')
         fc2 = nn.Dense(self.hidden_dim, dtype=self.dtype,
                        param_dtype=jnp.float32, name='fc2')
+        # Decoder init = xavier_uniform(gain=0.01), the reference's
+        # (SPIN/PARE hmr_head) nn.init.xavier_uniform_(w, gain=0.01):
+        # the iterative residual updates must start NEAR ZERO so a
+        # random-init model predicts ~the mean params. Flax's default
+        # lecun init makes iteration-0 cam offsets O(1), which drives
+        # s negative and overflows the exp(-10 s)^2 cam regularizer
+        # (observed: loss 4e35, frozen training). gain g -> variance
+        # scale g^2 under fan_avg/uniform.
+        dec_init = nn.initializers.variance_scaling(
+            1e-4, 'fan_avg', 'uniform')
         decpose = nn.Dense(NPOSE, dtype=self.dtype,
-                           param_dtype=jnp.float32, name='decpose')
+                           param_dtype=jnp.float32, name='decpose',
+                           kernel_init=dec_init)
         decshape = nn.Dense(10, dtype=self.dtype,
-                            param_dtype=jnp.float32, name='decshape')
+                            param_dtype=jnp.float32, name='decshape',
+                            kernel_init=dec_init)
         deccam = nn.Dense(3, dtype=self.dtype,
-                          param_dtype=jnp.float32, name='deccam')
+                          param_dtype=jnp.float32, name='deccam',
+                          kernel_init=dec_init)
         drop1 = nn.Dropout(self.dropout_rate, name='drop1')
         drop2 = nn.Dropout(self.dropout_rate, name='drop2')
 

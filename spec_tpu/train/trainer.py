@@ -127,8 +127,15 @@ class SpecTrainer:
         if cfg.LOGDIR and self.is_main:
             try:
                 from torch.utils.tensorboard import SummaryWriter
+                # max_queue default is 10: on a slow-fsync filesystem
+                # the writer thread's flushes back up the queue and
+                # add_scalar BLOCKS THE TRAIN LOOP (profiled: 80 s of
+                # queue.put waits in a 3-minute CPU run). A deep queue +
+                # rare flushes decouple logging from stepping; close()
+                # still drains everything at exit.
                 self.writer = SummaryWriter(
-                    os.path.join(cfg.LOGDIR, 'tb_logs'))
+                    os.path.join(cfg.LOGDIR, 'tb_logs'),
+                    max_queue=100_000, flush_secs=600)
             except Exception:
                 pass
         self.ckpt_dir = os.path.join(cfg.LOGDIR or '.', 'checkpoints')

@@ -184,6 +184,28 @@ def latest_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def load_orbax_variables(directory: str,
+                         step: Optional[int] = None) -> dict:
+    """Model variables from a SpecTrainer orbax checkpoint dir — the
+    native train->eval product path (``spec_eval --ckpt
+    <logdir>/checkpoints`` on a ``spec_train`` run; the reference can
+    only evaluate its torch .ckpt files). Restores the raw TrainState
+    pytree (no template needed) and keeps params/batch_stats only."""
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    steps = _step_dirs(directory)
+    if not steps:
+        raise FileNotFoundError(f'no checkpoints in {directory}')
+    step = max(steps) if step is None else step
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.join(directory, f'step_{step:08d}'))
+    variables = {'params': raw['params']}
+    if raw.get('batch_stats'):
+        variables['batch_stats'] = raw['batch_stats']
+    return _on_device(variables)
+
+
 def _keep_latest(directory: str, keep: int):
     import shutil
 

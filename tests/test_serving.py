@@ -6,7 +6,18 @@ import pytest
 from spec_tpu.serving import SpecPredictor
 
 
-def test_predictor_end_to_end(rng):
+@pytest.fixture(scope='module')
+def shared_pred():
+    """One predictor for every test that uses the standard config
+    (resnet18 x2, batch_size=2, min_size=64) — construction random-inits
+    two trunks + builds SMPL assets, which dominated this module's
+    fast-gate time when repeated per test. Tests must not mutate it
+    (the detector-mutation test builds its own)."""
+    return SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
+                         batch_size=2, min_size=64)
+
+
+def test_predictor_end_to_end(shared_pred, rng):
     """Frames + boxes in, per-person SMPL results out — no files, mixed
     frame sizes (two stage-1 buckets), empty-box frames handled."""
     frames = [
@@ -20,8 +31,7 @@ def test_predictor_end_to_end(rng):
         np.array([[48, 60, 40, 70]], np.float32),
     ]
 
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
+    pred = shared_pred
     results = pred.predict(frames, boxes)
 
     assert [len(r) for r in results] == [2, 0, 1]
@@ -48,23 +58,21 @@ def test_predictor_end_to_end(rng):
     assert results2[2][0]['camera']['f_pix'] == 500.0
 
 
-def test_predictor_batch_padding(rng):
+def test_predictor_batch_padding(shared_pred, rng):
     """Person count not divisible by batch_size: tail is padded and
     masked out of the results."""
     frames = [(rng.rand(80, 80, 3) * 255).astype(np.uint8)]
     boxes = [np.array([[40, 40, 30, 40],
                        [30, 30, 20, 30],
                        [50, 50, 25, 35]], np.float32)]
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
-    results = pred.predict(frames, boxes)
+    results = shared_pred.predict(frames, boxes)
     assert len(results[0]) == 3
     v0 = results[0][0]['smpl_vertices']
     v2 = results[0][2]['smpl_vertices']
     assert not np.allclose(v0, v2)  # distinct crops -> distinct meshes
 
 
-def test_http_serving_roundtrip(rng):
+def test_http_serving_roundtrip(shared_pred, rng):
     """HTTP front-end: npz request -> predictor -> npz response, plus
     healthz and malformed-payload error handling."""
     import io
@@ -74,9 +82,7 @@ def test_http_serving_roundtrip(rng):
 
     from spec_tpu.cli.serve import create_server
 
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
-    server = create_server(pred, host='127.0.0.1', port=0)
+    server = create_server(shared_pred, host='127.0.0.1', port=0)
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -98,7 +104,7 @@ def test_http_serving_roundtrip(rng):
         assert int(out['n_frames']) == 2
         assert int(out['f0_n_persons']) == 1
         assert int(out['f1_n_persons']) == 0
-        V = pred.assets.num_vertices
+        V = shared_pred.assets.num_vertices
         assert out['f0_p0_smpl_vertices'].shape == (V, 3)
         assert out['f0_camera'].shape == (4,)
         assert out['f1_camera'].shape == (4,)
@@ -132,7 +138,7 @@ def test_http_serving_roundtrip(rng):
             assert r.read() == b'ok'
 
         # oversize payload -> 413 (tiny-limit server instance)
-        small_srv = create_server(pred, host='127.0.0.1', port=0,
+        small_srv = create_server(shared_pred, host='127.0.0.1', port=0,
                                   max_request_bytes=100)
         sport = small_srv.server_address[1]
         t2 = threading.Thread(target=small_srv.serve_forever, daemon=True)
@@ -511,7 +517,7 @@ def test_batcher_stop_rejects_pending_and_late_submits():
         pass
 
 
-def test_http_serving_concurrent_requests(rng):
+def test_http_serving_concurrent_requests(shared_pred, rng):
     """Parallel clients: the dispatcher thread serializes device work,
     micro-batching what queues, and every request completes correctly."""
     import io
@@ -520,9 +526,7 @@ def test_http_serving_concurrent_requests(rng):
 
     from spec_tpu.cli.serve import create_server
 
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
-    server = create_server(pred, host='127.0.0.1', port=0)
+    server = create_server(shared_pred, host='127.0.0.1', port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:

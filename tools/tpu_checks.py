@@ -8,8 +8,10 @@ kernel and the fp32-pinned geometry/metric math on the REAL chip and
 compares against CPU goldens, enforcing the parity budgets the framework
 is built to (±0.3 mm end-to-end → components held well under that).
 
-Run on a TPU host:  python tools/tpu_checks.py
-Exit code 0 = all checks pass.
+Run on a TPU host:  python tools/tpu_checks.py [--json OUT.json]
+Exit code 0 = all checks pass. ``--json`` writes a per-round auditable
+artifact (check name -> value/budget/pass + timestamp, the same pattern
+as the bench cache) — commit it as TPU_CHECKS_r{N}.json.
 """
 
 from __future__ import annotations
@@ -30,12 +32,15 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 FAILURES = []
+RESULTS = []
 
 
 def check(name: str, err: float, budget: float, unit: str = 'mm'):
     ok = bool(np.isfinite(err)) and err < budget
     print(f'[{"PASS" if ok else "FAIL"}] {name}: {err:.3e} {unit} '
           f'(budget {budget:g})')
+    RESULTS.append({'name': name, 'value': float(err),
+                    'budget': float(budget), 'unit': unit, 'pass': ok})
     if not ok:
         FAILURES.append(name)
 
@@ -44,7 +49,14 @@ def _cpu():
     return jax.devices('cpu')[0]
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('--json', type=str, default='',
+                        help='write the auditable per-round artifact '
+                             '(TPU_CHECKS_r{N}.json) here')
+    args = parser.parse_args(argv)
     if jax.default_backend() not in ('tpu', 'axon'):
         print(f'WARNING: default backend is {jax.default_backend()!r}, '
               'not a TPU — checks degrade to backend self-consistency')
@@ -373,6 +385,20 @@ def main():
     check('rodrigues <-> rotmat roundtrip on chip', rerr, 1e-5, unit='')
 
     print()
+    if args.json:
+        import json
+        import time
+
+        with open(args.json, 'w') as f:
+            json.dump({
+                'measured_at': time.time(),
+                'backend': jax.default_backend(),
+                'n_checks': len(RESULTS),
+                'n_failed': len(FAILURES),
+                'checks': RESULTS,
+            }, f, indent=1)
+        print(f'wrote {args.json} ({len(RESULTS)} checks, '
+              f'{len(FAILURES)} failed)')
     if FAILURES:
         print(f'{len(FAILURES)} check(s) FAILED: {FAILURES}')
         return 1
