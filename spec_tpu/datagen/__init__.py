@@ -16,3 +16,8 @@ from spec_tpu.datagen.pano_agora import (  # noqa: F401
     agora_vfov_from_focal,
     merge_pano_agora,
 )
+from spec_tpu.datagen.spec_synth import (  # noqa: F401
+    install_humanoid_smpl_assets,
+    make_humanoid_smpl_raw,
+    render_spec_synth_dataset,
+)

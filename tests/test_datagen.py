@@ -371,3 +371,43 @@ def test_flickr_downloader_offline_and_cli(tmp_path, monkeypatch):
     assert search_pages == [1, 2]
     with pytest.raises(SystemExit):
         fl.main(['--download_type', 'group', '--out_folder', str(out)])
+
+
+def test_spec_synth_cli_contract(tmp_path, monkeypatch):
+    """spec_datagen_synth smoke: renders frames + writes the full npz
+    annotation contract (reference spec/dataset/cam_dataset.py:61-115)
+    with self-consistent geometry, loadable by the production CamDataset."""
+    from spec_tpu.datagen import spec_synth
+
+    root = tmp_path / 'root'
+    spec_synth.main([str(root), '--dataset', 'spec-mtp', '--n', '3',
+                     '--height', '96', '--width', '128',
+                     '--f_pix', '160'])
+
+    from spec_tpu.utils import paths
+    monkeypatch.setenv('SPEC_DATA_ROOT', str(root))
+    npz_path = paths.dataset_files()['spec-mtp']
+    d = np.load(npz_path)
+    for key in ('imgname', 'scale', 'center', 'pose_cam',
+                'pose_0yaw_inverseyz', 'shape', 'has_smpl', 'S', 'part',
+                'openpose', 'cam_int', 'cam_rotmat', 'camcalib_pitch',
+                'camcalib_roll', 'camcalib_vfov', 'camcalib_f_pix'):
+        assert key in d, key
+    assert d['S'].shape == (3, 24, 4) and d['part'].shape == (3, 24, 3)
+    assert np.isfinite(d['S']).all() and np.isfinite(d['part']).all()
+    # 2D joints land on (or near — hands can swing out) the frame, and
+    # the SPIN bbox encloses the body joints.
+    assert (np.abs(d['part'][:, :, :2] - [64, 48]) < [160, 120]).all()
+    half = d['scale'][:, None] * 200.0 / 2.0 * 1.01
+    assert (np.abs(d['part'][:, :, :2] - d['center'][:, None, :])
+            <= half[..., None]).all()
+    # frames exist and decode at the rendered size
+    import cv2
+    img_dir = paths.dataset_folders()['spec-mtp']
+    frame = cv2.imread(os.path.join(img_dir, str(d['imgname'][0])))
+    assert frame is not None and frame.shape == (96, 128, 3)
+    # the installed humanoid SMPL assets resolve through the real loader
+    from spec_tpu.core.smpl import load_smpl_assets
+    assets = load_smpl_assets(
+        os.path.join(str(root), 'body_models', 'smpl'), gender='neutral')
+    assert assets.v_template.shape[0] == 6890
