@@ -36,11 +36,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def make_horizon_panos(pano_dir, n, seed=0, hw=(256, 512)):
-    """Equirect panoramas with a strong, textured horizon: the upper
-    half-sphere is bright 'sky', the lower dark 'ground', with azimuthal
-    texture so yaw-invariant features don't collapse. vfov/pitch/roll of
-    any gnomonic crop are recoverable from the horizon geometry."""
+def make_horizon_panos(pano_dir, n, seed=0, hw=(2048, 4096)):
+    """Equirect panoramas with a sharp, finely-textured horizon.
+
+    Two properties make the bucket study meaningful (both were missing
+    from a first low-res draft, which measured NO ladder penalty —
+    serving min-448 cost nothing because there was nothing to lose):
+
+    - the source must out-resolve the crops: at 512px/360deg a ~60deg
+      gnomonic crop spans ~85 source pixels blown up to min-side 600,
+      so min-448 serving loses no information. 4096px/360deg puts a
+      60deg crop at ~680 source px — min-600 is ~1:1 sampling and
+      smaller serving buckets genuinely discard detail;
+    - the horizon transition + texture must be high-frequency: angle
+      accuracy then depends on localizing a few-pixel-wide boundary,
+      i.e. on resolution, like real pano imagery (multi-octave
+      azimuthal/latitudinal texture, ~0.5deg sigmoid transition).
+    """
     import cv2
 
     os.makedirs(pano_dir, exist_ok=True)
@@ -49,10 +61,13 @@ def make_horizon_panos(pano_dir, n, seed=0, hw=(256, 512)):
     lat = np.linspace(np.pi / 2, -np.pi / 2, H)[:, None]      # +90..-90
     lon = np.linspace(-np.pi, np.pi, W)[None, :]
     for i in range(n):
-        sky = 1.0 / (1.0 + np.exp(-lat * (18 + 6 * rng.rand())))  # (H,1)
-        tex = (0.5 + 0.5 * np.sin(lon * (2 + i % 5) + rng.rand() * 6)
-               ) * (0.5 + 0.5 * np.cos(lat * (3 + i % 3)))
-        base = 40 + 170 * sky + 30 * tex
+        sky = 1.0 / (1.0 + np.exp(-lat * (200 + 80 * rng.rand())))
+        # multi-octave texture; amplitude damped toward the poles
+        tex = np.zeros((H, W))
+        for (fl, fa) in ((3, 5), (17, 11), (61, 43), (211, 157)):
+            tex += (np.sin(lon * (fl + i % 5) + rng.rand() * 6)
+                    * np.cos(lat * (fa + i % 3) + rng.rand() * 6)) / 2.0
+        base = 40 + 170 * sky + 30 * tex * (0.3 + 0.7 * np.cos(lat))
         img = np.stack([base * 0.9, base, base * 1.1], -1)
         img += rng.randn(H, W, 3) * 6
         cv2.imwrite(os.path.join(pano_dir, f'p{i:03d}.jpg'),
@@ -127,6 +142,9 @@ def main(argv=None):
     parser.add_argument('--base_epochs', type=int, default=8)
     parser.add_argument('--ft_epochs', type=int, default=4)
     parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--json', default='',
+                        help='also write the result line to this file '
+                             '(committed as FT_RECOVERY_r{N}.json)')
     args = parser.parse_args(argv)
 
     from spec_tpu.utils.paths import enable_compilation_cache
@@ -171,13 +189,23 @@ def main(argv=None):
     ft_ckpt = latest_ckpt_dir(ft_logs)
     ft_448 = eval_mae(ft_ckpt, args.backbone, 448, 744, args.batch)
 
-    print(json.dumps({
+    import time
+
+    import jax
+
+    result = {
         'backbone': args.backbone,
         'train_crops': 'scalenet datagen, synthetic horizon panos',
         'MAE_deg_base_served_at_600': base_600,
         'MAE_deg_base_served_at_448': base_448,
         'MAE_deg_finetuned_at_448': ft_448,
-    }))
+        'backend': jax.default_backend(),
+        'measured_at': time.time(),
+    }
+    print(json.dumps(result))
+    if args.json:
+        with open(args.json, 'w') as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == '__main__':
