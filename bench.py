@@ -63,6 +63,8 @@ def _cache_key(args) -> str:
             + (f'|rc-{args.region_cache_format}'
                if getattr(args, 'region_cache', False) else '')
             + ('|co1' if getattr(args, 'compute_only', False) else '')
+            + (f'|cce{args.camcalib_every}'
+               if getattr(args, 'camcalib_every', 1) > 1 else '')
             + ('|eval' if getattr(args, 'input_step', 'train') == 'eval'
                else ''))
 
@@ -488,9 +490,11 @@ def serving_bench(args):
     pred = SpecPredictor(batch_size=32, min_size=args.min_size,
                          dtype=jnp.bfloat16,
                          detector='yolo' if args.detector else '',
-                         yolo_img_size=416)
+                         yolo_img_size=416,
+                         camcalib_every=args.camcalib_every)
     for _ in range(2):           # compile both stages + pad shapes
         pred.predict(frames, boxes)
+        pred.reset_camera_stream()
 
     if args.compute_only:
         # Engine-only serving throughput: the predictor's exact jitted
@@ -505,11 +509,14 @@ def serving_bench(args):
         from spec_tpu.data.image_folder import resize_min_side
         from PIL import Image
 
+        # --camcalib_every N: stage 1 runs on every Nth stream frame
+        # only (serving.SpecPredictor stream amortization) — the engine
+        # pass carries 1/N of the stage-1 batches.
         prepped = [np.asarray(resize_min_side(Image.fromarray(f),
                                               args.min_size), np.uint8)
-                   for f in frames]
+                   for f in frames[::max(1, args.camcalib_every)]]
         s1_batches = [jnp.asarray(np.stack(prepped[s0:s0 + 32]))
-                      for s0 in range(0, F, 32)]
+                      for s0 in range(0, len(prepped), 32)]
 
         cams = pred.estimate_cameras(frames)
         work = []  # (normalized f32 crop, rotmat, K, scale, center)
@@ -572,7 +579,9 @@ def serving_bench(args):
         emit({
             'metric': f'serving ENGINE throughput (predictor stage '
                       f'graphs, inputs pre-staged in HBM), {K} '
-                      f'persons/frame, stage-1 min_size={args.min_size}',
+                      f'persons/frame, stage-1 min_size={args.min_size}'
+                      + (f', camcalib_every={args.camcalib_every}'
+                         if args.camcalib_every > 1 else ''),
             'value': round(reps * F / dt, 2),
             'unit': 'frames/s/chip',
             'persons_per_s': round(reps * len(work) / dt, 2),
@@ -1023,6 +1032,11 @@ def main(argv=None):
                              'predictor stage graphs with inputs '
                              'pre-staged in HBM (no host prep/tunnel '
                              'in the timed window)')
+    parser.add_argument('--camcalib_every', type=int, default=1,
+                        help='[serving] stage-1 stream amortization: '
+                             'CamCalib runs on every Nth frame only '
+                             '(video/webcam semantics; '
+                             'SpecPredictor(camcalib_every=N))')
     parser.add_argument('--input_step', choices=['train', 'eval'],
                         default='train',
                         help='[input] device step the loader feeds: '

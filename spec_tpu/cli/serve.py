@@ -371,6 +371,12 @@ def main(argv=None):
                              'throughput — pair with a checkpoint '
                              'fine-tuned at that bucket (configs/'
                              'camcalib/config_sa_bias_l2_min*.yaml)')
+    parser.add_argument('--camcalib_every', type=int, default=1,
+                        help='stage-1 stream amortization: run CamCalib '
+                             'only on every Nth served frame and reuse '
+                             'the latest keyframe camera (single-stream '
+                             'deployments only — all inbound frames are '
+                             'treated as ONE video stream)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
     parser.add_argument('--max_batch_frames', type=int, default=0,
@@ -417,7 +423,8 @@ def main(argv=None):
             cfg_file=args.cfg, detector=args.detector,
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
             data_parallel=args.data_parallel,
-            spatial_parallel=args.spatial_parallel)
+            spatial_parallel=args.spatial_parallel,
+            camcalib_every=args.camcalib_every)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20,
                            max_batch_frames=args.max_batch_frames)

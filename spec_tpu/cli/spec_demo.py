@@ -98,6 +98,28 @@ def _get_spec_model(smpl_model_dir: str, cfg_file: str, spec_ckpt: str,
 _IMAGE_CACHE_MAX = 32
 
 
+def _carry_cameras_forward(image_names, cam_out, shapes):
+    """``--camcalib_every`` keyframe fill: every image without a stage-1
+    pickle gets its latest preceding keyframe's camera (the camera is a
+    per-shot quantity). f_pix is defined w.r.t. the frame height
+    (scripts/camcalib_demo.py:129), so it is rescaled when a skipped
+    frame's size differs from its keyframe's."""
+    last = None
+    last_h = 0
+    for name in image_names:
+        base = os.path.basename(name)
+        pkl = os.path.join(cam_out, base + '.pkl')
+        if os.path.exists(pkl):
+            last = joblib.load(pkl)
+            last_h = shapes[base][0]
+        elif last is not None:
+            d = dict(last)
+            h = shapes[base][0]
+            if h != last_h:
+                d['f_pix'] = float(h / (2.0 * np.tan(d['vfov'] / 2)))
+            joblib.dump(d, pkl)
+
+
 def run_spec_on_folder(
     image_folder: str,
     output_folder: str,
@@ -116,6 +138,7 @@ def run_spec_on_folder(
     yolo_weights: str = '',
     yolo_img_size: int = 416,
     min_size: int = 600,
+    camcalib_every: int = 1,
 ):
     import cv2
     import jax
@@ -169,9 +192,14 @@ def run_spec_on_folder(
     # min_size != 600 is the reduced-bucket serving trade — pair it with
     # a checkpoint fine-tuned at that bucket
     # (configs/camcalib/config_sa_bias_l2_min*.yaml).
+    camcalib_every = max(1, int(camcalib_every))
+    cam_list = (image_names if camcalib_every == 1
+                else image_names[::camcalib_every])
     run_camcalib_on_folder(
         image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False,
-        min_size=min_size)
+        min_size=min_size, image_list=cam_list)
+    if camcalib_every > 1:
+        _carry_cameras_forward(image_names, cam_out, shapes)
 
     # Flatten all detections into one work list.
     work = []  # (imgname, det_idx, center, scale, cam_rotmat, K, w, h)
@@ -578,6 +606,7 @@ def run_spec_webcam(
     max_frames: int = 0,
     display: bool = False,
     save_results: bool = True,
+    camcalib_every: int = 1,
 ):
     """Webcam / live-stream demo: per-frame low-latency loop.
 
@@ -636,7 +665,10 @@ def run_spec_webcam(
         t0 = time.perf_counter()
         # Stage 1 runs explicitly so the horizon overlay exists even on
         # person-less frames; predict() reuses it via ``cameras=``.
-        cam = pred.estimate_cameras([rgb])[0]
+        # --camcalib_every N amortizes it: the webcam camera is static,
+        # so keyframes every N frames cut the dominant per-frame cost.
+        if fi % max(1, camcalib_every) == 0:
+            cam = pred.estimate_cameras([rgb])[0]
         if pred.detector is not None:
             persons = pred.predict([rgb], cameras=[cam])[0]
         else:
@@ -765,6 +797,14 @@ def main(argv=None):
                              'should be paired with a checkpoint '
                              'fine-tuned at that bucket (configs/'
                              'camcalib/config_sa_bias_l2_min*.yaml)')
+    parser.add_argument('--camcalib_every', type=int, default=1,
+                        help='run stage 1 (CamCalib) only on every Nth '
+                             'frame and reuse the latest keyframe camera '
+                             'in between — the camera is a per-shot '
+                             'quantity, and stage 1 dominates pipeline '
+                             'cost, so N amortizes it ~N-fold for '
+                             'video/webcam streams. 1 (default) = every '
+                             'frame')
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')
     parser.add_argument('--save_obj', action='store_true')
@@ -882,7 +922,7 @@ def main(argv=None):
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
         cfg_file=args.cfg, detector=args.detector,
         yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
-        min_size=args.min_size)
+        min_size=args.min_size, camcalib_every=args.camcalib_every)
     if args.mode == 'webcam':
         if args.bbox_file:
             print('[spec] WARNING: --bbox_file is ignored in webcam mode '
@@ -895,7 +935,8 @@ def main(argv=None):
             detector=args.detector, yolo_weights=args.yolo_weights,
             yolo_img_size=args.yolo_img_size, min_size=args.min_size,
             max_frames=args.max_frames, display=args.display,
-            save_results=not args.no_save)
+            save_results=not args.no_save,
+            camcalib_every=args.camcalib_every)
     elif args.mode == 'video':
         run_spec_on_video(args.vid_file, out_folder,
                           chunk_size=args.chunk_size,

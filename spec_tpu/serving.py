@@ -76,6 +76,13 @@ class SpecPredictor:
         ``detector='yolo'`` (random init without it — smoke tests only).
       yolo_img_size: detector letterbox size (multiple of 32) for
         ``detector='yolo'``; mirrors the demo's ``--yolo_img_size``.
+      camcalib_every: run stage 1 only on every Nth frame of the stream
+        and reuse the latest keyframe camera in between (the camera is a
+        per-shot quantity; stage 1 at min-side 600 dominates pipeline
+        cost, so N amortizes it ~N-fold for video/webcam). The counter
+        persists across ``predict()`` calls; ``reset_camera_stream()``
+        re-anchors on a shot cut. Default 1 = per-frame (reference
+        parity; the reference has no video mode at all).
     """
 
     # Class-level defaults for optional knobs: export.load_predictor
@@ -90,6 +97,8 @@ class SpecPredictor:
     mesh = None
     _min_pad = 1       # stage-2 (and data_parallel stage-1) pad multiple
     _min_pad_s1 = 1    # stage-1 pad multiple (1 under spatial_parallel)
+    camcalib_every = 1  # stage-1 stream amortization (1 = every frame)
+    _cam_stream = None  # {'cam', 'h', 'i'} once a stream is active
 
     def __init__(
         self,
@@ -112,6 +121,7 @@ class SpecPredictor:
         detector: str = '',
         yolo_weights: str = '',
         yolo_img_size: int = 416,
+        camcalib_every: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -142,6 +152,13 @@ class SpecPredictor:
         # production serving should turn it on. Stage 1 already uploads
         # uint8 losslessly (PIL resize output is uint8).
         self.uint8_crops = bool(uint8_crops)
+        # Stream amortization: stage 1 (the dominant pipeline cost) runs
+        # on every Nth frame of a video/webcam stream; the camera is a
+        # per-shot quantity, so in-between frames reuse the latest
+        # keyframe's (f_pix rescaled if the frame height changes).
+        # 1 = per-frame (reference parity). See predict().
+        self.camcalib_every = max(1, int(camcalib_every))
+        self._cam_stream = None
         dtype = dtype or jnp.float32
 
         if cfg_file:
@@ -371,6 +388,11 @@ class SpecPredictor:
         prepped, pending = self._cameras_dispatch(frames)
         return self._cameras_fetch(prepped, pending, len(frames))
 
+    def reset_camera_stream(self) -> None:
+        """Forget the ``camcalib_every`` stream state (call on a shot
+        cut / new video so the next frame is a stage-1 keyframe)."""
+        self._cam_stream = None
+
     # -- full pipeline --------------------------------------------------------
 
     def predict(
@@ -411,11 +433,54 @@ class SpecPredictor:
         # ran back-to-back).
         pending_det = (self.detector.detect_dispatch(frames)
                        if boxes is None else None)
-        cam_pending = (self._cameras_dispatch(frames)
-                       if cameras is None else None)
+        n_frames = len(frames)
+        every = max(1, int(getattr(self, 'camcalib_every', 1) or 1))
+        key_idx = None
+        cam_pending = None
+        if cameras is None:
+            if every > 1:
+                # Stream amortization: the camera is a per-SHOT quantity,
+                # so stage 1 (the dominant pipeline cost) runs only on
+                # every Nth frame of the stream; in-between frames reuse
+                # the latest keyframe camera. The counter persists across
+                # predict() calls (reset_camera_stream() on a cut).
+                st = self._cam_stream
+                if st is None:
+                    st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0}
+                key_idx = [i for i in range(n_frames)
+                           if (st['i'] + i) % every == 0]
+                if st['cam'] is None and (not key_idx or key_idx[0] != 0):
+                    key_idx.insert(0, 0)
+                if key_idx:
+                    cam_pending = self._cameras_dispatch(
+                        [frames[i] for i in key_idx])
+            else:
+                cam_pending = self._cameras_dispatch(frames)
         if pending_det is not None:
             boxes = self.detector.detect_fetch(pending_det)
-        if cam_pending is not None:
+        if key_idx is not None:
+            key_cams = (self._cameras_fetch(*cam_pending, len(key_idx))
+                        if cam_pending is not None else [])
+            st = self._cam_stream
+            cam, cam_h = st['cam'], st['h']
+            cameras = []
+            ki = 0
+            for i in range(n_frames):
+                h = int(np.asarray(frames[i]).shape[0])
+                if ki < len(key_idx) and key_idx[ki] == i:
+                    cam, cam_h = key_cams[ki], h
+                    ki += 1
+                c = cam
+                if h != cam_h:
+                    # f_pix is defined w.r.t. the frame height
+                    # (scripts/camcalib_demo.py:129) — rescale on reuse.
+                    c = dict(c)
+                    c['f_pix'] = float(
+                        h / (2.0 * np.tan(c['vfov'] / 2.0)))
+                cameras.append(c)
+            st['cam'], st['h'] = cam, cam_h
+            st['i'] += n_frames
+        elif cam_pending is not None:
             cameras = self._cameras_fetch(*cam_pending, len(frames))
 
         # Flatten (frame, person) work items.

@@ -330,7 +330,9 @@ def test_reference_flag_surface_accepted(capsys):
          ['--ckpt', '--exp', '--tracking_method', '--detector',
           '--yolo_img_size', '--tracker_batch_size', '--staf_dir',
           '--display', '--smooth', '--min_cutoff', '--beta',
-          '--wireframe', '--sideview', '--draw_keypoints']),
+          '--wireframe', '--sideview', '--draw_keypoints',
+          '--camcalib_every']),
+        ('spec_tpu.cli.serve', ['--camcalib_every']),
     ]:
         main = importlib.import_module(mod).main
         with pytest.raises(SystemExit) as e:
@@ -362,7 +364,7 @@ def test_spec_demo_video_mode(tmp_path):
     # re-encode post-pass (dead flag in the reference, implemented here)
     main(['--vid_file', str(vid), '--output_folder', str(out),
           '--batch_size', '2', '--exp', 'v1', '--chunk_size', '2',
-          '--smooth'])
+          '--smooth', '--camcalib_every', '2'])
 
     exp_dir = out / 'clip_v1'
     video = exp_dir / 'spec_video_output.mp4'
@@ -394,6 +396,43 @@ def test_spec_demo_video_mode(tmp_path):
                                np.tile(np.eye(3), (24, 1, 1)), atol=1e-4)
     assert np.isfinite(res[1]['smpl_vertices']).all()
     assert np.isfinite(res[1]['smpl_joints2d']).all()
+    # --camcalib_every 2: frame 1 reuses frame 0's keyframe camera
+    # (chunked decode restarts keyframes per chunk: 0=key, 1=reused,
+    # 2=first-of-chunk key); every frame still gets its pickle (the
+    # stage-1 -> stage-2 ABI is preserved).
+    cams = [joblib.load(exp_dir / 'camcalib' / f'{i:06d}.png.pkl')
+            for i in range(3)]
+    assert cams[0]['vfov'] == cams[1]['vfov']
+    assert cams[0]['pitch'] == cams[1]['pitch']
+
+
+def test_carry_cameras_forward_unit(tmp_path):
+    """Keyframe camera fill: skipped frames copy the latest preceding
+    keyframe pickle, rescaling f_pix when the frame height differs."""
+    import joblib
+
+    from spec_tpu.cli.spec_demo import _carry_cameras_forward
+
+    cam_out = tmp_path / 'cc'
+    cam_out.mkdir()
+    names = ['a.png', 'b.png', 'c.png', 'd.png']
+    shapes = {'a.png': (100, 160), 'b.png': (100, 160),
+              'c.png': (200, 320), 'd.png': (100, 160)}
+    key = {'vfov': 1.0, 'f_pix': 100 / (2 * np.tan(0.5)),
+           'pitch': 0.1, 'roll': -0.05}
+    joblib.dump(key, cam_out / 'a.png.pkl')
+    key_d = dict(key, pitch=0.3)
+    joblib.dump(key_d, cam_out / 'd.png.pkl')
+
+    _carry_cameras_forward(names, str(cam_out), shapes)
+
+    b = joblib.load(cam_out / 'b.png.pkl')
+    assert b == key                                  # same size: verbatim
+    c = joblib.load(cam_out / 'c.png.pkl')
+    assert c['pitch'] == key['pitch']
+    assert np.isclose(c['f_pix'], 200 / (2 * np.tan(0.5)))  # rescaled
+    d = joblib.load(cam_out / 'd.png.pkl')
+    assert d == key_d                                # keyframes untouched
 
 
 def _make_train_data_root(root, rng, n=10):

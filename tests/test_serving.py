@@ -640,3 +640,65 @@ def test_predictor_uint8_crops_close_to_f32(rng):
     budget = 0.5 / 255.0 / min(C.IMG_NORM_STD)
     assert 0 < err <= budget + 1e-6
     assert np.isfinite(np.asarray(ru8['smpl_vertices'])).all()
+
+
+def test_predictor_camcalib_every_stream(shared_pred, rng):
+    """camcalib_every=N runs stage 1 only on keyframes, reuses the
+    latest keyframe camera in between (f_pix rescaled when the frame
+    height changes), persists the counter across predict() calls, and
+    re-anchors after reset_camera_stream()."""
+    pred = shared_pred
+    frames = [(rng.rand(96, 128, 3) * 255).astype(np.uint8)
+              for _ in range(5)]
+    frames.append((rng.rand(120, 96, 3) * 255).astype(np.uint8))
+    boxes = [np.array([[64, 48, 40, 60]], np.float32)] * 5 + [
+        np.array([[48, 60, 40, 70]], np.float32)]
+
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred.camcalib_every = 3
+    pred._cameras_dispatch = counting
+    try:
+        res = pred.predict(frames, boxes)
+        # 6 frames, N=3 -> keyframes 0 and 3 only.
+        assert calls == [2]
+        cams = [r[0]['camera'] for r in res]
+        assert cams[0] == cams[1] == cams[2]       # reuse keyframe 0
+        assert cams[3] == cams[4]                  # reuse keyframe 3
+        # frame 5 (different height) reuses keyframe 3's angles with
+        # f_pix rescaled to its own height.
+        assert cams[5]['vfov'] == cams[3]['vfov']
+        assert np.isclose(cams[5]['f_pix'],
+                          120 / 2.0 / np.tan(cams[5]['vfov'] / 2.0))
+        # equivalence: manually passing the keyframe cameras reproduces
+        # the amortized outputs exactly
+        pred.camcalib_every = 1
+        manual = pred.predict(frames, boxes, cameras=cams)
+        for r, m in zip(res, manual):
+            np.testing.assert_array_equal(r[0]['smpl_vertices'],
+                                          m[0]['smpl_vertices'])
+
+        # the stream counter persists: next call continues at i=6 ->
+        # frame 0 of the call is global frame 6 (6 % 3 == 0, keyframe),
+        # frame 1 is global 7 (reused).
+        pred.camcalib_every = 3
+        calls.clear()
+        res2 = pred.predict(frames[:2], boxes[:2])
+        assert calls == [1]
+        assert res2[0][0]['camera'] == res2[1][0]['camera']
+
+        # reset re-anchors: the first frame becomes a keyframe even
+        # off-phase, and state is cleared
+        pred.reset_camera_stream()
+        calls.clear()
+        pred.predict(frames[1:2], boxes[1:2])
+        assert calls == [1]
+    finally:
+        pred.camcalib_every = 1
+        pred._cameras_dispatch = orig
+        pred.reset_camera_stream()
