@@ -80,16 +80,20 @@ def main(argv=None):
 
     def build_dataset(is_train):
         folder = paths.dataset_folders().get('pano360', 'data/pano360')
+        decode_cache = int(cfg.DATASET.get('DECODE_CACHE', 0) or 0)
+        num_images = int(cfg.DATASET.get('NUM_IMAGES', -1) or -1)
         if cfg.DATASET.TRAIN_DS == 'pano_agora':
             return PanoAgoraDataset(
                 folder, is_train=is_train, min_size=cfg.DATASET.MIN_RES,
-                max_size=cfg.DATASET.MAX_RES, loss_type=loss_type)
+                max_size=cfg.DATASET.MAX_RES, loss_type=loss_type,
+                decode_cache=decode_cache, num_images=num_images)
         return CameraRegressorDataset(
             folder, dataset=cfg.DATASET.TRAIN_DS, is_train=is_train,
             min_size=cfg.DATASET.MIN_RES, max_size=cfg.DATASET.MAX_RES,
             loss_type=loss_type,
             fast_decode=(is_train
-                         and cfg.DATASET.get('FAST_DECODE', False)))
+                         and cfg.DATASET.get('FAST_DECODE', False)),
+            decode_cache=decode_cache, num_images=num_images)
 
     train_ds = build_dataset(True)
     val_ds = build_dataset(False)

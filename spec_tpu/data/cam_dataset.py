@@ -28,6 +28,7 @@ import numpy as np
 
 from spec_tpu.core import constants as C
 from spec_tpu.data import transforms as T
+from spec_tpu.data.cache import FrameCache
 from spec_tpu.data.occlusion import occlude_with_objects
 
 
@@ -47,59 +48,9 @@ class AugmentationConfig:
     use_3d_conf: bool = False
 
 
-class _FrameCache:
-    """Thread-safe LRU of decoded frames keyed by (path, reduce).
-
-    Values are (uint8 RGB frame, orig_shape) tuples; cached frames are
-    shared across loader threads and must be treated as read-only (every
-    crop path copies before writing).
-
-    ``get_or_compute`` deduplicates in-flight decodes: frame-grouped
-    batches hand sibling samples to the pool AT THE SAME TIME, so
-    without a per-key latch every sibling would miss and decode the
-    same frame concurrently, nullifying the cache exactly when it
-    should pay."""
-
-    def __init__(self, capacity: int):
-        import collections
-        self.capacity = int(capacity)
-        self._d = collections.OrderedDict()
-        self._lock = threading.Lock()
-        self._inflight = {}
-        self.hits = 0
-        self.misses = 0
-
-    def get_or_compute(self, key, fn):
-        while True:
-            with self._lock:
-                val = self._d.get(key)
-                if val is not None:
-                    self._d.move_to_end(key)
-                    self.hits += 1
-                    return val
-                event = self._inflight.get(key)
-                if event is None:
-                    event = threading.Event()
-                    self._inflight[key] = event
-                    self.misses += 1
-                    break
-            # another thread is decoding this frame right now
-            event.wait()
-            # loop: the value is normally cached by the owner; if it was
-            # already evicted (tiny capacity) or the owner raised, the
-            # retry either finds it or becomes the new owner
-        try:
-            val = fn()
-            with self._lock:
-                self._d[key] = val
-                self._d.move_to_end(key)
-                while len(self._d) > self.capacity:
-                    self._d.popitem(last=False)
-            return val
-        finally:
-            with self._lock:
-                self._inflight.pop(key, None)
-            event.set()
+# _FrameCache moved to spec_tpu/data/cache.py (shared with the
+# CamCalib loaders); alias kept for existing callers/tests.
+_FrameCache = FrameCache
 
 
 class _NpzView(dict):

@@ -49,9 +49,13 @@ class ImageFolder:
         pil_img = Image.open(imgname).convert('RGB')
         orig_w, orig_h = pil_img.size
         pil_img = resize_min_side(pil_img, self.min_size)
-        img = np.asarray(pil_img, np.float32) / 255.0
         if self.normalize:
-            img = (img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD
+            # fused f32 (x/255 - mean)/std — the f64-broadcast version
+            # measured 10.6 ms at 600x900, ~most of serving host prep
+            from spec_tpu.data.pano_dataset import normalize_u8
+            img = normalize_u8(np.asarray(pil_img, np.uint8))
+        else:
+            img = np.asarray(pil_img, np.float32) / 255.0
         return {
             'img': img.astype(np.float32),          # HWC
             'imgname': imgname,

@@ -15,8 +15,9 @@ from PIL import Image
 from spec_tpu.core import constants as C
 from spec_tpu.data.pano_dataset import (
     aspect_resize,
-    color_jitter,
     encode_targets,
+    jitter_normalize,
+    normalize_u8,
     resize_scale,
 )
 
@@ -32,6 +33,7 @@ class PanoAgoraDataset:
         num_images: int = -1,
         pad_multiple: int = 64,
         seed: int = 0,
+        decode_cache: int = 0,
     ):
         self.dataset_folder = dataset_folder
         self.is_train = is_train
@@ -39,6 +41,11 @@ class PanoAgoraDataset:
         self.max_size = max_size
         self.loss_type = loss_type
         self.pad_multiple = pad_multiple
+        # Decoded+resized uint8 LRU, pre-jitter (see
+        # CameraRegressorDataset — identical semantics).
+        from spec_tpu.data.cache import FrameCache
+        self._decode_cache = (FrameCache(decode_cache) if decode_cache
+                              else None)
         self.rng = np.random.RandomState(seed)
 
         split = 'train' if is_train else 'val'
@@ -59,15 +66,26 @@ class PanoAgoraDataset:
     def __len__(self):
         return len(self.imgname)
 
-    def __getitem__(self, index: int) -> dict:
-        imgname = os.path.join(self.dataset_folder, str(self.imgname[index]))
+    def _decode_resized(self, imgname: str):
         pil_img = Image.open(imgname).convert('RGB')
         orig_shape = np.array(pil_img.size, np.int32)
-        if self.is_train:
-            pil_img = color_jitter(pil_img, self.rng)
         pil_img = aspect_resize(pil_img, self.min_size, self.max_size)
-        img = np.asarray(pil_img, np.float32) / 255.0
-        img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)
+        return np.asarray(pil_img, np.uint8), orig_shape
+
+    def __getitem__(self, index: int) -> dict:
+        imgname = os.path.join(self.dataset_folder, str(self.imgname[index]))
+        if self._decode_cache is not None:
+            arr, orig_shape = self._decode_cache.get_or_compute(
+                (imgname, self.min_size, self.max_size),
+                lambda: self._decode_resized(imgname))
+        else:
+            arr, orig_shape = self._decode_resized(imgname)
+        if self.is_train:
+            # fused affine jitter on the RESIZED image (deviations
+            # shared with CameraRegressorDataset — see its __getitem__)
+            img = jitter_normalize(arr, self.rng)
+        else:
+            img = normalize_u8(arr)
 
         vfov = float(self.vfov[index])
         pitch = float(self.pitch[index])

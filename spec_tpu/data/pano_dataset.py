@@ -79,6 +79,97 @@ def color_jitter(pil_img: Image.Image, rng: np.random.RandomState,
     return pil_img
 
 
+_GRAY_W = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601 (PIL L)
+
+
+def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
+                     brightness=0.2, contrast=0.2, saturation=0.2,
+                     hue=0.1) -> np.ndarray:
+    """Fused color-jitter + ImageNet-normalize: ONE 3x4 RGB affine.
+
+    The torchvision-ColorJitter semantics (random op order, factors
+    U(1-x, 1+x) / hue U(-x, x), reference pano_dataset.py:65-78) are
+    composed SYMBOLICALLY instead of as four sequential PIL passes
+    (measured 38.6 ms of a 56 ms loader item at 600x900 — the dominant
+    camcalib-training loader cost; this path is ~7x):
+
+      brightness f: x -> f*x
+      contrast   f: x -> f*x + (1-f)*mean_gray(current)   [mean tracked
+                     through the running affine, so order is honored]
+      saturation f: x -> (f*I + (1-f)*1*w^T) x            [per-pixel gray]
+      hue      th : rotation about the gray axis by th = 2*pi*f
+                     (the standard hue-rotate matrix — DEVIATION from
+                     PIL's uint8-HSV channel shift; equivalent to first
+                     order, distributionally indistinguishable for
+                     |f| <= 0.1)
+
+    then clips to [0, 255] once (PIL clamps per pass; with factors
+    <= 0.2 the intermediate clips are inactive except at saturated
+    pixels) and applies (x/255 - mean)/std. Consumes the SAME rng draw
+    pattern as :func:`color_jitter` (4 uniforms + shuffle)."""
+    ops = [('brightness', rng.uniform(1 - brightness, 1 + brightness)),
+           ('contrast', rng.uniform(1 - contrast, 1 + contrast)),
+           ('saturation', rng.uniform(1 - saturation, 1 + saturation)),
+           ('hue', rng.uniform(-hue, hue))]
+    rng.shuffle(ops)
+
+    mu = arr_u8.reshape(-1, 3).mean(axis=0, dtype=np.float32)  # (3,)
+    A = np.eye(3, dtype=np.float64)
+    b = np.zeros(3, np.float64)
+    for name, f in ops:
+        if name == 'brightness':
+            A *= f
+            b *= f
+        elif name == 'contrast':
+            m = float(_GRAY_W @ (A @ mu + b))
+            A *= f
+            b = f * b + (1.0 - f) * m
+        elif name == 'saturation':
+            S = f * np.eye(3) + (1.0 - f) * np.outer(
+                np.ones(3), _GRAY_W)
+            A = S @ A
+            b = S @ b
+        elif name == 'hue' and abs(f) > 1e-6:
+            th = 2.0 * np.pi * f
+            c, s = np.cos(th), np.sin(th)
+            # the standard luma-preserving hue-rotate matrix
+            # (SVG/CSS filter spec, Rec.709 luma)
+            H = np.array([
+                [0.213 + 0.787 * c - 0.213 * s,
+                 0.715 - 0.715 * c - 0.715 * s,
+                 0.072 - 0.072 * c + 0.928 * s],
+                [0.213 - 0.213 * c + 0.143 * s,
+                 0.715 + 0.285 * c + 0.140 * s,
+                 0.072 - 0.072 * c - 0.283 * s],
+                [0.213 - 0.213 * c - 0.787 * s,
+                 0.715 - 0.715 * c + 0.715 * s,
+                 0.072 + 0.928 * c + 0.072 * s]])
+            A = H @ A
+            b = H @ b
+    # fold the ImageNet normalize into the affine (one matmul pass);
+    # the [0, 255] pixel clip becomes a per-channel clip against the
+    # normalized images of 0 and 255 (scale > 0 keeps it monotone)
+    scale = 1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))
+    bias = -np.asarray(C.IMG_NORM_MEAN) / np.asarray(C.IMG_NORM_STD)
+    A = (A * scale[:, None]).astype(np.float32)
+    b = (b * scale + bias).astype(np.float32)
+    lo = (0.0 * scale + bias).astype(np.float32)
+    hi = (255.0 * scale + bias).astype(np.float32)
+    x = np.asarray(arr_u8, np.float32).reshape(-1, 3)
+    out = x @ A.T + b
+    np.clip(out, lo, hi, out=out)
+    return out.reshape(arr_u8.shape)
+
+
+def normalize_u8(arr_u8: np.ndarray) -> np.ndarray:
+    """(x/255 - mean)/std in one fused f32 pass (the naive float64
+    broadcast costs 10.6 ms at 600x900; this is ~3x)."""
+    scale = (1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))).astype(np.float32)
+    bias = (-np.asarray(C.IMG_NORM_MEAN)
+            / np.asarray(C.IMG_NORM_STD)).astype(np.float32)
+    return np.asarray(arr_u8, np.float32) * scale + bias
+
+
 def encode_targets(vfov, pitch, roll, loss_type: str) -> dict:
     if loss_type in ('kl', 'ce'):
         return {
@@ -114,6 +205,7 @@ class CameraRegressorDataset:
         pad_multiple: int = 64,
         seed: int = 0,
         fast_decode: bool = False,
+        decode_cache: int = 0,
     ):
         import joblib
 
@@ -133,6 +225,17 @@ class CameraRegressorDataset:
         # Resize after). color_jitter then also runs on the reduced
         # image (pointwise ops commute with the resample).
         self.fast_decode = fast_decode
+        # Opt-in decoded+RESIZED uint8 LRU shared by loader threads:
+        # epochs 2+ skip the JPEG decode and the bilinear resize (the
+        # dominant per-item costs — the pano loader re-decodes every
+        # crop every epoch otherwise, reference torch DataLoader
+        # behavior). Cached images are pre-jitter, so with the cache on
+        # color_jitter runs on the RESIZED image — the same pointwise-
+        # ops-commute-with-the-resample semantics fast_decode already
+        # establishes (and bit-identical for val, which never jitters).
+        from spec_tpu.data.cache import FrameCache
+        self._decode_cache = (FrameCache(decode_cache) if decode_cache
+                              else None)
         self.rng = np.random.RandomState(seed)
 
         split = 'train_images.pkl' if is_train else 'val_images.pkl'
@@ -154,16 +257,15 @@ class CameraRegressorDataset:
                 '.png', '.json').replace('.jpg', '.json')
         return imgname.rsplit('.', 1)[0] + '.json'
 
-    def __getitem__(self, index: int) -> dict:
-        imgname = os.path.join(self.dataset_folder, 'images',
-                               self.image_filenames[index])
+    def _decode_resized(self, imgname: str):
+        """Decode + aspect-resize to the bucket target; returns
+        (uint8 RGB HWC, orig (W, H)). The resize TARGET is always
+        computed from the FULL-res header dims — the same numbers
+        shape_buckets() predicts from. With fast_decode the
+        draft-reduced dims differ (ceil rounding), and recomputing the
+        scale from them can land 1 px past the predicted pad bucket,
+        crashing pad_collate(fixed_hw)."""
         pil_img = Image.open(imgname)
-        orig_shape = np.array(pil_img.size, np.int32)  # (W, H)
-        # The resize TARGET is always computed from the FULL-res header
-        # dims — the same numbers shape_buckets() predicts from. With
-        # fast_decode the draft-reduced dims differ (ceil rounding), and
-        # recomputing the scale from them can land 1 px past the
-        # predicted pad bucket, crashing pad_collate(fixed_hw).
         w0, h0 = pil_img.size
         s = resize_scale(w0, h0, self.min_size, self.max_size)
         target = (round(w0 * s), round(h0 * s))
@@ -173,12 +275,36 @@ class CameraRegressorDataset:
             pil_img.draft(None, (int(np.ceil(w0 * s * 1.15)),
                                  int(np.ceil(h0 * s * 1.15))))
         pil_img = pil_img.convert('RGB')
-        if self.is_train:
-            pil_img = color_jitter(pil_img, self.rng)
         if pil_img.size != target:
             pil_img = pil_img.resize(target, Image.BILINEAR)
-        img = np.asarray(pil_img, np.float32) / 255.0
-        img = ((img - C.IMG_NORM_MEAN) / C.IMG_NORM_STD).astype(np.float32)
+        return (np.asarray(pil_img, np.uint8),
+                np.array((w0, h0), np.int32))
+
+    def __getitem__(self, index: int) -> dict:
+        imgname = os.path.join(self.dataset_folder, 'images',
+                               self.image_filenames[index])
+        if self._decode_cache is not None:
+            # cached buffers are shared read-only; both consumers below
+            # allocate fresh output arrays
+            arr, orig_shape = self._decode_cache.get_or_compute(
+                (imgname, self.min_size, self.max_size),
+                lambda: self._decode_resized(imgname))
+        else:
+            arr, orig_shape = self._decode_resized(imgname)
+        if self.is_train:
+            # DEVIATIONS from the reference aug (documented, val is
+            # bit-unaffected — it never jitters):
+            # - jitter runs on the RESIZED image, not before Resize
+            #   (camcalib/pano_dataset.py:72-75): pointwise ops commute
+            #   with the resample (the fast_decode precedent), and the
+            #   decode cache stores pre-jitter pixels so every epoch
+            #   draws fresh jitter;
+            # - the four ColorJitter passes are composed into ONE fused
+            #   affine (jitter_normalize) — same factor distributions
+            #   and order semantics, hue as a gray-axis rotation.
+            img = jitter_normalize(arr, self.rng)
+        else:
+            img = normalize_u8(arr)
 
         with open(self._annot_path(imgname)) as f:
             data = json.load(f)

@@ -60,14 +60,21 @@ class CfgNode(dict):
 
     def merge_from_list(self, opts: List[str]):
         """``['TRAINING.MAX_EPOCHS', '10', ...]`` CLI override pairs
-        (the reference's ``--opts``, spec/config.py:270)."""
+        (the reference's ``--opts``, spec/config.py:270). Unknown keys
+        are REJECTED, matching yacs: a typo'd override that silently
+        no-ops is worse than an error (yaml preset merges stay
+        permissive — presets may carry forward-compat keys)."""
         assert len(opts) % 2 == 0, f'odd --opts list: {opts}'
         for key, val in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split('.')
             for p in parts[:-1]:
                 node = node[p]
-            old = node.get(parts[-1])
+            if parts[-1] not in node:
+                raise KeyError(
+                    f'--opts key {key!r} does not exist in the config '
+                    f'(yacs rejects unknown keys; check for typos)')
+            old = node[parts[-1]]
             node[parts[-1]] = _coerce(val, old)
 
     def dump(self, path: str):
@@ -435,6 +442,15 @@ def camcalib_default_config() -> CfgNode:
             # draft; spec_tpu extension, no reference key). Safe-by-
             # construction here: samples resize DOWN to MIN_RES anyway.
             'FAST_DECODE': False,
+            # Decoded+resized crop LRU capacity (images, uint8) shared
+            # by the loader threads — epochs 2+ skip decode+resize
+            # entirely (spec_tpu extension; pre-jitter pixels, so train
+            # aug stays fresh per epoch). 0 = off.
+            'DECODE_CACHE': 0,
+            # Subsample the split without replacement (smoke runs; the
+            # reference dataset exposes the arg but never wires it,
+            # camcalib/pano_dataset.py:56,90-91). -1 = all.
+            'NUM_IMAGES': -1,
             # Legacy alias; the reference dialect is MODEL.LOSS_TYPE
             # (camcalib/config.py:87). resolve_camcalib_loss() arbitrates.
             'LOSS_TYPE': 'ce',

@@ -191,3 +191,22 @@ def test_update_hparams_entry_point(tmp_path):
     from spec_tpu.utils.config import update_hparams
     cam = update_hparams(dialect='camcalib')
     assert cam.MODEL.BACKBONE == 'resnet34'
+
+
+def test_merge_from_list_rejects_unknown_keys():
+    """yacs semantics: a typo'd --opts key raises instead of silently
+    adding a dead key (a silent no-op override hid a real mistake)."""
+    import pytest
+
+    from spec_tpu.utils.config import (camcalib_default_config,
+                                       spec_default_config)
+
+    for cfg in (spec_default_config(), camcalib_default_config()):
+        with pytest.raises(KeyError):
+            cfg.merge_from_list(['DATASET.NO_SUCH_KEY', '5'])
+        with pytest.raises(KeyError):
+            cfg.merge_from_list(['NOSECTION.X', '1'])
+    # known keys still merge + coerce
+    cfg = camcalib_default_config()
+    cfg.merge_from_list(['DATASET.NUM_IMAGES', '64'])
+    assert cfg.DATASET.NUM_IMAGES == 64

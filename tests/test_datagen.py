@@ -411,3 +411,128 @@ def test_spec_synth_cli_contract(tmp_path, monkeypatch):
     assets = load_smpl_assets(
         os.path.join(str(root), 'body_models', 'smpl'), gender='neutral')
     assert assets.v_template.shape[0] == 6890
+
+
+def test_pano_dataset_decode_cache(tmp_path, rng):
+    """decode_cache: val items are BIT-IDENTICAL with the cache on/off,
+    epoch 2 is all hits, train items draw fresh jitter per epoch from the
+    cached pre-jitter pixels, and PanoAgoraDataset shares the semantics."""
+    import cv2
+    from spec_tpu.data.pano_dataset import CameraRegressorDataset
+
+    panos = []
+    for i in range(2):
+        p = str(tmp_path / f'pano_{i}.jpg')
+        img = cv2.GaussianBlur(
+            (rng.rand(512, 1024, 3) * 255).astype(np.float32),
+            (9, 9), 2.5).astype('u1')
+        cv2.imwrite(p, img)
+        panos.append(p)
+    out = str(tmp_path / 'gen')
+    preprocess_calib_data(panos, out, crops_per_pano=3, seed=0)
+    kw = dict(dataset='pano', min_size=96, max_size=160)
+
+    plain = CameraRegressorDataset(out, is_train=False, **kw)
+    cached = CameraRegressorDataset(out, is_train=False, decode_cache=8,
+                                    **kw)
+    n = len(plain)
+    assert n > 0
+    for i in range(n):                       # epoch 1: misses, identical
+        a, b = plain[i], cached[i]
+        np.testing.assert_array_equal(a['img'], b['img'])
+        np.testing.assert_array_equal(a['orig_shape'], b['orig_shape'])
+    assert cached._decode_cache.misses == n
+    for i in range(n):                       # epoch 2: all hits, identical
+        np.testing.assert_array_equal(plain[i]['img'], cached[i]['img'])
+    assert cached._decode_cache.hits == n
+
+    # train: cached pixels are pre-jitter -> two epochs of the same item
+    # differ (fresh jitter), and no decode happens in epoch 2
+    tr = CameraRegressorDataset(out, is_train=True, decode_cache=8,
+                                seed=3, **kw)
+    e1 = tr[0]['img']
+    misses_after_e1 = tr._decode_cache.misses
+    e2 = tr[0]['img']
+    assert tr._decode_cache.misses == misses_after_e1
+    assert np.abs(e1 - e2).max() > 1e-4
+
+    # PanoAgoraDataset twin (merged-npz layout)
+    from spec_tpu.data.pano_agora_dataset import PanoAgoraDataset
+    names, vf, pt, rl = [], [], [], []
+    imdir = tmp_path / 'agora'
+    imdir.mkdir()
+    for i in range(3):
+        nm = f'im{i}.jpg'
+        cv2.imwrite(str(imdir / nm),
+                    (rng.rand(128, 192, 3) * 255).astype('u1'))
+        names.append(nm)
+        vf.append(1.0 + 0.1 * i)
+        pt.append(0.02 * i)
+        rl.append(-0.01 * i)
+    for split in ('train', 'val'):
+        np.savez(imdir / f'pano_agora_dataset_{split}.npz',
+                 imgname=np.array(names), vfov=np.array(vf, 'f4'),
+                 pitch=np.array(pt, 'f4'), roll=np.array(rl, 'f4'))
+    pa = PanoAgoraDataset(str(imdir), is_train=False, min_size=64,
+                          max_size=96, decode_cache=4)
+    pa0 = PanoAgoraDataset(str(imdir), is_train=False, min_size=64,
+                           max_size=96)
+    for i in range(3):
+        np.testing.assert_array_equal(pa[i]['img'], pa0[i]['img'])
+    pa[0]
+    assert pa._decode_cache.hits == 1
+
+
+def test_jitter_normalize_matches_pil_oracle(rng):
+    """The fused affine jitter tracks the 4-pass PIL pipeline:
+    per-op parity (brightness exact, contrast/saturation to L-rounding),
+    identity at zero strength, same rng consumption, f32-clean
+    normalize, and bounded full-jitter deviation (hue rotates about the
+    gray axis instead of PIL's uint8-HSV shift)."""
+    from PIL import Image
+    from spec_tpu.core import constants as C
+    from spec_tpu.data.pano_dataset import (
+        color_jitter, jitter_normalize, normalize_u8)
+
+    arr = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+
+    def pil_ref(a, seed, **kw):
+        out = color_jitter(Image.fromarray(a),
+                           np.random.RandomState(seed), **kw)
+        return ((np.asarray(out, np.float32) / 255.0 - C.IMG_NORM_MEAN)
+                / C.IMG_NORM_STD).astype(np.float32)
+
+    # zero-strength == plain normalize, exactly
+    z = jitter_normalize(arr, np.random.RandomState(0), brightness=0,
+                         contrast=0, saturation=0, hue=0)
+    np.testing.assert_allclose(z, normalize_u8(arr), atol=1e-6)
+
+    # per-op parity vs PIL (normalized space; IMG_NORM_STD ~0.225 so
+    # atol 0.02 ~ 1.1/255 in pixel space)
+    for kw in (dict(brightness=0.3, contrast=0, saturation=0, hue=0),
+               dict(brightness=0, contrast=0.3, saturation=0, hue=0),
+               dict(brightness=0, contrast=0, saturation=0.3, hue=0)):
+        ours = jitter_normalize(arr, np.random.RandomState(7), **kw)
+        ref = pil_ref(arr, 7, **kw)
+        assert np.abs(ours - ref).max() < 0.03, kw
+
+    # full jitter: same rng draws -> same factors; hue model differs, so
+    # compare distribution-level moments, not pixels
+    ours = jitter_normalize(arr, np.random.RandomState(11))
+    ref = pil_ref(arr, 11)
+    assert np.abs(ours.mean() - ref.mean()) < 0.05
+    assert np.abs(ours.std() - ref.std()) < 0.05
+    # determinism
+    np.testing.assert_array_equal(
+        ours, jitter_normalize(arr, np.random.RandomState(11)))
+    # luma is preserved by the hue rotation: a pure-hue jitter keeps the
+    # Rec.709-weighted channel mean (to clipping)
+    h = jitter_normalize(arr, np.random.RandomState(5), brightness=0,
+                         contrast=0, saturation=0, hue=0.1)
+    w709 = np.array([0.213, 0.715, 0.072], np.float32)
+    base = normalize_u8(arr)
+    # de-normalize to pixel space for the luma check
+    std = np.asarray(C.IMG_NORM_STD, np.float32)
+    mean = np.asarray(C.IMG_NORM_MEAN, np.float32)
+    luma = lambda x: float(((x * std + mean) @ w709).mean())
+    assert abs(luma(h) - luma(base)) < 0.01
