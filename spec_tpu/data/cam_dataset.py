@@ -147,8 +147,16 @@ class CamDataset:
         self._region_cache = None
         if region_cache_dir:
             from spec_tpu.data.region_cache import RegionCache
-            self._region_cache = RegionCache(region_cache_dir,
-                                             fmt=region_cache_format)
+            # Files are keyed by SAMPLE INDEX, so the cache must be
+            # scoped per (dataset, split): spec_train hands the same
+            # REGION_CACHE_DIR to every train-mixture member and every
+            # val dataset, and a shared flat dir would serve dataset
+            # B's index-0 lookup dataset A's pixels (or thrash on the
+            # coverage check refilling each other's files every epoch).
+            self._region_cache = RegionCache(
+                os.path.join(region_cache_dir,
+                             f'{dataset}_{"train" if is_train else "val"}'),
+                fmt=region_cache_format)
         self.rng = np.random.RandomState(seed)
 
         data = np.load(annot_file, allow_pickle=True)
@@ -528,6 +536,12 @@ class CamDataset:
         probe = native.jpeg_probe(data)
         if probe is None or probe[2] != 1:    # undecodable / EXIF-rotated
             return None
+        if len(probe) > 3 and probe[3]:
+            # progressive JPEG: jpeg_crop_scanline rejects progressive
+            # mode AFTER the full multi-scan entropy decode, so the
+            # native attempt would pay a whole decode and then fall back
+            # to cv2 decoding the frame AGAIN — skip it up front
+            return None
         H, W = probe[0], probe[1]
         plans = self._plans(center, scale, rot, want_disp, reduce)
         crops = T.native_jpeg_crops(data, plans, (H, W), reduce=reduce)
@@ -553,9 +567,16 @@ class CamDataset:
             need = max(need, self.render_res)
         r = 1
         if self.fast_decode:
-            # the FINEST grid any jitter needs (smallest possible box)
-            r = T.pick_reduce(T.BBOX_SIDE * max(scale * (1 - sf), 1e-3),
-                              need)
+            # the FINEST grid any aug needs (smallest possible box):
+            # scale jitter (1-sf) AND random_crop, which shrinks the box
+            # by up to another (1-crop_factor) before _crops picks its
+            # per-sample reduce — the cached region must be stored at
+            # that finer grid or the 224 crop would silently upsample
+            cf = (self.aug.crop_factor
+                  if self.is_train and self.aug.crop_prob > 0 else 0.0)
+            r = T.pick_reduce(
+                T.BBOX_SIDE * max(scale * (1 - sf) * (1 - cf), 1e-3),
+                need)
         side = T.BBOX_SIDE * scale * (1 + sf)
         if self.is_train and self.aug.rot_factor > 0:
             side *= np.sqrt(2.0)
@@ -581,8 +602,10 @@ class CamDataset:
         probe = None
         if data.size >= 2 and data[0] == 0xFF and data[1] == 0xD8:
             probe = native.jpeg_probe(data)
-            if probe is not None and probe[2] != 1:
-                probe = None                   # EXIF-rotated: cv2 path
+            if probe is not None and (
+                    probe[2] != 1              # EXIF-rotated: cv2 path
+                    or (len(probe) > 3 and probe[3])):  # progressive
+                probe = None
         if probe is not None:
             H, W = probe[0], probe[1]
             x0, y0, x1, y1 = self._clamped_window(
@@ -635,7 +658,12 @@ class CamDataset:
         r = meta['reduce']
         from spec_tpu import native
         plans = self._plans(center, scale, rot, want_disp, r)
-        if not self._region_covers(region, meta, plans, r):
+        # A cache written under OLD aug bounds can be stale two ways:
+        # spatially (coverage check below) or in GRID (its reduce is
+        # coarser than the current bounds' finest need — serving it
+        # would silently upsample the crop). Both refill.
+        stale_grid = r > self._region_window(index)[1]
+        if stale_grid or not self._region_covers(region, meta, plans, r):
             if fresh:
                 return None       # window math can't cover: cv2 path
             got = self._fill_region(index, imgname)   # stale: refill

@@ -57,7 +57,8 @@ class ImageFolder:
         else:
             img = np.asarray(pil_img, np.float32) / 255.0
         return {
-            'img': img.astype(np.float32),          # HWC
+            'img': np.asarray(img, np.float32),     # HWC (no-copy: both
+                                                    # branches emit f32)
             'imgname': imgname,
             'orig_shape': np.array([orig_w, orig_h], np.int32),  # (W, H)
         }

@@ -207,9 +207,11 @@ def install_humanoid_smpl_assets(data_root: str, seed: int = 0) -> str:
         return smpl_dir
     os.makedirs(smpl_dir, exist_ok=True)
     raw, jre, jrh = make_humanoid_smpl_raw(seed=seed)
-    write_synthetic_smpl_pkl(pkl, raw=raw)
+    # the pkl is the idempotence sentinel, so write it LAST — a partial
+    # install (killed between writes) must not short-circuit the retry
     np.save(join(data_root, 'J_regressor_extra.npy'), jre)
     np.save(join(data_root, 'J_regressor_h36m.npy'), jrh)
+    write_synthetic_smpl_pkl(pkl, raw=raw)
     return smpl_dir
 
 

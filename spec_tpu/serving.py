@@ -449,7 +449,8 @@ class SpecPredictor:
                     st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0}
                 key_idx = [i for i in range(n_frames)
                            if (st['i'] + i) % every == 0]
-                if st['cam'] is None and (not key_idx or key_idx[0] != 0):
+                if (n_frames and st['cam'] is None
+                        and (not key_idx or key_idx[0] != 0)):
                     key_idx.insert(0, 0)
                 if key_idx:
                     cam_pending = self._cameras_dispatch(

@@ -270,7 +270,7 @@ def test_region_cache_jpeg_near_identical(tmp_path):
             # amplified by the up-to-1.4x pixel-noise aug); the noise
             # aug alone is +-0.4 multiplicative
             assert np.abs(ia['img'] - ib['img']).mean() < 1e-2
-    files = os.listdir(cache_dir)
+    files = os.listdir(a._region_cache.dir)   # per-(dataset,split) subdir
     assert len(files) == len(a) and all(f.endswith('.jpg') for f in files)
 
 
@@ -337,7 +337,7 @@ def test_region_cache_stale_window_refills(tmp_path):
     # the stale files were replaced (bigger windows) and removed
     names_big = dict(a2._region_cache._files)
     assert any(names_big[i] != names_small[i] for i in names_small)
-    on_disk = set(os.listdir(cache_dir))
+    on_disk = set(os.listdir(a2._region_cache.dir))
     assert set(names_big.values()) == on_disk
 
 
@@ -350,8 +350,67 @@ def test_region_cache_torn_file_refills(tmp_path):
     a = CamDataset(npz, img_dir, '3dpw-test-cam', **kw)
     ref = [a[i]['img'] for i in range(len(a))]
     name = a._region_cache._files[0]
-    with open(os.path.join(cache_dir, name), 'wb') as f:
+    with open(os.path.join(a._region_cache.dir, name), 'wb') as f:
         f.write(b'torn')
     a2 = CamDataset(npz, img_dir, '3dpw-test-cam', **kw)
     np.testing.assert_array_equal(a2[0]['img'], ref[0])
     assert len(a2._region_cache) == len(a2)
+
+
+def test_region_cache_scoped_per_dataset_and_split(tmp_path):
+    """Files are keyed by sample index, so the same REGION_CACHE_DIR
+    handed to several datasets (spec_train wires one dir into every
+    mixture member + every val set) must NOT collide: each
+    (dataset, split) gets its own subdir and serves its own pixels."""
+    npz, img_dir = _write_dataset(tmp_path, n=3)
+    other = tmp_path / 'other'
+    other.mkdir()
+    npz2, img_dir2 = _write_dataset(other, n=3, seed=99)
+    cache_dir = str(tmp_path / 'rcshared')
+    kw = dict(seed=7, is_train=False, native_decode=True,
+              region_cache_dir=cache_dir, region_cache_format='raw')
+    a = CamDataset(npz, img_dir, '3dpw-test-cam', **kw)
+    b = CamDataset(npz2, img_dir2, 'spec-syn', **kw)
+    ref_a = [a[i]['img'] for i in range(len(a))]
+    ref_b = [b[i]['img'] for i in range(len(b))]
+    assert a._region_cache.dir != b._region_cache.dir
+    # second epoch: each dataset hits ONLY its own cache, pixels exact
+    for i in range(len(a)):
+        np.testing.assert_array_equal(a[i]['img'], ref_a[i])
+        np.testing.assert_array_equal(b[i]['img'], ref_b[i])
+    assert a._region_cache.misses == len(a)    # no cross-thrash refills
+    assert b._region_cache.misses == len(b)
+    # train split scopes separately from val
+    tr = CamDataset(npz, img_dir, '3dpw-test-cam', is_train=True,
+                    seed=7, native_decode=True,
+                    region_cache_dir=cache_dir,
+                    region_cache_format='raw')
+    assert tr._region_cache.dir != a._region_cache.dir
+
+
+def test_region_cache_fast_decode_with_crop_aug(tmp_path):
+    """fast_decode + random_crop + region cache: the cached region's
+    grid must be as fine as the smallest random_crop sub-box needs
+    (regression: the window ladder ignored crop_factor, so a cropped
+    sample upsampled its 224 crop from a too-coarse grid). Cached and
+    uncached native paths must agree exactly across epochs."""
+    npz, img_dir = _write_dataset(tmp_path, n=4)
+    d = dict(np.load(npz))          # inflate boxes so fast_decode's
+    d['scale'] = (d['scale'] * 2.5).astype('f4')   # reduce ladder engages
+    np.savez(npz, **d)
+    aug = AugmentationConfig()
+    aug.scale_factor = 0.25
+    aug.crop_prob = 1.0
+    aug.crop_factor = 0.5
+    aug.use_motion_blur = False
+    kw = dict(seed=13, is_train=True, aug=aug, native_decode=True,
+              fast_decode=True)
+    a = CamDataset(npz, img_dir, '3dpw-test-cam',
+                   region_cache_dir=str(tmp_path / 'rcfd'),
+                   region_cache_format='raw', **kw)
+    b = CamDataset(npz, img_dir, '3dpw-test-cam', **kw)
+    for _epoch in range(3):
+        for i in range(len(a)):
+            np.testing.assert_array_equal(a[i]['img'], b[i]['img'])
+    # the cache actually served epochs 2-3 (not silently bypassed)
+    assert a._region_cache.hits >= 2 * len(a)

@@ -698,6 +698,12 @@ def test_predictor_camcalib_every_stream(shared_pred, rng):
         calls.clear()
         pred.predict(frames[1:2], boxes[1:2])
         assert calls == [1]
+
+        # zero-frame calls are fine mid-stream AND on a fresh stream
+        # (regression: the forced-keyframe insert indexed frames[0])
+        assert pred.predict([], []) == []
+        pred.reset_camera_stream()
+        assert pred.predict([], []) == []
     finally:
         pred.camcalib_every = 1
         pred._cameras_dispatch = orig
