@@ -113,7 +113,11 @@ def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
            ('hue', rng.uniform(-hue, hue))]
     rng.shuffle(ops)
 
-    mu = arr_u8.reshape(-1, 3).mean(axis=0, dtype=np.float32)  # (3,)
+    # contrast's gray mean on a 4x-strided grid: the full-image u8
+    # reduce measured 23 ms/item (the single hottest line); the
+    # subsampled estimate is within ~0.5 gray levels on natural images
+    # and enters scaled by (1 - f) <= 0.2
+    mu = arr_u8[::4, ::4].reshape(-1, 3).mean(axis=0, dtype=np.float32)
     A = np.eye(3, dtype=np.float64)
     b = np.zeros(3, np.float64)
     for name, f in ops:
@@ -146,28 +150,44 @@ def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
                  0.072 + 0.928 * c + 0.072 * s]])
             A = H @ A
             b = H @ b
-    # fold the ImageNet normalize into the affine (one matmul pass);
-    # the [0, 255] pixel clip becomes a per-channel clip against the
-    # normalized images of 0 and 255 (scale > 0 keeps it monotone)
-    scale = 1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))
-    bias = -np.asarray(C.IMG_NORM_MEAN) / np.asarray(C.IMG_NORM_STD)
-    A = (A * scale[:, None]).astype(np.float32)
-    b = (b * scale + bias).astype(np.float32)
-    lo = (0.0 * scale + bias).astype(np.float32)
-    hi = (255.0 * scale + bias).astype(np.float32)
-    x = np.asarray(arr_u8, np.float32).reshape(-1, 3)
-    out = x @ A.T + b
-    np.clip(out, lo, hi, out=out)
-    return out.reshape(arr_u8.shape)
+    # Apply: jitter affine in pixel space (cv2.transform = SIMD 3x4
+    # color transform; the (N,3)@(3,3) BLAS path measured ~18 ms/item),
+    # SCALAR-bounds clip (per-channel broadcast bounds measured 15 ms,
+    # scalars ~3), then the ImageNet normalize folded into a second
+    # tiny diagonal transform.
+    scale = (1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))).astype(
+        np.float32)
+    bias = (-np.asarray(C.IMG_NORM_MEAN)
+            / np.asarray(C.IMG_NORM_STD)).astype(np.float32)
+    try:
+        import cv2
+        out = cv2.transform(np.asarray(arr_u8, np.float32),
+                            np.hstack([A, b[:, None]]))
+        np.clip(out, 0.0, 255.0, out=out)
+        norm = np.hstack([np.diag(scale), bias[:, None]]
+                         ).astype(np.float64)
+        return cv2.transform(out, norm)
+    except ImportError:
+        x = np.asarray(arr_u8, np.float32).reshape(-1, 3)
+        out = x @ A.T.astype(np.float32) + b.astype(np.float32)
+        np.clip(out, 0.0, 255.0, out=out)
+        out = out * scale + bias
+        return out.reshape(arr_u8.shape)
 
 
 def normalize_u8(arr_u8: np.ndarray) -> np.ndarray:
-    """(x/255 - mean)/std in one fused f32 pass (the naive float64
-    broadcast costs 10.6 ms at 600x900; this is ~3x)."""
-    scale = (1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))).astype(np.float32)
-    bias = (-np.asarray(C.IMG_NORM_MEAN)
-            / np.asarray(C.IMG_NORM_STD)).astype(np.float32)
-    return np.asarray(arr_u8, np.float32) * scale + bias
+    """(x/255 - mean)/std in one fused pass (the naive float64
+    broadcast costs 10.6 ms at 600x900; cv2.transform's SIMD color
+    transform does u8 -> normalized f32 in one shot)."""
+    scale = 1.0 / (255.0 * np.asarray(C.IMG_NORM_STD))
+    bias = -np.asarray(C.IMG_NORM_MEAN) / np.asarray(C.IMG_NORM_STD)
+    try:
+        import cv2
+        m = np.hstack([np.diag(scale), bias[:, None]])
+        return cv2.transform(np.asarray(arr_u8, np.float32), m)
+    except ImportError:
+        return (np.asarray(arr_u8, np.float32) * scale.astype(np.float32)
+                + bias.astype(np.float32))
 
 
 def encode_targets(vfov, pitch, roll, loss_type: str) -> dict:
