@@ -66,7 +66,8 @@ def _cache_key(args) -> str:
             + (f'|cce{args.camcalib_every}'
                if getattr(args, 'camcalib_every', 1) > 1 else '')
             + ('|eval' if getattr(args, 'input_step', 'train') == 'eval'
-               else ''))
+               else '')
+            + ('|rm1' if getattr(args, 'remat', False) else ''))
 
 
 def emit(payload: dict, args) -> None:
@@ -203,7 +204,7 @@ def _fetch_rtt():
     return sorted(rtts)[len(rtts) // 2]
 
 
-def _train_setup(B, backbone):
+def _train_setup(B, backbone, remat=False):
     """Shared train-step scaffolding for the train/input modes: test SMPL
     assets (packed Pallas LBS off-CPU — the kernel has no compiled CPU
     lowering; plain-jnp LBS measures identical in the train graph,
@@ -220,7 +221,7 @@ def _train_setup(B, backbone):
     if jax.default_backend() != 'cpu':
         assets = S.with_packed_lbs(assets)
     model = HMR(backbone=backbone, use_cam=True, use_cam_feats=True,
-                dtype=jnp.bfloat16)
+                dtype=jnp.bfloat16, remat=remat)
     ex = ge._example_inputs(B, 224, rng)
     variables = model.init(jax.random.PRNGKey(0), assets, *ex)
     ge._zero_head_decoders(variables)
@@ -235,7 +236,8 @@ def train_bench(args):
     SMPL + HMRCamLoss) + Adam with donated buffers, at the production crop
     resolution. Chained-scalar timing (see _fetch_rtt)."""
     B = args.batch
-    ge, rng, ex, state, raw_step = _train_setup(B, args.backbone)
+    ge, rng, ex, state, raw_step = _train_setup(
+        B, args.backbone, remat=getattr(args, 'remat', False))
     batch = ge._example_batch(B, rng, ex)
 
     # Forcing: the final loss fetch transitively depends on every prior
@@ -267,7 +269,9 @@ def train_bench(args):
     assert np.isfinite(final)
     emit({
         'metric': f'SPEC train step (fwd+bwd+Adam, donated, '
-                  f'{args.backbone}), B={B} 224^2',
+                  f'{args.backbone}'
+                  + (', remat' if getattr(args, 'remat', False) else '')
+                  + f'), B={B} 224^2',
         'value': round(B * iters / dt, 2),
         'unit': 'img/s/chip',
         'ms_per_step': round(1000.0 * dt / iters, 3),
@@ -1042,6 +1046,11 @@ def main(argv=None):
                         help='[input] device step the loader feeds: '
                              'the train step (default) or the eval '
                              'step (fwd + gendered GT LBS + metrics)')
+    parser.add_argument('--remat', action='store_true',
+                        help='[train] rematerialize backbone blocks in '
+                             'the backward pass (TRAINING.REMAT memory '
+                             'knob; measured throughput-negative at the '
+                             'B=128 sweet spot)')
     args = parser.parse_args(argv)
     if args.batch is None:
         args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)

@@ -182,7 +182,8 @@ def main(argv=None):
     import jax.numpy as _jnp
     model = HMR(backbone=cfg.HMR.BACKBONE, use_cam=True,
                 use_cam_feats=cfg.HMR.USE_CAM_FEATS,
-                dtype=getattr(_jnp, cfg.HMR.get('DTYPE', 'float32')))
+                dtype=getattr(_jnp, cfg.HMR.get('DTYPE', 'float32')),
+                remat=cfg.TRAINING.get('REMAT', False))
 
     ckpt = args.ckpt or cfg.TRAINING.PRETRAINED_LIT \
         or paths.spec_checkpoint_path()

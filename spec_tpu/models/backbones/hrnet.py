@@ -155,10 +155,16 @@ class HRNet(nn.Module):
     arch: str = 'hrnet_w32'
     use_conv_downsample: bool = False
     dtype: Any = jnp.float32
+    # Rematerialize each exchange module in the backward pass — a MEMORY
+    # knob (TRAINING.REMAT), numerically identical; see ResNet.remat.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = HRNET_CONFIGS[self.arch]
+        module_cls = HighResolutionModule
+        if self.remat:
+            module_cls = nn.remat(HighResolutionModule, static_argnums=(2,))
         x = x.astype(self.dtype)
 
         # Stem: two stride-2 3x3 convs.
@@ -182,10 +188,10 @@ class HRNet(nn.Module):
                                self.dtype, name=f'transition_{stage_name}')(
                 feats, train=train)
             for m in range(scfg['num_modules']):
-                feats = HighResolutionModule(
+                feats = module_cls(
                     scfg['num_branches'], scfg['num_blocks'],
                     scfg['num_channels'], self.dtype,
-                    name=f'{stage_name}_m{m}')(feats, train=train)
+                    name=f'{stage_name}_m{m}')(feats, train)
             prev_channels = list(scfg['num_channels'])
 
         # Downsample head: everything to the lowest (1/32) resolution.

@@ -217,9 +217,22 @@ class ResNet(nn.Module):
     # 3-channel stem near the bandwidth ceiling on this hardware. Kept as
     # a knob for shapes/generations where the classic transform pays.
     s2d_stem: bool = False
+    # Rematerialize each residual block in the backward pass
+    # (jax.checkpoint): saves only block inputs, recomputes internal
+    # activations. A MEMORY knob (TRAINING.REMAT / bench --remat), not a
+    # speed knob: the train step is HBM-bandwidth-bound and block
+    # intermediates exceed VMEM, so recompute re-materializes them anyway
+    # (measured on-chip: see CLAUDE.md round-4 notes). Numerically
+    # identical to remat=False (tests/test_models.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = self.block
+        if self.remat:
+            # train (arg index 2 counting the module) is a static python
+            # bool; block I/O stays a single array pytree.
+            block_cls = nn.remat(self.block, static_argnums=(2,))
         x = x.astype(self.dtype)
         if self.s2d_stem:
             x = S2DStemConv(dtype=self.dtype, name='conv1')(x)
@@ -236,13 +249,13 @@ class ResNet(nn.Module):
                 needs_ds = first and (
                     strides != 1
                     or (stage == 0 and self.block is Bottleneck))
-                x = self.block(
+                x = block_cls(
                     features=features,
                     strides=strides if first else 1,
                     downsample=needs_ds,
                     dtype=self.dtype,
                     name=f'layer{stage + 1}_{blk}',
-                )(x, train=train)
+                )(x, train)
         return x
 
 

@@ -41,6 +41,12 @@ class HMR(nn.Module):
     img_res: int = 224
     dtype: Any = jnp.float32
     mean_params: Optional[dict] = None
+    # Rematerialize backbone blocks in the backward pass (TRAINING.REMAT):
+    # a memory knob for fitting larger batches/trunks, numerically
+    # identical. Measured on-chip as a THROUGHPUT NEGATIVE at the B=128
+    # sweet spot (the step is HBM-bandwidth-bound; see CLAUDE.md) — use
+    # only when memory-capacity-bound.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -64,7 +70,8 @@ class HMR(nn.Module):
           dict with pred_pose (B,24,3,3), pred_shape, pred_cam,
           smpl_vertices, smpl_joints3d, smpl_joints2d, pred_cam_t.
         """
-        trunk = B.get_backbone(self.backbone, dtype=self.dtype)
+        trunk = B.get_backbone(self.backbone, dtype=self.dtype,
+                               remat=self.remat)
         features = trunk(images, train=train)
 
         head = HMRHead(

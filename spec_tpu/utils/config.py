@@ -386,6 +386,11 @@ def spec_default_config() -> CfgNode:
             # optimizer update (effective batch k*BATCH_SIZE; beyond
             # reference — see train/state.py make_optimizer).
             'GRAD_ACCUM_STEPS': 1,
+            # Rematerialize backbone blocks in the backward pass
+            # (jax.checkpoint) — memory-capacity knob for larger
+            # batches/trunks; numerically identical, measured throughput
+            # negative at the B=128 sweet spot (HBM-bandwidth-bound step).
+            'REMAT': False,
         },
         'TESTING': {
             'SAVE_IMAGES': False,

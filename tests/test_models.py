@@ -306,3 +306,41 @@ def test_init_buffers_frozen_in_training():
     assert not np.allclose(
         np.asarray(new['head']['decpose']['kernel']), 1.0)
     assert not np.allclose(np.asarray(new['trunk']['w']), 1.0)
+
+
+@pytest.mark.parametrize('backbone', ['resnet18', 'hrnet_w32'])
+def test_backbone_remat_equivalence(rng, backbone):
+    """TRAINING.REMAT (jax.checkpoint around residual/exchange blocks) is
+    a pure memory knob: identical param tree, train-mode loss, and grads
+    vs the plain backbone."""
+    from spec_tpu.models.backbones import get_backbone
+
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+
+    def build(remat):
+        trunk = get_backbone(backbone, remat=remat)
+        v = trunk.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(params, batch_stats):
+            out, upd = trunk.apply(
+                {'params': params, 'batch_stats': batch_stats}, x,
+                train=True, mutable=['batch_stats'])
+            return jnp.sum(out.astype(jnp.float32) ** 2), \
+                upd['batch_stats']
+
+        (l, bs), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(
+            v['params'], v['batch_stats'])
+        return v, float(l), g, bs
+
+    v0, l0, g0, bs0 = build(False)
+    v1, l1, g1, bs1 = build(True)
+    # same param tree (checkpoint compatibility) and same numbers
+    assert jax.tree_util.tree_structure(v0) == \
+        jax.tree_util.tree_structure(v1)
+    assert l0 == l1
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(bs0),
+                    jax.tree_util.tree_leaves(bs1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
