@@ -374,9 +374,12 @@ def main(argv=None):
     parser.add_argument('--camcalib_every', type=int, default=1,
                         help='stage-1 stream amortization: run CamCalib '
                              'only on every Nth served frame and reuse '
-                             'the latest keyframe camera (single-stream '
-                             'deployments only — all inbound frames are '
-                             'treated as ONE video stream)')
+                             'the latest keyframe camera; hard shot cuts '
+                             're-anchor automatically (histogram-delta '
+                             'trigger). Single-stream deployments only — '
+                             'all inbound frames are treated as ONE '
+                             'video stream, so it requires '
+                             '--max_batch_frames 1 (refused otherwise)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
     parser.add_argument('--max_batch_frames', type=int, default=0,
@@ -403,6 +406,18 @@ def main(argv=None):
                              '(spec_export; ignores ckpt/cfg/detector '
                              'flags — the artifact is the model)')
     args = parser.parse_args(argv)
+
+    if args.camcalib_every > 1 and args.max_batch_frames != 1:
+        # The predictor keys keyframe-camera state off ONE frame counter:
+        # frames from concurrent clients interleave in it and would
+        # cross-contaminate cameras (ADVICE r4). Refuse unless the server
+        # is pinned to strictly sequential single-frame rounds.
+        parser.error(
+            '--camcalib_every > 1 treats all inbound frames as one '
+            'stream; with concurrent micro-batching enabled it would '
+            'cross-contaminate keyframe cameras between clients. '
+            'Either serve one client and pass --max_batch_frames 1, or '
+            'drop --camcalib_every (run stage 1 per frame).')
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()

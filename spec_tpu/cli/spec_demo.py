@@ -98,6 +98,37 @@ def _get_spec_model(smpl_model_dir: str, cfg_file: str, spec_ckpt: str,
 _IMAGE_CACHE_MAX = 32
 
 
+def _stage1_keyframes(image_names, every, cut_threshold=0.5):
+    """``--camcalib_every`` keyframe selection over an ordered image
+    list: every Nth frame PLUS any frame whose cheap gray-histogram
+    signature jumps vs its predecessor (a shot cut — the camera is a
+    per-shot quantity, so a cut must re-anchor stage 1 even off-stride).
+    Signatures come from ~96-px thumbnails (PIL ``draft`` does the JPEG
+    downscale in DCT space, so this costs ~ms/frame, not a decode)."""
+    from PIL import Image
+
+    from spec_tpu.serving import cut_score, frame_signature
+
+    keys, prev = [], None
+    for i, name in enumerate(image_names):
+        sig = None
+        if cut_threshold > 0:
+            try:
+                with Image.open(name) as im:
+                    im.draft('L', (96, 96))
+                    im = im.convert('L')
+                    im.thumbnail((96, 96))
+                    sig = frame_signature(np.asarray(im))
+            except Exception:
+                sig = None
+        if (i % every == 0
+                or (sig is not None and prev is not None
+                    and cut_score(prev, sig) > cut_threshold)):
+            keys.append(name)
+        prev = sig
+    return keys
+
+
 def _carry_cameras_forward(image_names, cam_out, shapes):
     """``--camcalib_every`` keyframe fill: every image without a stage-1
     pickle gets its latest preceding keyframe's camera (the camera is a
@@ -194,7 +225,7 @@ def run_spec_on_folder(
     # (configs/camcalib/config_sa_bias_l2_min*.yaml).
     camcalib_every = max(1, int(camcalib_every))
     cam_list = (image_names if camcalib_every == 1
-                else image_names[::camcalib_every])
+                else _stage1_keyframes(image_names, camcalib_every))
     run_camcalib_on_folder(
         image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False,
         min_size=min_size, image_list=cam_list)
@@ -655,6 +686,7 @@ def run_spec_webcam(
     vw = None
     latencies: list = []
     fi = 0
+    prev_sig = None
     while True:
         ok, frame_bgr = cap.read()
         if not ok:
@@ -667,7 +699,18 @@ def run_spec_webcam(
         # person-less frames; predict() reuses it via ``cameras=``.
         # --camcalib_every N amortizes it: the webcam camera is static,
         # so keyframes every N frames cut the dominant per-frame cost.
-        if fi % max(1, camcalib_every) == 0:
+        # A shot cut (histogram-delta trigger, serving.cut_score) forces
+        # an off-stride keyframe so file/stream sources with scene
+        # changes never hold a stale camera.
+        is_key = fi % max(1, camcalib_every) == 0
+        if camcalib_every > 1:
+            from spec_tpu.serving import cut_score, frame_signature
+            sig = frame_signature(rgb)
+            if (not is_key and prev_sig is not None
+                    and cut_score(prev_sig, sig) > pred.cut_threshold > 0):
+                is_key = True
+            prev_sig = sig
+        if is_key:
             cam = pred.estimate_cameras([rgb])[0]
         if pred.detector is not None:
             persons = pred.predict([rgb], cameras=[cam])[0]
@@ -803,8 +846,11 @@ def main(argv=None):
                              'in between — the camera is a per-shot '
                              'quantity, and stage 1 dominates pipeline '
                              'cost, so N amortizes it ~N-fold for '
-                             'video/webcam streams. 1 (default) = every '
-                             'frame')
+                             'video/webcam streams. Hard shot cuts are '
+                             'detected (gray-histogram delta) and force '
+                             'an off-stride keyframe, so multi-shot '
+                             'inputs re-anchor automatically. 1 '
+                             '(default) = every frame')
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')
     parser.add_argument('--save_obj', action='store_true')

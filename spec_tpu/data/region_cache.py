@@ -50,7 +50,10 @@ class RegionCache:
         for name in os.listdir(cache_dir):
             if name.startswith('r') and name.endswith(self._ext):
                 try:
-                    idx = int(name[1:9])
+                    # put() writes r{idx:08d}_... which grows past 8
+                    # digits for idx >= 1e8 — parse up to the first '_',
+                    # never a fixed-width slice (ADVICE r4).
+                    idx = int(os.path.splitext(name)[0].split('_')[0][1:])
                 except ValueError:
                     continue
                 self._files[idx] = name

@@ -36,6 +36,26 @@ from spec_tpu.utils import paths
 from spec_tpu.utils.batching import pad_pow2 as _pad_size
 
 
+def frame_signature(frame: np.ndarray, bins: int = 32,
+                    max_side: int = 64) -> np.ndarray:
+    """Cheap per-frame signature for shot-cut detection: a normalized
+    gray histogram of a strided ~``max_side``-px downsample. O(max_side^2)
+    regardless of frame size — noise vs the cost of a stage-1 pass."""
+    a = np.asarray(frame)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    step = max(1, -(-max(a.shape[:2]) // max_side))
+    a = a[::step, ::step]
+    hist, _ = np.histogram(a, bins=bins, range=(0.0, 256.0))
+    return hist.astype(np.float32) / max(int(hist.sum()), 1)
+
+
+def cut_score(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """L1 distance between two :func:`frame_signature` vectors, in
+    [0, 2]. Hard cuts land well above 0.5; pans/jitter stay near 0."""
+    return float(np.abs(np.asarray(sig_a) - np.asarray(sig_b)).sum())
+
+
 class SpecPredictor:
     """Persistent camera-aware human mesh recovery predictor.
 
@@ -83,6 +103,14 @@ class SpecPredictor:
         persists across ``predict()`` calls; ``reset_camera_stream()``
         re-anchors on a shot cut. Default 1 = per-frame (reference
         parity; the reference has no video mode at all).
+      cut_threshold: automatic shot-cut re-anchoring for
+        ``camcalib_every`` streams — every frame gets a cheap gray-
+        histogram signature (:func:`frame_signature`) and a frame whose
+        L1 delta vs the previous frame exceeds this threshold becomes a
+        stage-1 keyframe even off-stride, so a multi-shot video never
+        silently holds a stale camera across a cut. 0 disables (pure
+        stride). Default 0.5 (hard cuts measure >1 on real footage;
+        pans/noise stay <0.1).
     """
 
     # Class-level defaults for optional knobs: export.load_predictor
@@ -98,7 +126,8 @@ class SpecPredictor:
     _min_pad = 1       # stage-2 (and data_parallel stage-1) pad multiple
     _min_pad_s1 = 1    # stage-1 pad multiple (1 under spatial_parallel)
     camcalib_every = 1  # stage-1 stream amortization (1 = every frame)
-    _cam_stream = None  # {'cam', 'h', 'i'} once a stream is active
+    cut_threshold = 0.5  # shot-cut re-anchor (L1 histogram delta; 0=off)
+    _cam_stream = None  # {'cam', 'h', 'i', 'sig'} once a stream is active
 
     def __init__(
         self,
@@ -122,6 +151,7 @@ class SpecPredictor:
         yolo_weights: str = '',
         yolo_img_size: int = 416,
         camcalib_every: int = 1,
+        cut_threshold: float = 0.5,
     ):
         import jax
         import jax.numpy as jnp
@@ -158,6 +188,7 @@ class SpecPredictor:
         # keyframe's (f_pix rescaled if the frame height changes).
         # 1 = per-frame (reference parity). See predict().
         self.camcalib_every = max(1, int(camcalib_every))
+        self.cut_threshold = float(cut_threshold)
         self._cam_stream = None
         dtype = dtype or jnp.float32
 
@@ -389,8 +420,10 @@ class SpecPredictor:
         return self._cameras_fetch(prepped, pending, len(frames))
 
     def reset_camera_stream(self) -> None:
-        """Forget the ``camcalib_every`` stream state (call on a shot
-        cut / new video so the next frame is a stage-1 keyframe)."""
+        """Forget the ``camcalib_every`` stream state so the next frame
+        is a stage-1 keyframe (call when switching to a NEW video; hard
+        cuts WITHIN a stream are re-anchored automatically via
+        ``cut_threshold``)."""
         self._cam_stream = None
 
     # -- full pipeline --------------------------------------------------------
@@ -446,9 +479,26 @@ class SpecPredictor:
                 # predict() calls (reset_camera_stream() on a cut).
                 st = self._cam_stream
                 if st is None:
-                    st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0}
-                key_idx = [i for i in range(n_frames)
-                           if (st['i'] + i) % every == 0]
+                    st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0,
+                                             'sig': None}
+                keys = {i for i in range(n_frames)
+                        if (st['i'] + i) % every == 0}
+                thr = float(getattr(self, 'cut_threshold', 0.5) or 0.0)
+                if thr > 0.0 and n_frames:
+                    # Shot-cut re-anchor: a frame whose histogram
+                    # signature jumps vs its predecessor becomes a
+                    # keyframe even off-stride, so a multi-shot stream
+                    # never reuses a stale camera across a cut. The last
+                    # signature persists across predict() calls.
+                    sig = st.get('sig')
+                    for i in range(n_frames):
+                        s = frame_signature(frames[i])
+                        if (sig is not None and i not in keys
+                                and cut_score(sig, s) > thr):
+                            keys.add(i)
+                        sig = s
+                    st['sig'] = sig
+                key_idx = sorted(keys)
                 if (n_frames and st['cam'] is None
                         and (not key_idx or key_idx[0] != 0)):
                     key_idx.insert(0, 0)

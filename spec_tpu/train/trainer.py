@@ -378,6 +378,11 @@ class SpecTrainer:
                     save_checkpoint(self.ckpt_dir,
                                     jax.device_get(self.state),
                                     global_step, keep=1000)
+                    if self.writer:
+                        # TB history must never trail the last durable
+                        # checkpoint (flush_secs=600 queues up to 10 min
+                        # of scalars otherwise — ADVICE r4).
+                        self.writer.flush()
                     if self.is_main:
                         self._write_meta(epoch, global_step,
                                          skip=batches_done)
@@ -431,6 +436,10 @@ class SpecTrainer:
                                 global_step, keep=1000)
                 if self.is_main:
                     self._write_meta(epoch + 1, global_step)
+            if self.writer:
+                # Flush at every checkpoint save so TB never trails the
+                # last durable checkpoint (ADVICE r4).
+                self.writer.flush()
         if self.writer:
             self.writer.flush()
         return self.state

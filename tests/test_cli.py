@@ -406,6 +406,43 @@ def test_spec_demo_video_mode(tmp_path):
     assert cams[0]['pitch'] == cams[1]['pitch']
 
 
+def test_serve_camcalib_every_refuses_concurrent_batching(capsys):
+    """--camcalib_every > 1 keys keyframe state off ONE stream counter;
+    the server refuses it unless rounds are pinned to single-frame
+    sequential (--max_batch_frames 1), so concurrent clients can never
+    cross-contaminate cameras (ADVICE r4)."""
+    from spec_tpu.cli import serve
+
+    with pytest.raises(SystemExit) as e:
+        serve.main(['--camcalib_every', '4'])
+    assert e.value.code == 2
+    assert 'max_batch_frames' in capsys.readouterr().err
+
+
+def test_stage1_keyframes_shot_cut(tmp_path):
+    """Folder/video --camcalib_every keyframe selection: every Nth frame
+    plus any frame whose thumbnail histogram jumps vs its predecessor
+    (a shot cut re-anchors stage 1 even off-stride)."""
+    import cv2
+
+    from spec_tpu.cli.spec_demo import _stage1_keyframes
+
+    rng = np.random.RandomState(3)
+    names = []
+    for i in range(7):
+        lvl = 30 if i < 4 else 225               # hard cut at frame 4
+        img = np.clip(lvl + rng.rand(48, 64, 3) * 30, 0, 255)
+        p = str(tmp_path / f'{i:03d}.jpg')
+        cv2.imwrite(p, img.astype(np.uint8))
+        names.append(p)
+
+    keys = _stage1_keyframes(names, every=3)
+    assert keys == [names[0], names[3], names[4], names[6]]
+    # threshold 0 disables the cut trigger (pure stride)
+    assert _stage1_keyframes(names, every=3, cut_threshold=0) == [
+        names[0], names[3], names[6]]
+
+
 def test_carry_cameras_forward_unit(tmp_path):
     """Keyframe camera fill: skipped frames copy the latest preceding
     keyframe pickle, rescaling f_pix when the frame height differs."""

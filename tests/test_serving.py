@@ -708,3 +708,56 @@ def test_predictor_camcalib_every_stream(shared_pred, rng):
         pred.camcalib_every = 1
         pred._cameras_dispatch = orig
         pred.reset_camera_stream()
+
+
+def test_predictor_camcalib_every_shot_cut(shared_pred, rng):
+    """A hard shot cut inside a camcalib_every stream forces an
+    off-stride stage-1 keyframe (histogram-delta trigger, default on),
+    so the new shot never reuses the old shot's stale camera;
+    cut_threshold=0 restores the pure stride."""
+    pred = shared_pred
+    dark = [(rng.rand(96, 128, 3) * 40).astype(np.uint8)
+            for _ in range(4)]
+    bright = [(215 + rng.rand(96, 128, 3) * 40).astype(np.uint8)
+              for _ in range(3)]
+    frames = dark + bright                       # hard cut at frame 4
+    boxes = [np.array([[64, 48, 40, 60]], np.float32)] * len(frames)
+
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred.camcalib_every = 3
+    pred._cameras_dispatch = counting
+    try:
+        res = pred.predict(frames, boxes)
+        # stride keyframes 0/3/6 + the cut frame 4.
+        assert calls == [4]
+        cams = [r[0]['camera'] for r in res]
+        assert cams[0] == cams[1] == cams[2]     # shot A reuse
+        assert cams[4] == cams[5]                # re-anchored AT the cut
+        assert cams[4] != cams[3]                # ...not shot A's camera
+
+        # the signature persists across predict() calls: a cut on the
+        # FIRST frame of the next call is caught off-stride too
+        # (global i=7, 7 % 3 != 0; bright -> dark).
+        calls.clear()
+        pred.predict(dark[:1], boxes[:1])
+        assert calls == [1]
+
+        # cut_threshold = 0 disables the trigger (pure stride).
+        pred.reset_camera_stream()
+        pred.cut_threshold = 0.0
+        calls.clear()
+        res3 = pred.predict(frames, boxes)
+        assert calls == [3]                      # keyframes 0/3/6 only
+        cams3 = [r[0]['camera'] for r in res3]
+        assert cams3[4] == cams3[3]              # stale reuse, as asked
+    finally:
+        pred.camcalib_every = 1
+        pred.cut_threshold = 0.5
+        pred._cameras_dispatch = orig
+        pred.reset_camera_stream()
