@@ -10,15 +10,17 @@ end-to-end on the real stack:
   2. base training with the released recipe config
      (configs/camcalib/config_sa_bias_l2.yaml, min-side 600) via the
      camcalib_train CLI;
-  3. eval of the base checkpoint SERVED at min-600 (native) vs min-448
-     (the degraded reduced-bucket case);
+  3. eval of the base checkpoint SERVED at min-600 (native) vs the
+     reduced bucket picked by --min_size (384/448/512 — 512x672 is the
+     headline bench bucket);
   4. fine-tune with the shipped reduced-bucket preset
-     (configs/camcalib/config_sa_bias_l2_min448.yaml,
+     (configs/camcalib/config_sa_bias_l2_min{N}.yaml,
      TRAINING.PRETRAINED = the base checkpoint) via camcalib_train;
-  5. eval of the fine-tuned checkpoint at min-448 (the recovery).
+  5. eval of the fine-tuned checkpoint at the reduced bucket (recovery).
 
 Prints one JSON line:
-  {"base_at_600": {...MAE deg...}, "base_at_448": ..., "ft_at_448": ...}
+  {"...base_served_at_600": {...MAE deg...}, "...base_served_at_N": ...,
+   "...finetuned_at_N": ...}
 
 Run on the TPU chip (the two trainings are a few hundred steps; compile
 count is bounded by the aspect-bucket set and cached persistently).
@@ -68,6 +70,16 @@ def make_horizon_panos(pano_dir, n, seed=0, hw=(2048, 4096)):
             tex += (np.sin(lon * (fl + i % 5) + rng.rand() * 6)
                     * np.cos(lat * (fa + i % 3) + rng.rand() * 6)) / 2.0
         base = 40 + 170 * sky + 30 * tex * (0.3 + 0.7 * np.cos(lat))
+        # Roll-sensitive detail (r5): sharp longitude-aligned stripes.
+        # World-vertical structure projects to straight lines whose
+        # in-crop tilt IS the roll (the datagen applies roll in-plane),
+        # and the high lon-frequency square-ish profile makes localizing
+        # that tilt depend on serving resolution — the cue real imagery
+        # gets from buildings/posts, which the horizon-only first
+        # texture lacked (roll MAE floored at 5.4deg in r4's artifact).
+        kstr = 211 + 31 * (i % 5)
+        stripes = np.tanh(6.0 * np.sin(lon * kstr + rng.rand() * 6.28))
+        base += 25 * stripes * np.cos(lat) ** 2
         img = np.stack([base * 0.9, base, base * 1.1], -1)
         img += rng.randn(H, W, 3) * 6
         cv2.imwrite(os.path.join(pano_dir, f'p{i:03d}.jpg'),
@@ -130,6 +142,12 @@ def latest_ckpt_dir(log_root):
     return dirs[-1]
 
 
+# Serving-bucket ladder: min-side -> max-side (the reference ratio
+# 600/1000, camcalib/config.py MIN/MAX_RES; matches the shipped
+# configs/camcalib/config_sa_bias_l2_min{N}.yaml recipes).
+BUCKETS = {384: 640, 448: 744, 512: 852}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description='bucket-ladder MAE recovery with the real network')
@@ -137,6 +155,11 @@ def main(argv=None):
     parser.add_argument('--backbone', default='resnet18',
                         help='resnet18 keeps the chip run short; the '
                              'shipped recipes pin resnet50')
+    parser.add_argument('--min_size', type=int, default=448,
+                        choices=sorted(BUCKETS),
+                        help='reduced serving bucket to measure and '
+                             'fine-tune at (each has a shipped recipe '
+                             'config)')
     parser.add_argument('--panos', type=int, default=40)
     parser.add_argument('--batch', type=int, default=16)
     parser.add_argument('--base_epochs', type=int, default=8)
@@ -177,17 +200,18 @@ def main(argv=None):
          'TRAINING.MAX_EPOCHS', str(args.base_epochs)] + common)
     base_ckpt = latest_ckpt_dir(base_logs)
 
+    mn, mx = args.min_size, BUCKETS[args.min_size]
     base_600 = eval_mae(base_ckpt, args.backbone, 600, 1000, args.batch)
-    base_448 = eval_mae(base_ckpt, args.backbone, 448, 744, args.batch)
+    base_red = eval_mae(base_ckpt, args.backbone, mn, mx, args.batch)
 
-    ft_logs = os.path.join(args.workdir, 'logs_ft448')
+    ft_logs = os.path.join(args.workdir, f'logs_ft{mn}')
     camcalib_train.main(
-        ['--cfg', 'configs/camcalib/config_sa_bias_l2_min448.yaml',
+        ['--cfg', f'configs/camcalib/config_sa_bias_l2_min{mn}.yaml',
          '--log_root', ft_logs, '--opts',
          'TRAINING.PRETRAINED', base_ckpt,
          'TRAINING.MAX_EPOCHS', str(args.ft_epochs)] + common)
     ft_ckpt = latest_ckpt_dir(ft_logs)
-    ft_448 = eval_mae(ft_ckpt, args.backbone, 448, 744, args.batch)
+    ft_red = eval_mae(ft_ckpt, args.backbone, mn, mx, args.batch)
 
     import time
 
@@ -195,10 +219,11 @@ def main(argv=None):
 
     result = {
         'backbone': args.backbone,
-        'train_crops': 'scalenet datagen, synthetic horizon panos',
+        'train_crops': 'scalenet datagen, synthetic horizon panos '
+                       '(+ roll-sensitive vertical-stripe detail, r5)',
         'MAE_deg_base_served_at_600': base_600,
-        'MAE_deg_base_served_at_448': base_448,
-        'MAE_deg_finetuned_at_448': ft_448,
+        f'MAE_deg_base_served_at_{mn}': base_red,
+        f'MAE_deg_finetuned_at_{mn}': ft_red,
         'backend': jax.default_backend(),
         'measured_at': time.time(),
     }
