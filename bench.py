@@ -65,7 +65,13 @@ def _cache_key(args) -> str:
             + ('|co1' if getattr(args, 'compute_only', False) else '')
             + (f'|cce{args.camcalib_every}'
                if getattr(args, 'camcalib_every', 1) > 1 else '')
-            + ('|eval' if getattr(args, 'input_step', 'train') == 'eval'
+            + (f'|{args.input_step}'
+               if getattr(args, 'input_step', 'train') != 'train' else '')
+            + (f'|ccj-{args.camcalib_jitter}'
+               if getattr(args, 'camcalib_jitter', 'fused') != 'fused'
+               else '')
+            + ('|ccval'
+               if getattr(args, 'camcalib_split', 'train') == 'val'
                else '')
             + ('|rm1' if getattr(args, 'remat', False) else ''))
 
@@ -685,6 +691,122 @@ def _make_input_bench_data(root, n_frames=96, samples_per_frame=4,
     return npz, root
 
 
+def _make_camcalib_bench_data(root, n=96):
+    """Synthetic Pano360-crop dataset ON DISK in the pano_scalenet
+    layout (images/*.jpg + sibling .json annots + split pkls): the
+    reference datagen's resolution set (pano_preprocessing.py:323-324),
+    gradient+noise content that JPEG-compresses like photos. Cached
+    across runs."""
+    import cv2
+    import joblib
+
+    img_dir = os.path.join(root, 'images')
+    split_pkl = os.path.join(root, 'train_images.pkl')
+    if os.path.exists(split_pkl):
+        return root
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    sizes = [(640, 640), (750, 600), (800, 600), (900, 600),
+             (992, 558), (558, 992)]
+    names = []
+    for i in range(n):
+        W, H = sizes[i % len(sizes)]
+        yy, xx = np.mgrid[0:H, 0:W]
+        base = (128 + 80 * np.sin(xx / (31.0 + i % 7))
+                * np.cos(yy / (27.0 + i % 5)))
+        img = np.clip(base[..., None] + rng.randn(H, W, 3) * 10, 0, 255)
+        nm = f'crop{i:04d}.jpg'
+        cv2.imwrite(os.path.join(img_dir, nm), img.astype('u1'))
+        with open(os.path.join(img_dir, nm[:-4] + '.json'), 'w') as f:
+            json.dump({'vfov': 1.05 + 0.3 * (i % 5) / 5.0,
+                       'pitch': 0.05 - 0.02 * (i % 3),
+                       'roll': -0.02 + 0.01 * (i % 4)}, f)
+        names.append(nm)
+    split = max(1, int(n * 0.85))
+    joblib.dump(names[:split], split_pkl)
+    joblib.dump(names[split:], os.path.join(root, 'val_images.pkl'))
+    return root
+
+
+def camcalib_input_bench(args):
+    """CamCalib training/val loader throughput — the reproducible
+    harness behind the README/CLAUDE loader rows (the pre-r4 PIL chain
+    vs the fused jitter_normalize affine vs the decoded+resized u8
+    LRU). Reference analogue: the torchvision per-sample aug chain
+    (camcalib/pano_dataset.py:65-78) under an 8-worker torch DataLoader.
+
+    Variants (each its own cache entry):
+      --camcalib_jitter pil    4 sequential PIL ColorJitter passes +
+                               separate normalize (the pre-r4 item;
+                               attribution baseline)
+      --camcalib_jitter fused  the shipped jitter_normalize single
+                               cv2.transform affine (default)
+      --decode_cache N         decoded+RESIZED u8 LRU: epochs 2+ skip
+                               decode+resize (DATASET.DECODE_CACHE)
+      --camcalib_split val     no jitter (normalize only; cache-exact)
+
+    Items are iterated single-threaded so the value IS img/s/core
+    (worker threads only interleave on this 1-core sandbox)."""
+    from PIL import Image
+
+    from spec_tpu.data.pano_dataset import (
+        CameraRegressorDataset,
+        color_jitter,
+        normalize_u8,
+    )
+
+    root = _make_camcalib_bench_data(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.bench_data', 'camcalib_crops'))
+    is_train = args.camcalib_split == 'train'
+    ds = CameraRegressorDataset(
+        root, 'pano_scalenet', is_train=is_train, min_size=600,
+        max_size=1000, loss_type='softargmax_biased_l2',
+        fast_decode=args.fast_decode, decode_cache=args.decode_cache)
+
+    if args.camcalib_jitter == 'pil':
+        # The pre-r4 item: decode+resize, then the 4-pass PIL chain,
+        # then the separate normalize (reference ColorJitter semantics;
+        # jitter_normalize consumes the same rng draw pattern).
+        rng = np.random.RandomState(0)
+
+        def item(i):
+            imgname = os.path.join(root, 'images', ds.image_filenames[i])
+            arr, _ = ds._decode_resized(imgname)
+            pil = color_jitter(Image.fromarray(arr), rng)
+            return normalize_u8(np.asarray(pil, np.uint8))
+    else:
+        item = ds.__getitem__          # the product path
+
+    n_ds = len(ds)
+    for i in range(n_ds):              # warm-up epoch (fills caches)
+        item(i)
+    t0 = time.perf_counter()
+    n = 0
+    while n < n_ds or time.perf_counter() - t0 < args.camcalib_secs:
+        for i in range(n_ds):
+            item(i)
+        n += n_ds
+    ips = n / (time.perf_counter() - t0)
+
+    desc = ('PIL 4-pass jitter' if args.camcalib_jitter == 'pil'
+            else 'fused-affine jitter' if is_train else 'no jitter (val)')
+    if args.decode_cache:
+        desc += f' + decode-cache({args.decode_cache})'
+    emit({
+        'metric': f'camcalib {args.camcalib_split} loader item '
+                  f'({desc}), min-600',
+        'value': round(ips, 2),
+        'unit': 'img/s/core',
+        'n_images': n_ds,
+        'note': 'single-threaded item loop over the pano_scalenet '
+                'dataset (reference aug chain analogue, '
+                'camcalib/pano_dataset.py:65-78); decode-cache rows '
+                'measure steady-state epochs (warm-up epoch fills the '
+                'LRU). Host-only: no device in the timed window.',
+    }, args)
+
+
 def _input_eval_tail(args, loader, first, B, loader_ips):
     """The eval-side twin of the input bench's step phases: the same
     loader feeding the REAL eval step (fwd + gendered GT LBS + on-device
@@ -795,6 +917,8 @@ def input_bench(args):
     from spec_tpu.data import DataLoader
     from spec_tpu.data.cam_dataset import CamDataset
 
+    if args.input_step == 'camcalib':
+        return camcalib_input_bench(args)
     B = args.batch
     # Size the on-disk dataset to the requested batch: >=3 batches per
     # epoch at 4 samples/frame (drop_last would otherwise starve large
@@ -1041,11 +1165,28 @@ def main(argv=None):
                              'CamCalib runs on every Nth frame only '
                              '(video/webcam semantics; '
                              'SpecPredictor(camcalib_every=N))')
-    parser.add_argument('--input_step', choices=['train', 'eval'],
+    parser.add_argument('--input_step',
+                        choices=['train', 'eval', 'camcalib'],
                         default='train',
                         help='[input] device step the loader feeds: '
-                             'the train step (default) or the eval '
-                             'step (fwd + gendered GT LBS + metrics)')
+                             'the train step (default), the eval '
+                             'step (fwd + gendered GT LBS + metrics), '
+                             'or "camcalib" = host-only CamCalib '
+                             'loader-item throughput (jitter/cache '
+                             'variants via --camcalib_jitter / '
+                             '--camcalib_split / --decode_cache)')
+    parser.add_argument('--camcalib_jitter', choices=['fused', 'pil'],
+                        default='fused',
+                        help='[input camcalib] train-aug variant: the '
+                             'shipped fused jitter_normalize affine or '
+                             'the pre-r4 4-pass PIL ColorJitter chain '
+                             '(attribution baseline)')
+    parser.add_argument('--camcalib_split', choices=['train', 'val'],
+                        default='train',
+                        help='[input camcalib] split (val = no jitter, '
+                             'decode-cache-exact)')
+    parser.add_argument('--camcalib_secs', type=float, default=8.0,
+                        help='[input camcalib] minimum timed window')
     parser.add_argument('--remat', action='store_true',
                         help='[train] rematerialize backbone blocks in '
                              'the backward pass (TRAINING.REMAT memory '
@@ -1055,7 +1196,8 @@ def main(argv=None):
     if args.batch is None:
         args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)
 
-    if not _wait_for_backend():
+    host_only = args.mode == 'input' and args.input_step == 'camcalib'
+    if not host_only and not _wait_for_backend():
         # Chip unreachable: a clearly-marked stale line beats a red
         # artifact, but only if this exact config was really measured.
         if emit_stale_if_cached(args):
