@@ -44,9 +44,28 @@ def main(argv=None):
                              'must divide the device count). The '
                              'reference pins eval to one GPU '
                              '(scripts/spec_eval.py:72-75)')
+    parser.add_argument('--coordinator_address', type=str, default='',
+                        help='multi-host eval: host:port of process 0 '
+                             '(jax.distributed, same flags as '
+                             'spec_train). Each host evaluates the full '
+                             'val set host-locally (metrics identical '
+                             'everywhere); process 0 writes the '
+                             'artifacts. On Cloud TPU pods omit all '
+                             'three flags — jax auto-detects')
+    parser.add_argument('--num_processes', type=int, default=None,
+                        help='multi-host: total process count')
+    parser.add_argument('--process_id', type=int, default=None,
+                        help='multi-host: this process\'s rank')
     from spec_tpu.cli._compat import add_cluster_flags
     add_cluster_flags(parser)
     args = parser.parse_args(argv)
+
+    if args.coordinator_address:
+        # BEFORE any jax backend touch (spec_train does the same).
+        from spec_tpu import parallel as par_init
+        par_init.initialize_multihost(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes, process_id=args.process_id)
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()
@@ -62,6 +81,21 @@ def main(argv=None):
     cfg.RUN_TEST = True
 
     import jax
+
+    is_main = jax.process_index() == 0
+    if jax.process_count() > 1:
+        # One agreed artifact dir (every process minted its own
+        # timestamped LOGDIR) — take process 0's, like spec_train.
+        from spec_tpu import parallel as _par
+        cfg.LOGDIR = _par.broadcast_string(cfg.LOGDIR)
+        if is_main:
+            os.makedirs(cfg.LOGDIR, exist_ok=True)
+        if args.data_parallel:
+            raise SystemExit(
+                '--data_parallel shards batches over a single-process '
+                'mesh; under multi-host eval each process evaluates the '
+                'full val set host-locally instead (metrics identical '
+                'everywhere, artifacts from process 0) — drop the flag')
     from spec_tpu.core import smpl as S
     from spec_tpu.data import CamDataset, DataLoader
     from spec_tpu.eval.eval_loop import evaluate_dataset
@@ -176,7 +210,10 @@ def main(argv=None):
             save_results=cfg.TESTING.SAVE_RESULTS,
             save_images=cfg.TESTING.SAVE_IMAGES,
             save_freq=cfg.TESTING.SAVE_FREQ,
-            logdir=cfg.LOGDIR, dataset_name=ds_name)
+            # multi-host: every process computes (identical) metrics;
+            # logdir=None suppresses file artifacts off process 0
+            logdir=cfg.LOGDIR if is_main else None,
+            dataset_name=ds_name)
         dt = time.perf_counter() - t0
         print(f'[eval] {ds_name}: {summary} '
               f'({len(ds) / max(dt, 1e-6):.1f} img/s)')
@@ -200,7 +237,8 @@ def main(argv=None):
                             for k, v in headline.items() if k != 'protocol'})
         all_results[ds_name] = summary
 
-        _save_best_results(cfg.LOGDIR, ds_name, summary)
+        if is_main:
+            _save_best_results(cfg.LOGDIR, ds_name, summary)
 
     print(json.dumps(all_results, indent=2, default=float))
     return all_results

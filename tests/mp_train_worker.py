@@ -188,6 +188,26 @@ def main_spec(jax, pid, nproc, out_npz):
              step=np.int64(int(t2.state.step)), **flat)
 
 
+def main_val(jax, pid, nproc, out_npz):
+    """Multi-host VALIDATION through the real spec_eval CLI: every
+    process evaluates the full val set host-locally (metrics must be
+    identical everywhere); only process 0 writes the artifact files
+    into the broadcast-agreed logdir."""
+    from spec_tpu.cli import spec_eval
+
+    res = spec_eval.main([
+        '--log_root', os.environ['MP_LOGDIR'], '--opts',
+        'DATASET.VAL_DS', '3dpw-test-cam',
+        'DATASET.BATCH_SIZE', '8',
+        'DATASET.NUM_WORKERS', '1',
+        'DATASET.IMG_RES', '32',
+        'HMR.BACKBONE', 'resnet18',
+        'TESTING.USE_GT_CAM', 'True',
+    ])['3dpw-test-cam']
+    np.savez(out_npz.replace('.npz', f'_p{pid}.npz'),
+             **{k: np.float64(v) for k, v in res.items()})
+
+
 def main():
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -205,6 +225,8 @@ def main():
 
     if mode == 'spec':
         main_spec(jax, pid, nproc, out_npz)
+    elif mode == 'val':
+        main_val(jax, pid, nproc, out_npz)
     else:
         main_camcalib(jax, pid, nproc, out_npz)
     print(f'[p{pid}] DONE', flush=True)
