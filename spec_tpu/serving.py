@@ -162,6 +162,11 @@ class SpecPredictor:
             load_spec_variables,
         )
 
+        if detector not in ('', 'yolo'):
+            # Validate BEFORE the expensive model/asset construction.
+            raise ValueError(f'unknown detector {detector!r}; '
+                             "use '' (caller boxes) or 'yolo'")
+
         # Remote TPU compiles take minutes through the tunnel; share the
         # same persistent cache the CLIs warm ($SPEC_JAX_CACHE_DIR /
         # ~/.cache/spec_tpu/jax) so programmatic users hit it too.
@@ -238,10 +243,6 @@ class SpecPredictor:
         # bake into the HLO, so compile-cache keys would change with every
         # fresh init and the remote-compile payload would carry the full
         # weight tensors.
-        if detector not in ('', 'yolo'):
-            raise ValueError(f'unknown detector {detector!r}; '
-                             "use '' (caller boxes) or 'yolo'")
-
         self._min_pad = 1
         self._min_pad_s1 = 1
         if data_parallel and spatial_parallel:

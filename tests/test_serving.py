@@ -17,6 +17,26 @@ def shared_pred():
                          batch_size=2, min_size=64)
 
 
+@pytest.fixture(scope='module')
+def pred_clone(shared_pred):
+    """Cheap standard-config predictor instances for tests that MUTATE
+    state (detector stubs, _spec_infer capture, uint8_crops): a shallow
+    copy shares the expensive parts (variables, assets, jitted
+    callables — all stateless) while instance-attribute writes shadow
+    the original, so shared_pred stays pristine. Saves one two-trunk
+    construction per test (the fast-gate budget lever, VERDICT r4)."""
+    import copy
+
+    def make(**overrides):
+        p = copy.copy(shared_pred)
+        p._cam_stream = None
+        for k, v in overrides.items():
+            setattr(p, k, v)
+        return p
+
+    return make
+
+
 def test_predictor_end_to_end(shared_pred, rng):
     """Frames + boxes in, per-person SMPL results out — no files, mixed
     frame sizes (two stage-1 buckets), empty-box frames handled."""
@@ -226,7 +246,7 @@ def test_decode_request_jpeg_frames(rng):
         _decode_request(req(frame_jpeg=np.zeros(16, np.uint8)))
 
 
-def test_predictor_in_process_detection(rng):
+def test_predictor_in_process_detection(pred_clone, rng):
     """predict(frames) with no boxes routes through the configured
     detector and matches predict(frames, boxes) with the same boxes."""
     import pytest
@@ -236,8 +256,7 @@ def test_predictor_in_process_detection(rng):
     det_boxes = [np.array([[64, 48, 60, 60]], np.float32),
                  np.zeros((0, 4), np.float32)]
 
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
+    pred = pred_clone()
     # No detector configured -> helpful error, not a crash downstream.
     with pytest.raises(ValueError, match='detector'):
         pred.predict(frames)
@@ -261,7 +280,7 @@ def test_predictor_in_process_detection(rng):
                       batch_size=2, min_size=64, detector='maskrcnn')
 
 
-def test_http_serving_server_side_detection(rng):
+def test_http_serving_server_side_detection(pred_clone, rng):
     """A box-less npz request is served via the predictor's detector;
     without one the server answers 400."""
     import io
@@ -273,8 +292,7 @@ def test_http_serving_server_side_detection(rng):
 
     frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
 
-    pred = SpecPredictor(backbone='resnet18', camcalib_backbone='resnet18',
-                         batch_size=2, min_size=64)
+    pred = pred_clone()
     server = create_server(pred, host='127.0.0.1', port=0)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -598,7 +616,7 @@ def test_decode_request_rejects_orphan_arrays():
     assert len(frames) == 2 and boxes is None
 
 
-def test_predictor_uint8_crops_close_to_f32(rng):
+def test_predictor_uint8_crops_close_to_f32(pred_clone, rng):
     """The opt-in uint8 stage-2 upload (4x less transfer, on-device
     normalize) quantizes the bilinear crop by <=0.5/255 — outputs must
     stay close to the f32 hand-off, and the camera stage is untouched."""
@@ -607,10 +625,8 @@ def test_predictor_uint8_crops_close_to_f32(rng):
 
     from spec_tpu.core import constants as C
 
-    kw = dict(backbone='resnet18', camcalib_backbone='resnet18',
-              batch_size=2, min_size=64)
-    p32 = SpecPredictor(**kw)
-    pu8 = SpecPredictor(uint8_crops=True, **kw)
+    p32 = pred_clone()
+    pu8 = pred_clone(uint8_crops=True)
 
     # Capture the crop batches each path hands to the jitted stage 2.
     seen = {}
