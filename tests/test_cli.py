@@ -593,3 +593,43 @@ def test_spec_demo_webcam_mode(tmp_path):
     assert set(res['camera']) == {'vfov', 'f_pix', 'pitch', 'roll'}
     assert res['smpl_vertices'].shape == (1, 6890, 3)
     assert np.isfinite(res['smpl_vertices']).all()
+
+
+@pytest.mark.slow
+def test_spec_demo_webcam_shot_cut_reanchors(tmp_path):
+    """Webcam loop with --camcalib_every: a hard shot cut forces an
+    off-stride stage-1 keyframe (histogram-delta trigger), so the frame
+    after the cut carries a FRESH camera instead of the stale shot-A
+    keyframe's."""
+    import cv2
+    import joblib
+    from spec_tpu.cli.spec_demo import main
+
+    vid = tmp_path / 'cam.mp4'
+    w = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*'mp4v'),
+                        10, (64, 48))
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        lvl = 25 if i < 3 else 220          # hard cut at frame 3
+        w.write(np.clip(lvl + rng.rand(48, 64, 3) * 30, 0,
+                        255).astype(np.uint8))
+    w.release()
+
+    out = tmp_path / 'out'
+    # stride keyframes 0 and 4 — frame 3 (the cut) is OFF-stride and
+    # must re-anchor via the histogram trigger
+    main(['--mode', 'webcam', '--webcam_source', str(vid),
+          '--output_folder', str(out), '--exp', 'w2',
+          '--camcalib_every', '4'])
+
+    pkls = sorted((out / 'cam_w2' / 'webcam_results').glob('*.pkl'))
+    assert len(pkls) == 6
+    cams = [joblib.load(p)['camera'] for p in pkls]
+    assert cams[0] == cams[1] == cams[2]    # shot A reuses keyframe 0
+    assert cams[3] != cams[2]               # cut frame re-anchored
+    assert cams[5] == cams[4]               # frame 4 = stride keyframe,
+    #                                         frame 5 reuses it (cams[4]
+    #                                         may differ slightly from
+    #                                         cams[3]: both are real
+    #                                         stage-1 passes on lossy-
+    #                                         encoded near-twin frames)
