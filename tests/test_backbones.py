@@ -136,6 +136,7 @@ def test_resnet_parity(rng, arch, tblock, layers, cout):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_s2d_stem_exactness(rng):
     """The space-to-depth stem must compute EXACTLY the standard 7x7/s2
     stem (same params, fp32) — it is a pure kernel rewrite."""

@@ -308,7 +308,12 @@ def test_init_buffers_frozen_in_training():
     assert not np.allclose(np.asarray(new['trunk']['w']), 1.0)
 
 
-@pytest.mark.parametrize('backbone', ['resnet18', 'hrnet_w32'])
+@pytest.mark.parametrize('backbone', [
+    'resnet18',
+    # the W32 variant costs ~72 s on this 1-core host — slow tier keeps
+    # remat coverage per-commit via resnet18 and per-round via W32
+    pytest.param('hrnet_w32', marks=pytest.mark.slow),
+])
 def test_backbone_remat_equivalence(rng, backbone):
     """TRAINING.REMAT (jax.checkpoint around residual/exchange blocks) is
     a pure memory knob: identical param tree, train-mode loss, and grads

@@ -118,6 +118,7 @@ def test_spec_train_step_sharded_matches_single_device(rng):
         float(d_shard['loss/total_loss']), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_camcalib_train_step_fsdp_matches_replicated(rng):
     """FSDP (ZeRO) param/opt sharding is a pure layout change: the jitted
     step under fsdp shardings must match the replicated run exactly, and
@@ -174,6 +175,7 @@ def test_camcalib_train_step_fsdp_matches_replicated(rng):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_hybrid_hsdp_matches_replicated(rng):
     """HSDP (2-D ('data','fsdp') mesh, params sharded over 2-device
     groups, batch over all 8 devices) is a pure layout change: loss and
@@ -331,6 +333,7 @@ def test_fsdp_preemption_resume_bit_exact(tmp_path, rng):
     assert any('data' in s for s in shardings), shardings
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_is_sample_exact(tmp_path, rng):
     """A preempted epoch resumes at the NEXT untrained batch: the resumed
     run consumes exactly the remaining index chunks of the seeded shuffle
