@@ -762,7 +762,8 @@ def camcalib_input_bench(args):
     ds = CameraRegressorDataset(
         root, 'pano_scalenet', is_train=is_train, min_size=600,
         max_size=1000, loss_type='softargmax_biased_l2',
-        fast_decode=args.fast_decode, decode_cache=args.decode_cache)
+        fast_decode=args.fast_decode, decode_cache=args.decode_cache,
+        device_jitter=args.camcalib_jitter == 'device')
 
     if args.camcalib_jitter == 'pil':
         # The pre-r4 item: decode+resize, then the 4-pass PIL chain,
@@ -790,6 +791,8 @@ def camcalib_input_bench(args):
     ips = n / (time.perf_counter() - t0)
 
     desc = ('PIL 4-pass jitter' if args.camcalib_jitter == 'pil'
+            else 'device jitter (u8 + affine out)'
+            if args.camcalib_jitter == 'device'
             else 'fused-affine jitter' if is_train else 'no jitter (val)')
     if args.decode_cache:
         desc += f' + decode-cache({args.decode_cache})'
@@ -1175,12 +1178,17 @@ def main(argv=None):
                              'loader-item throughput (jitter/cache '
                              'variants via --camcalib_jitter / '
                              '--camcalib_split / --decode_cache)')
-    parser.add_argument('--camcalib_jitter', choices=['fused', 'pil'],
+    parser.add_argument('--camcalib_jitter',
+                        choices=['fused', 'pil', 'device'],
                         default='fused',
                         help='[input camcalib] train-aug variant: the '
-                             'shipped fused jitter_normalize affine or '
+                             'shipped fused jitter_normalize affine, '
                              'the pre-r4 4-pass PIL ColorJitter chain '
-                             '(attribution baseline)')
+                             '(attribution baseline), or "device" = '
+                             'DATASET.DEVICE_JITTER (u8 items + '
+                             'per-image affine; jitter/normalize run on '
+                             'device, so the host item is '
+                             'decode+resize+affine-sample only)')
     parser.add_argument('--camcalib_split', choices=['train', 'val'],
                         default='train',
                         help='[input camcalib] split (val = no jitter, '

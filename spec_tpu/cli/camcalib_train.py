@@ -93,7 +93,11 @@ def main(argv=None):
             loss_type=loss_type,
             fast_decode=(is_train
                          and cfg.DATASET.get('FAST_DECODE', False)),
-            decode_cache=decode_cache, num_images=num_images)
+            decode_cache=decode_cache, num_images=num_images,
+            # TRAIN only: the val path stays host-normalized f32 (exact,
+            # and _val_infer shares the plain-image graph)
+            device_jitter=(is_train
+                           and cfg.DATASET.get('DEVICE_JITTER', False)))
 
     train_ds = build_dataset(True)
     val_ds = build_dataset(False)
@@ -235,6 +239,12 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
                 'pitch': batch['pitch'],
                 'roll': batch['roll'],
             }
+            if 'jitter_A' in batch:
+                # DEVICE_JITTER: u8 frames + per-image affines; the pad
+                # mask restores exact zeros in normalized space
+                dev['jitter_A'] = batch['jitter_A']
+                dev['jitter_b'] = batch['jitter_b']
+                dev['pad_mask'] = batch['pad_mask']
             state, metrics = jit_step(state, par.shard_batch(dev, mesh))
             global_step += 1
             log_every = int(cfg.TRAINING.get('LOG_SAVE_INTERVAL', 50))

@@ -82,31 +82,15 @@ def color_jitter(pil_img: Image.Image, rng: np.random.RandomState,
 _GRAY_W = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601 (PIL L)
 
 
-def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
-                     brightness=0.2, contrast=0.2, saturation=0.2,
-                     hue=0.1) -> np.ndarray:
-    """Fused color-jitter + ImageNet-normalize: ONE 3x4 RGB affine.
-
-    The torchvision-ColorJitter semantics (random op order, factors
-    U(1-x, 1+x) / hue U(-x, x), reference pano_dataset.py:65-78) are
-    composed SYMBOLICALLY instead of as four sequential PIL passes
-    (measured 38.6 ms of a 56 ms loader item at 600x900 — the dominant
-    camcalib-training loader cost; this path is ~7x):
-
-      brightness f: x -> f*x
-      contrast   f: x -> f*x + (1-f)*mean_gray(current)   [mean tracked
-                     through the running affine, so order is honored]
-      saturation f: x -> (f*I + (1-f)*1*w^T) x            [per-pixel gray]
-      hue      th : rotation about the gray axis by th = 2*pi*f
-                     (the standard hue-rotate matrix — DEVIATION from
-                     PIL's uint8-HSV channel shift; equivalent to first
-                     order, distributionally indistinguishable for
-                     |f| <= 0.1)
-
-    then clips to [0, 255] once (PIL clamps per pass; with factors
-    <= 0.2 the intermediate clips are inactive except at saturated
-    pixels) and applies (x/255 - mean)/std. Consumes the SAME rng draw
-    pattern as :func:`color_jitter` (4 uniforms + shuffle)."""
+def sample_jitter_affine(arr_u8: np.ndarray, rng: np.random.RandomState,
+                         brightness=0.2, contrast=0.2, saturation=0.2,
+                         hue=0.1):
+    """Draw one ColorJitter outcome and compose it into a pixel-space
+    affine ``x -> A @ x + b`` (f64). The ONE definition of the factor
+    distributions / op-order semantics: :func:`jitter_normalize` applies
+    it on host, the device-jitter path ships (A, b) per image and
+    applies it on device (ops/preprocess.device_jitter_normalize) —
+    identical rng draw pattern to both and to :func:`color_jitter`."""
     ops = [('brightness', rng.uniform(1 - brightness, 1 + brightness)),
            ('contrast', rng.uniform(1 - contrast, 1 + contrast)),
            ('saturation', rng.uniform(1 - saturation, 1 + saturation)),
@@ -150,6 +134,37 @@ def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
                  0.072 + 0.928 * c + 0.072 * s]])
             A = H @ A
             b = H @ b
+    return A, b
+
+
+def jitter_normalize(arr_u8: np.ndarray, rng: np.random.RandomState,
+                     brightness=0.2, contrast=0.2, saturation=0.2,
+                     hue=0.1) -> np.ndarray:
+    """Fused color-jitter + ImageNet-normalize: ONE 3x4 RGB affine.
+
+    The torchvision-ColorJitter semantics (random op order, factors
+    U(1-x, 1+x) / hue U(-x, x), reference pano_dataset.py:65-78) are
+    composed SYMBOLICALLY instead of as four sequential PIL passes
+    (measured 38.6 ms of a 56 ms loader item at 600x900 — the dominant
+    camcalib-training loader cost; this path is ~7x):
+
+      brightness f: x -> f*x
+      contrast   f: x -> f*x + (1-f)*mean_gray(current)   [mean tracked
+                     through the running affine, so order is honored]
+      saturation f: x -> (f*I + (1-f)*1*w^T) x            [per-pixel gray]
+      hue      th : rotation about the gray axis by th = 2*pi*f
+                     (the standard hue-rotate matrix — DEVIATION from
+                     PIL's uint8-HSV channel shift; equivalent to first
+                     order, distributionally indistinguishable for
+                     |f| <= 0.1)
+
+    then clips to [0, 255] once (PIL clamps per pass; with factors
+    <= 0.2 the intermediate clips are inactive except at saturated
+    pixels) and applies (x/255 - mean)/std. Consumes the SAME rng draw
+    pattern as :func:`color_jitter` (4 uniforms + shuffle)."""
+    A, b = sample_jitter_affine(arr_u8, rng, brightness=brightness,
+                                contrast=contrast, saturation=saturation,
+                                hue=hue)
     # Apply: jitter affine in pixel space (cv2.transform = SIMD 3x4
     # color transform; the (N,3)@(3,3) BLAS path measured ~18 ms/item),
     # SCALAR-bounds clip (per-channel broadcast bounds measured 15 ms,
@@ -226,6 +241,7 @@ class CameraRegressorDataset:
         seed: int = 0,
         fast_decode: bool = False,
         decode_cache: int = 0,
+        device_jitter: bool = False,
     ):
         import joblib
 
@@ -256,6 +272,13 @@ class CameraRegressorDataset:
         from spec_tpu.data.cache import FrameCache
         self._decode_cache = (FrameCache(decode_cache) if decode_cache
                               else None)
+        # Device-jitter mode (DATASET.DEVICE_JITTER): items carry RAW
+        # uint8 pixels plus the per-image jitter affine (A, b) sampled
+        # on host; clip + normalize (+ the affine itself) run ON DEVICE
+        # (ops/preprocess.device_jitter_normalize). 4x less host->device
+        # transfer (u8 vs normalized f32) and the host item cost drops
+        # to decode+resize. Val items carry the identity affine.
+        self.device_jitter = bool(device_jitter)
         self.rng = np.random.RandomState(seed)
 
         split = 'train_images.pkl' if is_train else 'val_images.pkl'
@@ -311,7 +334,19 @@ class CameraRegressorDataset:
                 lambda: self._decode_resized(imgname))
         else:
             arr, orig_shape = self._decode_resized(imgname)
-        if self.is_train:
+        jitter_ab = None
+        if self.device_jitter:
+            # Raw u8 out; jitter affine sampled here (host has the
+            # pixels for the contrast mean), applied on DEVICE together
+            # with clip + normalize. Same rng draw pattern as the host
+            # path, so seeds line up across modes.
+            img = arr
+            if self.is_train:
+                A, b = sample_jitter_affine(arr, self.rng)
+            else:
+                A, b = np.eye(3), np.zeros(3)
+            jitter_ab = (A.astype(np.float32), b.astype(np.float32))
+        elif self.is_train:
             # DEVIATIONS from the reference aug (documented, val is
             # bit-unaffected — it never jitters):
             # - jitter runs on the RESIZED image, not before Resize
@@ -341,6 +376,8 @@ class CameraRegressorDataset:
             'pitch_angle': np.float32(pitch),
             'roll_angle': np.float32(roll),
         }
+        if jitter_ab is not None:
+            item['jitter_A'], item['jitter_b'] = jitter_ab
         item.update(encode_targets(vfov, pitch, roll, self.loss_type))
         return item
 
@@ -375,7 +412,9 @@ def pad_collate(items: Sequence[dict], pad_multiple: int = 64,
         W = int(-(-shapes[:, 1].max() // m) * m)
     else:
         H, W = fixed_hw
-    imgs = np.zeros((len(items), H, W, 3), np.float32)
+    # device-jitter items carry raw uint8 — preserve the dtype (the
+    # whole point is the 4x smaller upload)
+    imgs = np.zeros((len(items), H, W, 3), items[0]['img'].dtype)
     mask = np.zeros((len(items), H, W), np.float32)
     for i, it in enumerate(items):
         h, w = it['img'].shape[:2]

@@ -43,6 +43,33 @@ def spin_crop_corners(centers, scales, res: int = 224) -> np.ndarray:
     return out
 
 
+def device_jitter_normalize(img_u8: jnp.ndarray, A: jnp.ndarray,
+                            b: jnp.ndarray,
+                            pad_mask: jnp.ndarray = None) -> jnp.ndarray:
+    """On-device twin of ``data.pano_dataset.jitter_normalize``: apply a
+    per-image ColorJitter affine ``x -> A @ x + b`` (sampled on host by
+    ``sample_jitter_affine`` — host keeps the rng and the contrast gray
+    mean), clip to [0, 255], ImageNet-normalize. The host then ships RAW
+    uint8 frames + (B,3,3)/(B,3) affines instead of normalized f32 — 4x
+    less host->device transfer, and XLA fuses the whole chain into the
+    first conv's input processing (the normalize multiply it already
+    fuses).
+
+    ``pad_mask`` (B,H,W): zero the pad region AFTER normalization so
+    padded pixels stay exactly 0.0 in normalized space, matching the
+    host path's ``pad_collate`` zeros (b then normalize would otherwise
+    leak a nonzero constant into the padding).
+    """
+    x = img_u8.astype(jnp.float32)
+    x = jnp.einsum('bij,bhwj->bhwi', A, x) + b[:, None, None, :]
+    x = jnp.clip(x, 0.0, 255.0)
+    x = (x / 255.0 - jnp.asarray(C.IMG_NORM_MEAN)) / jnp.asarray(
+        C.IMG_NORM_STD)
+    if pad_mask is not None:
+        x = x * pad_mask[..., None]
+    return x
+
+
 def _axis_weights(ul: jnp.ndarray, box: jnp.ndarray, size: int,
                   res: int) -> jnp.ndarray:
     """Per-sample bilinear resampling weights along one axis, with cv2

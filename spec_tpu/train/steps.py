@@ -96,9 +96,18 @@ def make_camcalib_train_step(
     the released recipe trains with all three at 10.0)."""
 
     def loss_fn(params, batch_stats, batch):
+        img = batch['img']
+        if 'jitter_A' in batch:
+            # DATASET.DEVICE_JITTER: raw uint8 frames + per-image
+            # ColorJitter affines — jitter/clip/normalize fuse into the
+            # conv input processing on device (4x less upload).
+            from spec_tpu.ops.preprocess import device_jitter_normalize
+            img = device_jitter_normalize(
+                img, batch['jitter_A'], batch['jitter_b'],
+                batch.get('pad_mask'))
         out, new_model_state = model.apply(
             {'params': params, 'batch_stats': batch_stats},
-            batch['img'], train=True, mutable=['batch_stats'])
+            img, train=True, mutable=['batch_stats'])
         vfov_logits, pitch_logits, roll_logits = out
         total, loss_dict = camera_regressor_loss(
             vfov_logits, pitch_logits, roll_logits,

@@ -456,6 +456,13 @@ def camcalib_default_config() -> CfgNode:
             # reference dataset exposes the arg but never wires it,
             # camcalib/pano_dataset.py:56,90-91). -1 = all.
             'NUM_IMAGES': -1,
+            # On-device ColorJitter+normalize for the TRAIN loader
+            # (spec_tpu extension): items carry raw uint8 + a per-image
+            # 3x3+3 jitter affine; the train step applies affine/clip/
+            # normalize on device (ops/preprocess.device_jitter_
+            # normalize) — 4x less host->device transfer, host item
+            # cost drops to decode+resize.
+            'DEVICE_JITTER': False,
             # Legacy alias; the reference dialect is MODEL.LOSS_TYPE
             # (camcalib/config.py:87). resolve_camcalib_loss() arbitrates.
             'LOSS_TYPE': 'ce',

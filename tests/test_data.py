@@ -615,3 +615,32 @@ def test_jitter_normalize_bounds_drift_vs_pil_colorjitter():
     assert abs(np.mean(mean_f) - np.mean(mean_p)) < 0.05
     ratio = np.std(mean_f) / max(np.std(mean_p), 1e-9)
     assert 0.9 < ratio < 1.1
+
+
+def test_device_jitter_normalize_micro_parity(rng):
+    """Fast numeric twin of the slow dataset-level DEVICE_JITTER test:
+    the on-device affine+clip+normalize reproduces host jitter_normalize
+    on the same drawn affine (paired rng), and the identity affine
+    reproduces normalize_u8."""
+    import jax.numpy as jnp
+
+    from spec_tpu.data.pano_dataset import (
+        jitter_normalize,
+        normalize_u8,
+        sample_jitter_affine,
+    )
+    from spec_tpu.ops.preprocess import device_jitter_normalize
+
+    arr = (rng.rand(48, 64, 3) * 255).astype(np.uint8)
+    host = jitter_normalize(arr, np.random.RandomState(11))
+    A, b = sample_jitter_affine(arr, np.random.RandomState(11))
+    dev = np.asarray(device_jitter_normalize(
+        jnp.asarray(arr[None]), jnp.asarray(A[None].astype(np.float32)),
+        jnp.asarray(b[None].astype(np.float32))))[0]
+    np.testing.assert_allclose(dev, host, atol=2e-3)
+
+    eye = np.eye(3, dtype=np.float32)[None]
+    zero = np.zeros((1, 3), np.float32)
+    dev_id = np.asarray(device_jitter_normalize(
+        jnp.asarray(arr[None]), jnp.asarray(eye), jnp.asarray(zero)))[0]
+    np.testing.assert_allclose(dev_id, normalize_u8(arr), atol=1e-5)

@@ -536,3 +536,97 @@ def test_jitter_normalize_matches_pil_oracle(rng):
     mean = np.asarray(C.IMG_NORM_MEAN, np.float32)
     luma = lambda x: float(((x * std + mean) @ w709).mean())
     assert abs(luma(h) - luma(base)) < 0.01
+
+
+@pytest.mark.slow
+def test_pano_dataset_device_jitter_parity(tmp_path, rng):
+    """DATASET.DEVICE_JITTER: items carry raw uint8 + a per-image jitter
+    affine; ops.preprocess.device_jitter_normalize reproduces the host
+    jitter_normalize pixels exactly (same seed -> identical rng draws),
+    val items ride the identity affine, pad_collate preserves uint8 and
+    the pad mask restores exact zeros in normalized space, and the real
+    camcalib train step computes the same loss on either batch form."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from spec_tpu.data.pano_dataset import (
+        CameraRegressorDataset,
+        pad_collate,
+    )
+    from spec_tpu.ops.preprocess import device_jitter_normalize
+
+    panos = []
+    for i in range(2):
+        p = str(tmp_path / f'pano_{i}.jpg')
+        img = cv2.GaussianBlur(
+            (rng.rand(512, 1024, 3) * 255).astype(np.float32),
+            (9, 9), 2.5).astype('u1')
+        cv2.imwrite(p, img)
+        panos.append(p)
+    out = str(tmp_path / 'gen')
+    preprocess_calib_data(panos, out, crops_per_pano=3, seed=0)
+    kw = dict(dataset='pano', min_size=96, max_size=160)
+
+    host = CameraRegressorDataset(out, is_train=True, seed=5, **kw)
+    dev = CameraRegressorDataset(out, is_train=True, seed=5,
+                                 device_jitter=True, **kw)
+    for i in range(len(host)):
+        a = host[i]                          # normalized f32 (host path)
+        d = dev[i]
+        assert d['img'].dtype == np.uint8
+        batch = pad_collate([d])
+        assert batch['img'].dtype == np.uint8
+        got = np.asarray(device_jitter_normalize(
+            jnp.asarray(batch['img']), jnp.asarray(batch['jitter_A']),
+            jnp.asarray(batch['jitter_b']),
+            jnp.asarray(batch['pad_mask'])))[0]
+        h, w = a['img'].shape[:2]
+        np.testing.assert_allclose(got[:h, :w], a['img'], atol=2e-3)
+        # pad region: exact zeros, like the host path's pad_collate
+        assert np.all(got[h:] == 0.0)
+        assert np.all(got[:, w:] == 0.0)
+
+    # val: identity affine -> device path == normalize_u8 host path
+    vh = CameraRegressorDataset(out, is_train=False, **kw)
+    vd = CameraRegressorDataset(out, is_train=False, device_jitter=True,
+                                **kw)
+    a, d = vh[0], vd[0]
+    batch = pad_collate([d])
+    got = np.asarray(device_jitter_normalize(
+        jnp.asarray(batch['img']), jnp.asarray(batch['jitter_A']),
+        jnp.asarray(batch['jitter_b']), jnp.asarray(batch['pad_mask'])))[0]
+    h, w = a['img'].shape[:2]
+    np.testing.assert_allclose(got[:h, :w], a['img'], atol=1e-5)
+
+    # the real train step: identical loss on host-f32 vs device-u8 batches
+    import optax
+
+    from spec_tpu.models import CameraRegressorNetwork
+    from spec_tpu.train import create_train_state, make_camcalib_train_step
+
+    model = CameraRegressorNetwork(backbone='resnet18')
+    tx = optax.sgd(1e-2)
+    n = min(len(host), 2)
+    hb = pad_collate([host[i] for i in range(n)], fixed_hw=(192, 192))
+    # fresh device dataset so the jitter rng draws line up with `host`'s
+    dev2 = CameraRegressorDataset(out, is_train=True, seed=5,
+                                  device_jitter=True, **kw)
+    db = pad_collate([dev2[i] for i in range(n)], fixed_hw=(192, 192))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 96, 96, 3)))
+    step = jax.jit(make_camcalib_train_step(model, tx))
+
+    def run(b):
+        batch = {'img': jnp.asarray(b['img']),
+                 'vfov': jnp.asarray(b['vfov']),
+                 'pitch': jnp.asarray(b['pitch']),
+                 'roll': jnp.asarray(b['roll'])}
+        if 'jitter_A' in b:
+            batch['jitter_A'] = jnp.asarray(b['jitter_A'])
+            batch['jitter_b'] = jnp.asarray(b['jitter_b'])
+            batch['pad_mask'] = jnp.asarray(b['pad_mask'])
+        _, metrics = step(create_train_state(variables, tx), batch)
+        return float(metrics['loss'])
+
+    np.testing.assert_allclose(run(db), run(hb), rtol=1e-4)
