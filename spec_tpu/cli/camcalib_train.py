@@ -86,7 +86,10 @@ def main(argv=None):
             return PanoAgoraDataset(
                 folder, is_train=is_train, min_size=cfg.DATASET.MIN_RES,
                 max_size=cfg.DATASET.MAX_RES, loss_type=loss_type,
-                decode_cache=decode_cache, num_images=num_images)
+                decode_cache=decode_cache, num_images=num_images,
+                device_jitter=(is_train
+                               and cfg.DATASET.get('DEVICE_JITTER',
+                                                   False)))
         return CameraRegressorDataset(
             folder, dataset=cfg.DATASET.TRAIN_DS, is_train=is_train,
             min_size=cfg.DATASET.MIN_RES, max_size=cfg.DATASET.MAX_RES,

@@ -18,6 +18,7 @@ from spec_tpu.data.pano_dataset import (
     encode_targets,
     jitter_normalize,
     normalize_u8,
+    sample_jitter_affine,
     resize_scale,
 )
 
@@ -34,6 +35,7 @@ class PanoAgoraDataset:
         pad_multiple: int = 64,
         seed: int = 0,
         decode_cache: int = 0,
+        device_jitter: bool = False,
     ):
         self.dataset_folder = dataset_folder
         self.is_train = is_train
@@ -46,6 +48,9 @@ class PanoAgoraDataset:
         from spec_tpu.data.cache import FrameCache
         self._decode_cache = (FrameCache(decode_cache) if decode_cache
                               else None)
+        # u8 items + per-image jitter affine, applied on device (see
+        # CameraRegressorDataset.device_jitter — identical semantics).
+        self.device_jitter = bool(device_jitter)
         self.rng = np.random.RandomState(seed)
 
         split = 'train' if is_train else 'val'
@@ -80,7 +85,15 @@ class PanoAgoraDataset:
                 lambda: self._decode_resized(imgname))
         else:
             arr, orig_shape = self._decode_resized(imgname)
-        if self.is_train:
+        jitter_ab = None
+        if self.device_jitter:
+            img = arr
+            if self.is_train:
+                A, b = sample_jitter_affine(arr, self.rng)
+            else:
+                A, b = np.eye(3), np.zeros(3)
+            jitter_ab = (A.astype(np.float32), b.astype(np.float32))
+        elif self.is_train:
             # fused affine jitter on the RESIZED image (deviations
             # shared with CameraRegressorDataset — see its __getitem__)
             img = jitter_normalize(arr, self.rng)
@@ -98,6 +111,8 @@ class PanoAgoraDataset:
             'pitch_angle': np.float32(pitch),
             'roll_angle': np.float32(roll),
         }
+        if jitter_ab is not None:
+            item['jitter_A'], item['jitter_b'] = jitter_ab
         item.update(encode_targets(vfov, pitch, roll, self.loss_type))
         return item
 
