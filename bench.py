@@ -755,6 +755,16 @@ def camcalib_input_bench(args):
         normalize_u8,
     )
 
+    if args.camcalib_jitter == 'pil' and (args.decode_cache
+                                          or args.camcalib_split == 'val'):
+        # The pil closure below is the PRE-r4 attribution item (direct
+        # decode, always-jitter); combining it with the decode cache or
+        # the val split would cache a row that corresponds to no product
+        # or baseline configuration.
+        raise SystemExit('--camcalib_jitter pil is the pre-r4 train-item '
+                         'baseline: it bypasses the decode cache and '
+                         'always jitters — drop --decode_cache/'
+                         '--camcalib_split val')
     root = _make_camcalib_bench_data(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      '.bench_data', 'camcalib_crops'))

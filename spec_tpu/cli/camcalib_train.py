@@ -244,10 +244,12 @@ def _train_epochs(cfg, args, stop_ctx, state, jit_step, mesh, par, jnp,
             }
             if 'jitter_A' in batch:
                 # DEVICE_JITTER: u8 frames + per-image affines; the pad
-                # mask restores exact zeros in normalized space
+                # mask is rebuilt on device from true_shape (8 bytes/
+                # sample — shipping the f32 mask would hand back most
+                # of the u8 transfer saving)
                 dev['jitter_A'] = batch['jitter_A']
                 dev['jitter_b'] = batch['jitter_b']
-                dev['pad_mask'] = batch['pad_mask']
+                dev['true_shape'] = batch['true_shape']
             state, metrics = jit_step(state, par.shard_batch(dev, mesh))
             global_step += 1
             log_every = int(cfg.TRAINING.get('LOG_SAVE_INTERVAL', 50))

@@ -380,6 +380,11 @@ def main(argv=None):
                              'all inbound frames are treated as ONE '
                              'video stream, so it requires '
                              '--max_batch_frames 1 (refused otherwise)')
+    parser.add_argument('--cut_threshold', type=float, default=0.5,
+                        help='shot-cut re-anchor sensitivity for '
+                             '--camcalib_every streams (gray-histogram '
+                             'L1 delta; raise for strobe/flash footage, '
+                             '0 disables the trigger)')
     parser.add_argument('--max_request_mb', type=int, default=512,
                         help='reject request bodies above this size')
     parser.add_argument('--max_batch_frames', type=int, default=0,
@@ -439,7 +444,8 @@ def main(argv=None):
             yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
             data_parallel=args.data_parallel,
             spatial_parallel=args.spatial_parallel,
-            camcalib_every=args.camcalib_every)
+            camcalib_every=args.camcalib_every,
+            cut_threshold=args.cut_threshold)
     server = create_server(predictor, args.host, args.port,
                            max_request_bytes=args.max_request_mb * 2 ** 20,
                            max_batch_frames=args.max_batch_frames)

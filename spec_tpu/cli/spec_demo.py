@@ -102,17 +102,23 @@ def _stage1_keyframes(image_names, every, cut_threshold=0.5):
     """``--camcalib_every`` keyframe selection over an ordered image
     list: every Nth frame PLUS any frame whose cheap gray-histogram
     signature jumps vs its predecessor (a shot cut — the camera is a
-    per-shot quantity, so a cut must re-anchor stage 1 even off-stride).
-    Signatures come from ~96-px thumbnails (PIL ``draft`` does the JPEG
-    downscale in DCT space, so this costs ~ms/frame, not a decode)."""
+    per-shot quantity, so a cut must re-anchor stage 1 even off-stride;
+    the rule is serving.KeyframeSelector, shared with the predictor
+    stream and the webcam loop). Signatures come from ~96-px thumbnails
+    (PIL ``draft`` does the JPEG downscale in DCT space — ~ms/frame for
+    JPEG sources; non-JPEG formats pay a full decode per frame, so on
+    e.g. large PNG folders prefer ``cut_threshold=0`` if the source is
+    known single-shot). An unreadable frame keeps the previous
+    signature, so a cut spanning it still re-anchors."""
     from PIL import Image
 
-    from spec_tpu.serving import cut_score, frame_signature
+    from spec_tpu.serving import KeyframeSelector, frame_signature
 
-    keys, prev = [], None
-    for i, name in enumerate(image_names):
+    sel = KeyframeSelector(every, cut_threshold)
+    keys = []
+    for name in image_names:
         sig = None
-        if cut_threshold > 0:
+        if sel.cut_threshold > 0:
             try:
                 with Image.open(name) as im:
                     im.draft('L', (96, 96))
@@ -121,11 +127,8 @@ def _stage1_keyframes(image_names, every, cut_threshold=0.5):
                     sig = frame_signature(np.asarray(im))
             except Exception:
                 sig = None
-        if (i % every == 0
-                or (sig is not None and prev is not None
-                    and cut_score(prev, sig) > cut_threshold)):
+        if sel.is_keyframe(sig):
             keys.append(name)
-        prev = sig
     return keys
 
 
@@ -170,6 +173,7 @@ def run_spec_on_folder(
     yolo_img_size: int = 416,
     min_size: int = 600,
     camcalib_every: int = 1,
+    cut_threshold: float = 0.5,
 ):
     import cv2
     import jax
@@ -225,7 +229,8 @@ def run_spec_on_folder(
     # (configs/camcalib/config_sa_bias_l2_min*.yaml).
     camcalib_every = max(1, int(camcalib_every))
     cam_list = (image_names if camcalib_every == 1
-                else _stage1_keyframes(image_names, camcalib_every))
+                else _stage1_keyframes(image_names, camcalib_every,
+                                       cut_threshold=cut_threshold))
     run_camcalib_on_folder(
         image_folder, cam_out, ckpt=camcalib_ckpt, save_images=False,
         min_size=min_size, image_list=cam_list)
@@ -638,6 +643,7 @@ def run_spec_webcam(
     display: bool = False,
     save_results: bool = True,
     camcalib_every: int = 1,
+    cut_threshold: float = 0.5,
 ):
     """Webcam / live-stream demo: per-frame low-latency loop.
 
@@ -679,14 +685,15 @@ def run_spec_webcam(
         cfg_file=cfg_file, smpl_model_dir=smpl_model_dir,
         img_res=img_res, batch_size=8, min_size=min_size,
         detector=detector, yolo_weights=yolo_weights,
-        yolo_img_size=yolo_img_size)
+        yolo_img_size=yolo_img_size, cut_threshold=cut_threshold)
     assets = pred.assets
 
     out_path = os.path.join(output_folder, 'spec_webcam_output.mp4')
     vw = None
     latencies: list = []
     fi = 0
-    prev_sig = None
+    from spec_tpu.serving import KeyframeSelector, frame_signature
+    sel = KeyframeSelector(camcalib_every, pred.cut_threshold)
     while True:
         ok, frame_bgr = cap.read()
         if not ok:
@@ -699,18 +706,12 @@ def run_spec_webcam(
         # person-less frames; predict() reuses it via ``cameras=``.
         # --camcalib_every N amortizes it: the webcam camera is static,
         # so keyframes every N frames cut the dominant per-frame cost.
-        # A shot cut (histogram-delta trigger, serving.cut_score) forces
-        # an off-stride keyframe so file/stream sources with scene
-        # changes never hold a stale camera.
-        is_key = fi % max(1, camcalib_every) == 0
-        if camcalib_every > 1:
-            from spec_tpu.serving import cut_score, frame_signature
-            sig = frame_signature(rgb)
-            if (not is_key and prev_sig is not None
-                    and cut_score(prev_sig, sig) > pred.cut_threshold > 0):
-                is_key = True
-            prev_sig = sig
-        if is_key:
+        # A shot cut (histogram-delta trigger, serving.KeyframeSelector)
+        # forces an off-stride keyframe so file/stream sources with
+        # scene changes never hold a stale camera.
+        if sel.is_keyframe(frame_signature(rgb)
+                           if camcalib_every > 1 and sel.cut_threshold > 0
+                           else None):
             cam = pred.estimate_cameras([rgb])[0]
         if pred.detector is not None:
             persons = pred.predict([rgb], cameras=[cam])[0]
@@ -851,6 +852,16 @@ def main(argv=None):
                              'an off-stride keyframe, so multi-shot '
                              'inputs re-anchor automatically. 1 '
                              '(default) = every frame')
+    parser.add_argument('--cut_threshold', type=float, default=0.5,
+                        help='shot-cut re-anchor sensitivity for '
+                             '--camcalib_every streams: gray-histogram '
+                             'L1 delta (in [0, 2]) above which a frame '
+                             'becomes an off-stride stage-1 keyframe. '
+                             'Raise for strobe/flash footage, 0 '
+                             'disables (pure stride; also skips the '
+                             'per-frame thumbnail signature — prefer '
+                             'that on non-JPEG folders known to be '
+                             'single-shot)')
     parser.add_argument('--no_save', action='store_true')
     parser.add_argument('--no_render', action='store_true')
     parser.add_argument('--save_obj', action='store_true')
@@ -968,7 +979,8 @@ def main(argv=None):
         smpl_model_dir=args.smpl_model_dir, save_obj=args.save_obj,
         cfg_file=args.cfg, detector=args.detector,
         yolo_weights=args.yolo_weights, yolo_img_size=args.yolo_img_size,
-        min_size=args.min_size, camcalib_every=args.camcalib_every)
+        min_size=args.min_size, camcalib_every=args.camcalib_every,
+        cut_threshold=args.cut_threshold)
     if args.mode == 'webcam':
         if args.bbox_file:
             print('[spec] WARNING: --bbox_file is ignored in webcam mode '
@@ -982,7 +994,8 @@ def main(argv=None):
             yolo_img_size=args.yolo_img_size, min_size=args.min_size,
             max_frames=args.max_frames, display=args.display,
             save_results=not args.no_save,
-            camcalib_every=args.camcalib_every)
+            camcalib_every=args.camcalib_every,
+            cut_threshold=args.cut_threshold)
     elif args.mode == 'video':
         run_spec_on_video(args.vid_file, out_folder,
                           chunk_size=args.chunk_size,

@@ -45,7 +45,7 @@ def spin_crop_corners(centers, scales, res: int = 224) -> np.ndarray:
 
 def device_jitter_normalize(img_u8: jnp.ndarray, A: jnp.ndarray,
                             b: jnp.ndarray,
-                            pad_mask: jnp.ndarray = None) -> jnp.ndarray:
+                            true_shape: jnp.ndarray = None) -> jnp.ndarray:
     """On-device twin of ``data.pano_dataset.jitter_normalize``: apply a
     per-image ColorJitter affine ``x -> A @ x + b`` (sampled on host by
     ``sample_jitter_affine`` — host keeps the rng and the contrast gray
@@ -55,18 +55,26 @@ def device_jitter_normalize(img_u8: jnp.ndarray, A: jnp.ndarray,
     first conv's input processing (the normalize multiply it already
     fuses).
 
-    ``pad_mask`` (B,H,W): zero the pad region AFTER normalization so
-    padded pixels stay exactly 0.0 in normalized space, matching the
-    host path's ``pad_collate`` zeros (b then normalize would otherwise
-    leak a nonzero constant into the padding).
+    ``true_shape`` (B,2 int): each image's unpadded (h, w). The pad mask
+    is rebuilt ON DEVICE from it (two iota comparisons — 8 bytes/sample
+    uploaded, not a full-resolution f32 mask, which would hand back most
+    of the transfer saving) and zeroes the pad region AFTER
+    normalization, so padded pixels stay exactly 0.0 in normalized
+    space like the host path's ``pad_collate`` zeros.
     """
     x = img_u8.astype(jnp.float32)
     x = jnp.einsum('bij,bhwj->bhwi', A, x) + b[:, None, None, :]
     x = jnp.clip(x, 0.0, 255.0)
     x = (x / 255.0 - jnp.asarray(C.IMG_NORM_MEAN)) / jnp.asarray(
         C.IMG_NORM_STD)
-    if pad_mask is not None:
-        x = x * pad_mask[..., None]
+    if true_shape is not None:
+        H, W = x.shape[1], x.shape[2]
+        rows = (jnp.arange(H)[None, :]
+                < true_shape[:, 0, None])          # (B, H)
+        cols = (jnp.arange(W)[None, :]
+                < true_shape[:, 1, None])          # (B, W)
+        mask = rows[:, :, None] & cols[:, None, :]
+        x = x * mask[..., None].astype(x.dtype)
     return x
 
 

@@ -56,6 +56,38 @@ def cut_score(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.abs(np.asarray(sig_a) - np.asarray(sig_b)).sum())
 
 
+class KeyframeSelector:
+    """The ONE definition of the ``camcalib_every`` keyframe rule:
+    frame i is a stage-1 keyframe iff ``i % every == 0`` (the stride)
+    OR its :func:`frame_signature` delta vs the previous readable frame
+    exceeds ``cut_threshold`` (a hard shot cut; 0 disables the
+    trigger). Shared by :meth:`SpecPredictor.predict`, the demo
+    folder/video keyframe pre-pass, and the webcam loop.
+
+    ``is_keyframe(sig)`` consumes one frame's signature (or None when
+    unreadable) and advances the counter. An unreadable frame keeps the
+    previous signature, so a cut spanning it is still caught on the
+    next readable frame."""
+
+    def __init__(self, every: int, cut_threshold: float = 0.5,
+                 start_index: int = 0, prev_sig=None):
+        self.every = max(1, int(every))
+        self.cut_threshold = float(cut_threshold or 0.0)
+        self.i = int(start_index)
+        self.prev_sig = prev_sig
+
+    def is_keyframe(self, sig=None) -> bool:
+        key = self.i % self.every == 0
+        if (not key and self.cut_threshold > 0.0 and sig is not None
+                and self.prev_sig is not None
+                and cut_score(self.prev_sig, sig) > self.cut_threshold):
+            key = True
+        if sig is not None:
+            self.prev_sig = sig
+        self.i += 1
+        return key
+
+
 class SpecPredictor:
     """Persistent camera-aware human mesh recovery predictor.
 
@@ -482,24 +514,21 @@ class SpecPredictor:
                 if st is None:
                     st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0,
                                              'sig': None}
-                keys = {i for i in range(n_frames)
-                        if (st['i'] + i) % every == 0}
+                # Shot-cut re-anchor (KeyframeSelector): a frame whose
+                # histogram signature jumps vs its predecessor becomes
+                # a keyframe even off-stride, so a multi-shot stream
+                # never reuses a stale camera across a cut. The last
+                # signature persists across predict() calls; with the
+                # trigger disabled it is cleared, so re-enabling never
+                # compares against an arbitrarily old frame.
                 thr = float(getattr(self, 'cut_threshold', 0.5) or 0.0)
-                if thr > 0.0 and n_frames:
-                    # Shot-cut re-anchor: a frame whose histogram
-                    # signature jumps vs its predecessor becomes a
-                    # keyframe even off-stride, so a multi-shot stream
-                    # never reuses a stale camera across a cut. The last
-                    # signature persists across predict() calls.
-                    sig = st.get('sig')
-                    for i in range(n_frames):
-                        s = frame_signature(frames[i])
-                        if (sig is not None and i not in keys
-                                and cut_score(sig, s) > thr):
-                            keys.add(i)
-                        sig = s
-                    st['sig'] = sig
-                key_idx = sorted(keys)
+                sel = KeyframeSelector(every, thr, start_index=st['i'],
+                                       prev_sig=st.get('sig'))
+                key_idx = [
+                    i for i in range(n_frames)
+                    if sel.is_keyframe(frame_signature(frames[i])
+                                       if thr > 0.0 else None)]
+                st['sig'] = sel.prev_sig if thr > 0.0 else None
                 if (n_frames and st['cam'] is None
                         and (not key_idx or key_idx[0] != 0)):
                     key_idx.insert(0, 0)

@@ -19,6 +19,10 @@ import optax
 
 from spec_tpu.core.smpl import SMPLAssets, smpl_forward
 from spec_tpu.losses import HMRLossConfig, camera_regressor_loss, hmr_cam_loss
+# Eager top-level import: loss_fn below references this inside a jitted
+# body, and a first import under the trace would leak any module-level
+# jnp constants as tracers (CLAUDE.md; bins.py bit this).
+from spec_tpu.ops.preprocess import device_jitter_normalize
 from spec_tpu.train.state import TrainState
 
 
@@ -100,11 +104,11 @@ def make_camcalib_train_step(
         if 'jitter_A' in batch:
             # DATASET.DEVICE_JITTER: raw uint8 frames + per-image
             # ColorJitter affines — jitter/clip/normalize fuse into the
-            # conv input processing on device (4x less upload).
-            from spec_tpu.ops.preprocess import device_jitter_normalize
+            # conv input processing on device (4x less upload; the pad
+            # mask is rebuilt on device from true_shape, 8 bytes/sample)
             img = device_jitter_normalize(
                 img, batch['jitter_A'], batch['jitter_b'],
-                batch.get('pad_mask'))
+                batch.get('true_shape'))
         out, new_model_state = model.apply(
             {'params': params, 'batch_stats': batch_stats},
             img, train=True, mutable=['batch_stats'])

@@ -580,7 +580,7 @@ def test_pano_dataset_device_jitter_parity(tmp_path, rng):
         got = np.asarray(device_jitter_normalize(
             jnp.asarray(batch['img']), jnp.asarray(batch['jitter_A']),
             jnp.asarray(batch['jitter_b']),
-            jnp.asarray(batch['pad_mask'])))[0]
+            jnp.asarray(batch['true_shape'])))[0]
         h, w = a['img'].shape[:2]
         np.testing.assert_allclose(got[:h, :w], a['img'], atol=2e-3)
         # pad region: exact zeros, like the host path's pad_collate
@@ -595,7 +595,8 @@ def test_pano_dataset_device_jitter_parity(tmp_path, rng):
     batch = pad_collate([d])
     got = np.asarray(device_jitter_normalize(
         jnp.asarray(batch['img']), jnp.asarray(batch['jitter_A']),
-        jnp.asarray(batch['jitter_b']), jnp.asarray(batch['pad_mask'])))[0]
+        jnp.asarray(batch['jitter_b']),
+        jnp.asarray(batch['true_shape'])))[0]
     h, w = a['img'].shape[:2]
     np.testing.assert_allclose(got[:h, :w], a['img'], atol=1e-5)
 
@@ -625,7 +626,7 @@ def test_pano_dataset_device_jitter_parity(tmp_path, rng):
         if 'jitter_A' in b:
             batch['jitter_A'] = jnp.asarray(b['jitter_A'])
             batch['jitter_b'] = jnp.asarray(b['jitter_b'])
-            batch['pad_mask'] = jnp.asarray(b['pad_mask'])
+            batch['true_shape'] = jnp.asarray(b['true_shape'])
         _, metrics = step(create_train_state(variables, tx), batch)
         return float(metrics['loss'])
 

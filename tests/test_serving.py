@@ -772,6 +772,16 @@ def test_predictor_camcalib_every_shot_cut(shared_pred, rng):
         assert calls == [3]                      # keyframes 0/3/6 only
         cams3 = [r[0]['camera'] for r in res3]
         assert cams3[4] == cams3[3]              # stale reuse, as asked
+
+        # re-enabling the trigger must not compare against a signature
+        # from while it was disabled (st['sig'] is cleared under thr=0):
+        # the next off-stride frame reuses the keyframe, no spurious
+        # stage-1 pass even though the content changed bright -> dark.
+        pred.cut_threshold = 0.5
+        calls.clear()
+        r = pred.predict(dark[:1], boxes[:1])    # global i=7, off-stride
+        assert calls == []
+        assert r[0][0]['camera'] == cams3[6]
     finally:
         pred.camcalib_every = 1
         pred.cut_threshold = 0.5
