@@ -73,6 +73,8 @@ def _cache_key(args) -> str:
             + ('|ccval'
                if getattr(args, 'camcalib_split', 'train') == 'val'
                else '')
+            + ('|cce2e'
+               if getattr(args, 'camcalib_e2e', False) else '')
             + ('|rm1' if getattr(args, 'remat', False) else ''))
 
 
@@ -756,7 +758,8 @@ def camcalib_input_bench(args):
     )
 
     if args.camcalib_jitter == 'pil' and (args.decode_cache
-                                          or args.camcalib_split == 'val'):
+                                          or args.camcalib_split == 'val'
+                                          or args.camcalib_e2e):
         # The pil closure below is the PRE-r4 attribution item (direct
         # decode, always-jitter); combining it with the decode cache or
         # the val split would cache a row that corresponds to no product
@@ -764,7 +767,7 @@ def camcalib_input_bench(args):
         raise SystemExit('--camcalib_jitter pil is the pre-r4 train-item '
                          'baseline: it bypasses the decode cache and '
                          'always jitters — drop --decode_cache/'
-                         '--camcalib_split val')
+                         '--camcalib_split val/--camcalib_e2e')
     root = _make_camcalib_bench_data(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      '.bench_data', 'camcalib_crops'))
@@ -804,6 +807,8 @@ def camcalib_input_bench(args):
             else 'device jitter (u8 + affine out)'
             if args.camcalib_jitter == 'device'
             else 'fused-affine jitter' if is_train else 'no jitter (val)')
+    if args.camcalib_e2e:
+        return _camcalib_e2e_tail(args, ds, ips, desc)
     if args.decode_cache:
         desc += f' + decode-cache({args.decode_cache})'
     emit({
@@ -817,6 +822,97 @@ def camcalib_input_bench(args):
                 'camcalib/pano_dataset.py:65-78); decode-cache rows '
                 'measure steady-state epochs (warm-up epoch fills the '
                 'LRU). Host-only: no device in the timed window.',
+    }, args)
+
+
+def _camcalib_e2e_tail(args, ds, loader_ips, desc, B=8):
+    """Loader -> upload -> REAL camcalib train step e2e, one shape
+    bucket (bounds remote-compile count to one). The point of the row:
+    the DEVICE_JITTER batch uploads raw u8 + (3,3)+(3,) affines + (2,)
+    true_shape per image — ~4x less than the host path's normalized f32
+    — and in this tunnel-bound sandbox (15-30 MB/s) the upload IS the
+    e2e cost, so the two variants bracket what a PCIe host sees at
+    ~1000x the bandwidth."""
+    import optax
+
+    from spec_tpu.cli.camcalib_train import _bucketed_batches
+    from spec_tpu.train import create_train_state, make_camcalib_train_step
+
+    from spec_tpu.models import CameraRegressorNetwork
+
+    model = CameraRegressorNetwork(backbone=args.backbone)
+    tx = optax.adam(1e-4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    state = create_train_state(variables, tx)
+    from functools import partial
+    step = jax.jit(make_camcalib_train_step(
+        model, tx, loss_type='softargmax_biased_l2'),
+        donate_argnums=(0,))
+
+    # One bucket only: the largest (most samples -> most batches).
+    buckets = ds.shape_buckets()
+    hw = max(buckets, key=lambda k: len(buckets[k]))
+
+    def batches():
+        for b in _bucketed_batches(ds, B, shuffle=True, seed=0,
+                                   num_workers=args.workers,
+                                   max_res=1000):
+            if b['img'].shape[1:3] == hw:
+                yield b
+
+    def to_device(b):
+        dev = {'img': jnp.asarray(b['img']),
+               'vfov': jnp.asarray(b['vfov']),
+               'pitch': jnp.asarray(b['pitch']),
+               'roll': jnp.asarray(b['roll'])}
+        if 'jitter_A' in b:
+            dev['jitter_A'] = jnp.asarray(b['jitter_A'])
+            dev['jitter_b'] = jnp.asarray(b['jitter_b'])
+            dev['true_shape'] = jnp.asarray(
+                b['true_shape'].astype(np.int32))
+        return dev
+
+    first = next(iter(batches()))
+    dev = to_device(first)
+    upload_mb = sum(v.nbytes for v in dev.values()) / 1e6
+    state, metrics = step(state, dev)            # compile
+    assert np.isfinite(float(metrics['loss']))
+    rtt = _fetch_rtt()
+
+    # in-HBM ceiling (same donated step, batch resident)
+    t0 = time.perf_counter()
+    iters = max(args.iters, 4)
+    for _ in range(iters):
+        state, metrics = step(state, dev)   # only state is donated
+    _ = float(metrics['loss'])
+    ceiling_ips = B * iters / (time.perf_counter() - t0 - rtt)
+
+    # loader -> upload -> step e2e, >= 6 steps (whole bucket epochs)
+    t0 = time.perf_counter()
+    n, steps_done = 0, 0
+    while steps_done < 6:
+        for b in batches():
+            state, metrics = step(state, to_device(b))
+            n += B
+            steps_done += 1
+    _ = float(metrics['loss'])
+    e2e_ips = n / (time.perf_counter() - t0 - rtt)
+
+    emit({
+        'metric': f'camcalib train e2e (loader -> upload -> real train '
+                  f'step, {desc}, {args.backbone}, bucket '
+                  f'{hw[0]}x{hw[1]}, B={B})',
+        'value': round(e2e_ips, 2),
+        'unit': 'img/s',
+        'loader_only_img_s': round(loader_ips, 2),
+        'device_step_ceiling_img_s': round(ceiling_ips, 2),
+        'upload_mb_per_batch': round(upload_mb, 1),
+        'note': 'e2e rides the axon tunnel (~15-30 MB/s) — the upload '
+                'dominates, which is exactly what the DEVICE_JITTER '
+                'u8 variant shrinks ~4x; a PCIe host pays ~1000x less '
+                'for the same bytes, so its e2e ~= min(loader, '
+                'ceiling)',
     }, args)
 
 
@@ -1205,6 +1301,12 @@ def main(argv=None):
                              'decode-cache-exact)')
     parser.add_argument('--camcalib_secs', type=float, default=8.0,
                         help='[input camcalib] minimum timed window')
+    parser.add_argument('--camcalib_e2e', action='store_true',
+                        help='[input camcalib] also run loader -> '
+                             'upload -> the real camcalib train step '
+                             'e2e on one shape bucket (fused = f32 '
+                             'upload, device = u8+affine upload — the '
+                             'DEVICE_JITTER transfer comparison)')
     parser.add_argument('--remat', action='store_true',
                         help='[train] rematerialize backbone blocks in '
                              'the backward pass (TRAINING.REMAT memory '
@@ -1214,7 +1316,8 @@ def main(argv=None):
     if args.batch is None:
         args.batch = {'train': 64, 'detect': 32}.get(args.mode, 128)
 
-    host_only = args.mode == 'input' and args.input_step == 'camcalib'
+    host_only = (args.mode == 'input' and args.input_step == 'camcalib'
+                 and not args.camcalib_e2e)
     if not host_only and not _wait_for_backend():
         # Chip unreachable: a clearly-marked stale line beats a red
         # artifact, but only if this exact config was really measured.
