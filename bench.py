@@ -1422,8 +1422,10 @@ def main(argv=None):
             'reference CamCalib serves at min-side 600 (600x800 at 4:3, '
             'pano_dataset.py:184-220); buckets below 600 need a '
             'checkpoint fine-tuned at that min_size '
-            '(configs/camcalib/config_sa_bias_l2_min*.yaml) to hold '
-            'angle accuracy — see CLAUDE.md bucket ladder')
+            '(configs/camcalib/config_sa_bias_l2_min{512,448,384}.yaml; '
+            'the 512 and 448 recipes carry on-chip recovery '
+            'measurements, FT_RECOVERY_r0*.json) to hold angle '
+            'accuracy — see CLAUDE.md bucket ladder')
     emit(payload, args)
 
 
