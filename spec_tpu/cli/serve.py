@@ -26,6 +26,13 @@ Protocol (numpy .npz over POST, self-describing):
                            for camera footage (use np.frombuffer(jpg,
                            'u1'); np.savez_compressed barely helps on
                            natural images).
+                           With --camcalib_every N, the optional
+                           X-Spec-Stream header names the client's
+                           video stream: keyframe-camera state persists
+                           per stream name across requests (send a
+                           stable id per video / webcam connection);
+                           without it, amortization is scoped to the
+                           frames inside the one request.
        response: npz with n_frames, and per person arrays named
                  f{frame}_p{person}_{key} for the SPEC output tensors
                  (smpl_vertices, smpl_joints3d, smpl_joints2d,
@@ -142,6 +149,14 @@ class _Batcher:
 
     If a coalesced call fails with more than one member, each request is
     retried individually so one bad input cannot fail its neighbors.
+
+    With ``camcalib_every > 1`` on the predictor, rounds additionally
+    group by the request's stream id (``X-Spec-Stream`` header): each
+    named stream gets its own predictor call so its keyframe-camera
+    counter never interleaves with other clients' frames; requests
+    WITHOUT a stream id run as one-shot ephemeral streams (stage 1
+    amortizes across the frames inside that request only, and no state
+    survives it).
     """
 
     _STOP = object()
@@ -155,11 +170,11 @@ class _Batcher:
             target=self._loop, daemon=True, name='spec-serve-batcher')
         self._thread.start()
 
-    def submit(self, frames, boxes):
+    def submit(self, frames, boxes, stream=None):
         """Blocking: returns (cameras, results) for this request only."""
         if self._stopped:
             raise RuntimeError('server is shutting down')
-        item = {'frames': frames, 'boxes': boxes,
+        item = {'frames': frames, 'boxes': boxes, 'stream': stream,
                 'ev': threading.Event()}
         self._q.put(item)
         if self._stopped:
@@ -225,23 +240,66 @@ class _Batcher:
                 carry['ev'].set()
             self._reject_pending()
 
-    def _call(self, frames, boxes):
-        cameras = self.pred.estimate_cameras(frames)
-        return cameras, self.pred.predict(frames, boxes, cameras=cameras)
+    def _call(self, frames, boxes, stream=None, ephemeral=False):
+        # predict(return_cameras=True) hands back the per-frame cameras
+        # it actually USED — a separate estimate_cameras() pre-pass here
+        # would run stage 1 on every frame, silently defeating
+        # camcalib_every amortization (and serializing detection against
+        # stage 1, both of which predict() overlaps internally).
+        try:
+            results, cameras = self.pred.predict(
+                frames, boxes, stream=stream, return_cameras=True)
+        finally:
+            if ephemeral:
+                # One-shot stream: amortization applied within this
+                # request's frames only; no state may leak to the next.
+                self.pred.reset_camera_stream(stream=stream)
+        return cameras, results
+
+    def _ephemeral_key(self) -> str:
+        # '\x00' can never appear in an HTTP header value, so ephemeral
+        # keys cannot collide with client-chosen stream names. Only the
+        # dispatcher thread allocates these — no lock needed.
+        n = getattr(self, '_eph', 0)
+        self._eph = n + 1
+        return f'\x00ephemeral-{n}'
 
     def _drain(self, batch):
-        """One round: service ``batch`` in at most two predictor calls
-        (with-boxes group, detect group), splitting results back out."""
-        for has_boxes in (True, False):
-            group = [b for b in batch
+        """One round: service ``batch`` in one predictor call per
+        (box-mode, stream) group, splitting results back out. Without
+        stream amortization that is at most two calls (with-boxes group,
+        detect group)."""
+        every = int(getattr(self.pred, 'camcalib_every', 1) or 1)
+        groups = []   # (members, stream_key, ephemeral)
+        if every <= 1:
+            for has_boxes in (True, False):
+                g = [b for b in batch
                      if (b['boxes'] is not None) is has_boxes]
-            if not group:
-                continue
+                if g:
+                    groups.append((g, None, False))
+        else:
+            # Keyframe state is per stream, so frames of different
+            # streams must not share a predictor call. Named streams
+            # coalesce in arrival order; stream-less requests each get
+            # a one-shot ephemeral stream.
+            keyed: dict = {}
+            for b in batch:
+                sid = b.get('stream')
+                if sid is None:
+                    groups.append(([b], self._ephemeral_key(), True))
+                else:
+                    key = (b['boxes'] is not None, sid)
+                    keyed.setdefault(key, []).append(b)
+            groups.extend((g, sid, False)
+                          for (_, sid), g in keyed.items())
+        for group, stream, ephemeral in groups:
+            has_boxes = group[0]['boxes'] is not None
             frames = [f for b in group for f in b['frames']]
             boxes = ([bx for b in group for bx in b['boxes']]
                      if has_boxes else None)
             try:
-                cameras, results = self._call(frames, boxes)
+                cameras, results = self._call(frames, boxes, stream,
+                                              ephemeral)
             except Exception as exc:
                 if len(group) == 1:
                     # A solo round would retry into the identical failure;
@@ -254,7 +312,7 @@ class _Batcher:
                 for b in group:
                     try:
                         b['cameras'], b['results'] = self._call(
-                            b['frames'], b['boxes'])
+                            b['frames'], b['boxes'], stream, ephemeral)
                     except Exception as e:
                         b['error'] = e
                     b['ev'].set()
@@ -321,8 +379,11 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
             try:
                 # boxes=None -> predict() runs the configured detector
                 # itself (single dispatch path). Dispatch + coalescing
-                # happen on the batcher thread.
-                cameras, results = batcher.submit(frames, boxes)
+                # happen on the batcher thread. X-Spec-Stream names this
+                # client's video stream for --camcalib_every keyframe
+                # state (absent -> one-shot stream per request).
+                stream = self.headers.get('X-Spec-Stream') or None
+                cameras, results = batcher.submit(frames, boxes, stream)
                 self._send(200, _encode_response(results, cameras))
             except Exception as e:      # predictor failure -> server error
                 self._send(500, json.dumps({'error': str(e)}).encode(),
@@ -373,13 +434,16 @@ def main(argv=None):
                              'camcalib/config_sa_bias_l2_min*.yaml)')
     parser.add_argument('--camcalib_every', type=int, default=1,
                         help='stage-1 stream amortization: run CamCalib '
-                             'only on every Nth served frame and reuse '
-                             'the latest keyframe camera; hard shot cuts '
-                             're-anchor automatically (histogram-delta '
-                             'trigger). Single-stream deployments only — '
-                             'all inbound frames are treated as ONE '
-                             'video stream, so it requires '
-                             '--max_batch_frames 1 (refused otherwise)')
+                             'only on every Nth frame PER STREAM and '
+                             'reuse the latest keyframe camera; hard '
+                             'shot cuts re-anchor automatically '
+                             '(histogram-delta trigger). Streams are '
+                             'keyed by the X-Spec-Stream request header '
+                             '(state persists across that client\'s '
+                             'requests, LRU-capped); requests without '
+                             'the header amortize only within their own '
+                             'frames — concurrent clients never share '
+                             'keyframe cameras')
     parser.add_argument('--cut_threshold', type=float, default=0.5,
                         help='shot-cut re-anchor sensitivity for '
                              '--camcalib_every streams (gray-histogram '
@@ -411,18 +475,6 @@ def main(argv=None):
                              '(spec_export; ignores ckpt/cfg/detector '
                              'flags — the artifact is the model)')
     args = parser.parse_args(argv)
-
-    if args.camcalib_every > 1 and args.max_batch_frames != 1:
-        # The predictor keys keyframe-camera state off ONE frame counter:
-        # frames from concurrent clients interleave in it and would
-        # cross-contaminate cameras (ADVICE r4). Refuse unless the server
-        # is pinned to strictly sequential single-frame rounds.
-        parser.error(
-            '--camcalib_every > 1 treats all inbound frames as one '
-            'stream; with concurrent micro-batching enabled it would '
-            'cross-contaminate keyframe cameras between clients. '
-            'Either serve one client and pass --max_batch_frames 1, or '
-            'drop --camcalib_every (run stage 1 per frame).')
 
     from spec_tpu.utils.paths import enable_compilation_cache
     enable_compilation_cache()

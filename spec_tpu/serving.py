@@ -23,7 +23,7 @@ Example:
 from __future__ import annotations
 
 import os
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -132,9 +132,11 @@ class SpecPredictor:
         and reuse the latest keyframe camera in between (the camera is a
         per-shot quantity; stage 1 at min-side 600 dominates pipeline
         cost, so N amortizes it ~N-fold for video/webcam). The counter
-        persists across ``predict()`` calls; ``reset_camera_stream()``
-        re-anchors on a shot cut. Default 1 = per-frame (reference
-        parity; the reference has no video mode at all).
+        persists across ``predict()`` calls — independently per
+        ``predict(stream=...)`` name, so one predictor can serve many
+        concurrent video streams; ``reset_camera_stream()`` re-anchors
+        on a shot cut. Default 1 = per-frame (reference parity; the
+        reference has no video mode at all).
       cut_threshold: automatic shot-cut re-anchoring for
         ``camcalib_every`` streams — every frame gets a cheap gray-
         histogram signature (:func:`frame_signature`) and a frame whose
@@ -159,7 +161,14 @@ class SpecPredictor:
     _min_pad_s1 = 1    # stage-1 pad multiple (1 under spatial_parallel)
     camcalib_every = 1  # stage-1 stream amortization (1 = every frame)
     cut_threshold = 0.5  # shot-cut re-anchor (L1 histogram delta; 0=off)
-    _cam_stream = None  # {'cam', 'h', 'i', 'sig'} once a stream is active
+    # camcalib_every state, keyed by stream name ('' = the default
+    # anonymous stream): OrderedDict[str, {'cam', 'h', 'i', 'sig'}],
+    # created lazily (a mutable class-level default would be shared
+    # across instances — and exported predictors skip __init__).
+    _cam_streams = None
+    max_streams = 256  # LRU cap on retained named streams (serve.py
+    #                    keys streams per client; an evicted stream just
+    #                    re-anchors on its next frame)
 
     def __init__(
         self,
@@ -226,7 +235,7 @@ class SpecPredictor:
         # 1 = per-frame (reference parity). See predict().
         self.camcalib_every = max(1, int(camcalib_every))
         self.cut_threshold = float(cut_threshold)
-        self._cam_stream = None
+        self._cam_streams = None
         dtype = dtype or jnp.float32
 
         if cfg_file:
@@ -452,12 +461,45 @@ class SpecPredictor:
         prepped, pending = self._cameras_dispatch(frames)
         return self._cameras_fetch(prepped, pending, len(frames))
 
-    def reset_camera_stream(self) -> None:
-        """Forget the ``camcalib_every`` stream state so the next frame
-        is a stage-1 keyframe (call when switching to a NEW video; hard
-        cuts WITHIN a stream are re-anchored automatically via
-        ``cut_threshold``)."""
-        self._cam_stream = None
+    def reset_camera_stream(self, stream: Optional[str] = None, *,
+                            all_streams: bool = False) -> None:
+        """Forget ``camcalib_every`` stream state so the next frame of
+        that stream is a stage-1 keyframe (call when switching to a NEW
+        video; hard cuts WITHIN a stream are re-anchored automatically
+        via ``cut_threshold``).
+
+        Args:
+          stream: which named stream to reset (the ``stream=`` key
+            passed to :meth:`predict`); None resets the default
+            anonymous stream. Unknown names are a no-op.
+          all_streams: drop every stream's state (e.g. a serving restart
+            or checkpoint swap).
+        """
+        if all_streams:
+            self._cam_streams = None
+        elif self._cam_streams is not None:
+            self._cam_streams.pop('' if stream is None else str(stream),
+                                  None)
+
+    def _stream_state(self, stream: Optional[str]) -> dict:
+        """The mutable camcalib_every state for ``stream`` (creating it
+        empty if new), LRU-evicting the stalest stream past
+        ``max_streams`` — long-running multi-client servers must not
+        grow state unboundedly; an evicted client's next frame simply
+        becomes a keyframe again."""
+        streams = self._cam_streams
+        if streams is None:
+            streams = self._cam_streams = OrderedDict()
+        key = '' if stream is None else str(stream)
+        st = streams.get(key)
+        if st is None:
+            st = streams[key] = {'cam': None, 'h': 0, 'i': 0, 'sig': None}
+            limit = max(1, int(getattr(self, 'max_streams', 256) or 256))
+            while len(streams) > limit:
+                streams.popitem(last=False)
+        else:
+            streams.move_to_end(key)
+        return st
 
     # -- full pipeline --------------------------------------------------------
 
@@ -466,7 +508,9 @@ class SpecPredictor:
         frames: Sequence[np.ndarray],
         boxes: Optional[Sequence[np.ndarray]] = None,
         cameras: Optional[Sequence[dict]] = None,
-    ) -> List[List[dict]]:
+        stream: Optional[str] = None,
+        return_cameras: bool = False,
+    ):
         """Two-stage inference.
 
         Args:
@@ -476,10 +520,23 @@ class SpecPredictor:
             (``detector='yolo'``); an error without one.
           cameras: optional precomputed stage-1 outputs (dicts like
             :meth:`estimate_cameras` returns) — e.g. GT cameras.
+          stream: which ``camcalib_every`` stream these frames belong to.
+            The keyframe camera/counter state is keyed per stream name
+            (None = the default anonymous stream), so one predictor can
+            amortize stage 1 across MANY concurrent video streams (e.g.
+            one per serving client) without cross-contaminating their
+            keyframe cameras. State is LRU-capped at ``max_streams``.
+            Ignored when ``camcalib_every == 1`` or ``cameras`` is given.
+          return_cameras: also return the per-frame stage-1 cameras this
+            call used (computed, reused from the stream's keyframe, or
+            the ``cameras`` argument echoed back) — the serving layer
+            needs them per frame without forcing an extra full stage-1
+            pass that would defeat ``camcalib_every``.
         Returns:
           Per frame, a list of per-person dicts: the SPEC output tensors
           (smpl_vertices, smpl_joints3d, smpl_joints2d, pred_cam_t,
           pred_pose, pred_shape, pred_cam) plus the frame 'camera'.
+          With ``return_cameras=True``: ``(results, cameras)``.
         """
         from spec_tpu import native
         from spec_tpu.core import geometry as G
@@ -509,11 +566,9 @@ class SpecPredictor:
                 # so stage 1 (the dominant pipeline cost) runs only on
                 # every Nth frame of the stream; in-between frames reuse
                 # the latest keyframe camera. The counter persists across
-                # predict() calls (reset_camera_stream() on a cut).
-                st = self._cam_stream
-                if st is None:
-                    st = self._cam_stream = {'cam': None, 'h': 0, 'i': 0,
-                                             'sig': None}
+                # predict() calls (reset_camera_stream() on a cut),
+                # independently per named stream.
+                st = self._stream_state(stream)
                 # Shot-cut re-anchor (KeyframeSelector): a frame whose
                 # histogram signature jumps vs its predecessor becomes
                 # a keyframe even off-stride, so a multi-shot stream
@@ -542,7 +597,7 @@ class SpecPredictor:
         if key_idx is not None:
             key_cams = (self._cameras_fetch(*cam_pending, len(key_idx))
                         if cam_pending is not None else [])
-            st = self._cam_stream
+            # st is this stream's state from the dispatch block above.
             cam, cam_h = st['cam'], st['h']
             cameras = []
             ki = 0
@@ -647,4 +702,6 @@ class SpecPredictor:
                 person = {k: v[bi] for k, v in out_np.items()}
                 person['camera'] = cameras[fi]
                 results[fi].append(person)
+        if return_cameras:
+            return results, list(cameras)
         return results

@@ -406,17 +406,22 @@ def test_spec_demo_video_mode(tmp_path):
     assert cams[0]['pitch'] == cams[1]['pitch']
 
 
-def test_serve_camcalib_every_refuses_concurrent_batching(capsys):
-    """--camcalib_every > 1 keys keyframe state off ONE stream counter;
-    the server refuses it unless rounds are pinned to single-frame
-    sequential (--max_batch_frames 1), so concurrent clients can never
-    cross-contaminate cameras (ADVICE r4)."""
+def test_serve_camcalib_every_help_documents_streams(capsys):
+    """--camcalib_every > 1 is safe under concurrent micro-batching now:
+    keyframe state is keyed per stream (X-Spec-Stream header; one-shot
+    ephemeral streams for header-less requests), so the old
+    --max_batch_frames 1 refusal is gone and the help text documents the
+    stream contract instead (ADVICE r4 upgrade; cross-client camera
+    contamination is covered by the _Batcher stream-grouping tests in
+    test_serving.py)."""
     from spec_tpu.cli import serve
 
     with pytest.raises(SystemExit) as e:
-        serve.main(['--camcalib_every', '4'])
-    assert e.value.code == 2
-    assert 'max_batch_frames' in capsys.readouterr().err
+        serve.main(['--help'])
+    assert e.value.code == 0
+    helptext = capsys.readouterr().out
+    assert 'X-Spec-Stream' in helptext
+    assert 'PER STREAM' in helptext
 
 
 def test_stage1_keyframes_shot_cut(tmp_path):

@@ -29,7 +29,7 @@ def pred_clone(shared_pred):
 
     def make(**overrides):
         p = copy.copy(shared_pred)
-        p._cam_stream = None
+        p._cam_streams = None
         for k, v in overrides.items():
             setattr(p, k, v)
         return p
@@ -335,23 +335,36 @@ def test_http_serving_server_side_detection(pred_clone, rng):
 class _FakePredictor:
     """Duck-typed predictor counting device rounds, for _Batcher tests."""
 
+    camcalib_every = 1
+
     def __init__(self, batch_size=8, fail_batched=False):
         self.batch_size = batch_size
         self.fail_batched = fail_batched
         self.calls = []          # list of (n_frames, has_boxes)
+        self.streams = []        # stream key per predict() call
+        self.resets = []         # reset_camera_stream keys seen
 
     def estimate_cameras(self, frames):
         return [{'vfov': 1.0, 'pitch': 0.0, 'roll': 0.0,
                  'f_pix': float(np.asarray(f).shape[1])} for f in frames]
 
-    def predict(self, frames, boxes, cameras=None):
+    def reset_camera_stream(self, stream=None, all_streams=False):
+        self.resets.append('*' if all_streams else stream)
+
+    def predict(self, frames, boxes, cameras=None, stream=None,
+                return_cameras=False):
         self.calls.append((len(frames), boxes is not None))
+        self.streams.append(stream)
         if self.fail_batched and len(frames) > 1:
             raise RuntimeError('batched call sabotaged')
         if boxes is None:
             boxes = [np.zeros((1, 4), np.float32) for _ in frames]
-        return [[{'tag': float(np.asarray(f).sum())} for _ in b]
-                for f, b in zip(frames, boxes)]
+        results = [[{'tag': float(np.asarray(f).sum())} for _ in b]
+                   for f, b in zip(frames, boxes)]
+        if return_cameras:
+            return results, (list(cameras) if cameras is not None
+                             else self.estimate_cameras(frames))
+        return results
 
 
 def test_batcher_coalesces_queued_requests():
@@ -419,7 +432,8 @@ def test_batcher_solo_failure_not_retried():
     # fail on ANY call, not just batched ones
     pred.fail_batched = False
 
-    def predict(frames, boxes, cameras=None):
+    def predict(frames, boxes, cameras=None, stream=None,
+                return_cameras=False):
         pred.calls.append((len(frames), boxes is not None))
         raise RuntimeError('always fails')
 
@@ -446,9 +460,11 @@ def test_batcher_hard_frame_cap():
     pred = _FakePredictor()
     orig_predict = pred.predict
 
-    def predict(frames, boxes, cameras=None):
+    def predict(frames, boxes, cameras=None, stream=None,
+                return_cameras=False):
         gate.wait(timeout=30)            # hold round 1 until all queued
-        return orig_predict(frames, boxes, cameras)
+        return orig_predict(frames, boxes, cameras, stream,
+                            return_cameras)
 
     pred.predict = predict
     b = _Batcher(pred, max_frames=4)
@@ -487,9 +503,11 @@ def test_batcher_stop_rejects_pending_and_late_submits():
     pred = _FakePredictor()
     orig_predict = pred.predict
 
-    def predict(frames, boxes, cameras=None):
+    def predict(frames, boxes, cameras=None, stream=None,
+                return_cameras=False):
         gate.wait(timeout=30)
-        return orig_predict(frames, boxes, cameras)
+        return orig_predict(frames, boxes, cameras, stream,
+                            return_cameras)
 
     pred.predict = predict
     b = _Batcher(pred, max_frames=1)     # cap 1: no coalescing
@@ -787,3 +805,184 @@ def test_predictor_camcalib_every_shot_cut(shared_pred, rng):
         pred.cut_threshold = 0.5
         pred._cameras_dispatch = orig
         pred.reset_camera_stream()
+
+
+def test_predictor_named_streams_independent(shared_pred, rng):
+    """predict(stream=...) keys camcalib_every keyframe state per stream
+    name: concurrent streams keep independent counters/cameras, named
+    reset drops only its own stream, and the default (None) stream is
+    separate from every named one."""
+    pred = shared_pred
+    fa = [(rng.rand(96, 128, 3) * 255).astype(np.uint8) for _ in range(4)]
+    fb = [(rng.rand(96, 128, 3) * 255).astype(np.uint8) for _ in range(2)]
+    bx = [np.array([[64, 48, 40, 60]], np.float32)]
+
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred.camcalib_every = 3
+    pred._cameras_dispatch = counting
+    try:
+        ra1 = pred.predict(fa[:2], bx * 2, stream='a')   # kf: a's frame 0
+        assert calls == [1]
+        rb = pred.predict(fb, bx * 2, stream='b')        # kf: b's frame 0
+        assert calls == [1, 1]
+        # stream a continues at i=2: frames 2,3 -> keyframe at global 3
+        ra2 = pred.predict(fa[2:], bx * 2, stream='a')
+        assert calls == [1, 1, 1]
+        # a's global frame 2 reuses A's keyframe camera, not b's
+        assert ra2[0][0]['camera'] == ra1[0][0]['camera']
+        assert rb[0][0]['camera'] != ra1[0][0]['camera']
+        assert rb[1][0]['camera'] == rb[0][0]['camera']
+        # the default stream is its own stream: fresh keyframe
+        pred.predict(fb[:1], bx)
+        assert calls == [1, 1, 1, 1]
+        # named reset drops ONLY that stream
+        pred.reset_camera_stream(stream='a')
+        calls.clear()
+        pred.predict(fa[:1], bx, stream='a')             # re-anchors
+        assert calls == [1]
+        calls.clear()
+        pred.predict(fb[:1], bx, stream='b')             # i=2: off-stride
+        assert calls == []
+    finally:
+        pred.camcalib_every = 1
+        pred._cameras_dispatch = orig
+        pred.reset_camera_stream(all_streams=True)
+
+
+def test_predictor_stream_lru_eviction(shared_pred, rng):
+    """Stream state is LRU-capped at max_streams: the stalest stream is
+    dropped (its next frame simply re-anchors) so a long-running
+    multi-client server cannot grow state unboundedly."""
+    pred = shared_pred
+    f = [(rng.rand(96, 128, 3) * 255).astype(np.uint8)]
+    bx = [np.array([[64, 48, 40, 60]], np.float32)]
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred.camcalib_every = 2
+    pred.max_streams = 2
+    pred._cameras_dispatch = counting
+    try:
+        pred.predict(f, bx, stream='a')
+        pred.predict(f, bx, stream='b')
+        pred.predict(f, bx, stream='a')     # touch a -> b is now LRU
+        pred.predict(f, bx, stream='c')     # cap 2: evicts b
+        assert list(pred._cam_streams) == ['a', 'c']
+        calls.clear()
+        pred.predict(f, bx, stream='b')     # evicted -> re-anchors
+        assert calls == [1]
+        assert list(pred._cam_streams) == ['c', 'b']   # a evicted in turn
+        # the surviving stream's counter is intact: c is at i=1 (off-
+        # stride for every=2) -> reuse, no dispatch
+        calls.clear()
+        pred.predict(f, bx, stream='c')
+        assert calls == []
+    finally:
+        pred.camcalib_every = 1
+        del pred.max_streams                # back to the class default
+        pred._cameras_dispatch = orig
+        pred.reset_camera_stream(all_streams=True)
+
+
+def test_batcher_stream_grouping():
+    """With camcalib_every>1 a drain round makes ONE predictor call per
+    named stream (same-stream requests coalesce in arrival order) and a
+    one-shot ephemeral stream per stream-less request, whose state is
+    dropped right after the call."""
+    import threading
+
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor()
+    pred.camcalib_every = 2
+    b = _Batcher.__new__(_Batcher)      # no dispatcher thread
+    b.pred, b.max_frames = pred, 16
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+
+    def mk(n, sid):
+        return {'frames': [np.full((4, 4, 3), 7, np.uint8)] * n,
+                'boxes': [bx] * n, 'stream': sid,
+                'ev': threading.Event()}
+
+    a1, a2, c, anon = mk(1, 'a'), mk(2, 'a'), mk(1, 'c'), mk(1, None)
+    b._drain([a1, anon, a2, c])
+    assert all(i['ev'].is_set() for i in (a1, a2, c, anon))
+    assert len(pred.calls) == 3
+    assert (3, True) in pred.calls              # a1+a2 coalesced
+    assert sorted(s for s in pred.streams if s in ('a', 'c')) == ['a', 'c']
+    eph = [s for s in pred.streams if s and s.startswith('\x00')]
+    assert len(eph) == 1                        # anon -> ephemeral stream
+    assert pred.resets == eph                   # ...dropped after; named kept
+    assert [len(i['results']) for i in (a1, a2, c, anon)] == [1, 2, 1, 1]
+    assert len(a2['cameras']) == 2
+
+
+def test_http_serving_stream_header(pred_clone, rng):
+    """--camcalib_every over HTTP amortizes PER STREAM across requests:
+    X-Spec-Stream keys persistent keyframe state (an off-stride request
+    answers from the keyframe camera with NO stage-1 dispatch), while
+    header-less requests re-anchor every time. Regression guard: the
+    batcher used to precompute cameras via estimate_cameras(), which
+    silently ran stage 1 on every frame and defeated --camcalib_every."""
+    import io
+    import threading
+    import urllib.request
+
+    from spec_tpu.cli.serve import create_server
+
+    pred = pred_clone(camcalib_every=3, cut_threshold=0.0)
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred._cameras_dispatch = counting
+    server = create_server(pred, host='127.0.0.1', port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    fa = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    fb = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    bx = np.array([[64, 48, 40, 60]], np.float32)
+
+    def post(frames, stream=None):
+        buf = io.BytesIO()
+        arrays = {}
+        for i, f in enumerate(frames):
+            arrays[f'frame_{i}'] = f
+            arrays[f'boxes_{i}'] = bx
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=buf.getvalue())
+        if stream:
+            req.add_header('X-Spec-Stream', stream)
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return np.load(io.BytesIO(r.read()))
+
+    try:
+        r1 = post([fa, fa], stream='cam1')     # keyframe: frame 0 only
+        assert calls == [1]
+        r2 = post([fb], stream='cam1')         # global i=2: off-stride
+        assert calls == [1]                    # NO new stage-1 dispatch
+        np.testing.assert_array_equal(r2['f0_camera'], r1['f0_camera'])
+        # header-less request: one-shot stream, re-anchors on ITS frame
+        calls.clear()
+        r3 = post([fb])
+        assert calls == [1]
+        assert not np.array_equal(r3['f0_camera'], r1['f0_camera'])
+        # ...and left cam1's counter untouched: global i=3 -> keyframe
+        post([fa], stream='cam1')
+        assert calls == [1, 1]
+    finally:
+        server.shutdown()
