@@ -845,7 +845,6 @@ def _camcalib_e2e_tail(args, ds, loader_ips, desc, B=8):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, 3)))
     state = create_train_state(variables, tx)
-    from functools import partial
     step = jax.jit(make_camcalib_train_step(
         model, tx, loss_type='softargmax_biased_l2'),
         donate_argnums=(0,))
@@ -894,7 +893,10 @@ def _camcalib_e2e_tail(args, ds, loader_ips, desc, B=8):
     while steps_done < 6:
         for b in batches():
             state, metrics = step(state, to_device(b))
-            n += B
+            # pad rows on tail chunks are device work but NOT images
+            # served — count only real samples or tail buckets inflate
+            # the img/s by up to B-1 rows per epoch.
+            n += int(b.get('valid_count', B))
             steps_done += 1
     _ = float(metrics['loss'])
     e2e_ips = n / (time.perf_counter() - t0 - rtt)

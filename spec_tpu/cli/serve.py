@@ -140,8 +140,10 @@ class _Batcher:
 
     All device calls run on ONE dispatcher thread (a chip is a serial
     resource); requests that arrive while the device is busy coalesce
-    into a single ``estimate_cameras`` + ``predict`` call instead of
-    queueing as N tiny padded batches. No artificial wait window: an
+    into a single ``predict(return_cameras=True)`` call instead of
+    queueing as N tiny padded batches (never a separate
+    ``estimate_cameras`` pre-pass — that would run stage 1 on every
+    frame and defeat ``camcalib_every``). No artificial wait window: an
     idle server dispatches immediately (zero added latency), a busy one
     batches whatever accumulated — the MXU sees large batches exactly
     when there is load. Requests with client boxes and box-less
@@ -156,7 +158,10 @@ class _Batcher:
     counter never interleaves with other clients' frames; requests
     WITHOUT a stream id run as one-shot ephemeral streams (stage 1
     amortizes across the frames inside that request only, and no state
-    survives it).
+    survives it) — unless ``max_frames == 1`` (strictly sequential
+    rounds, the historical single-client deployment), where header-less
+    requests keep sharing the predictor's default persistent stream so
+    their cross-request amortization is preserved.
     """
 
     _STOP = object()
@@ -279,19 +284,38 @@ class _Batcher:
                     groups.append((g, None, False))
         else:
             # Keyframe state is per stream, so frames of different
-            # streams must not share a predictor call. Named streams
-            # coalesce in arrival order; stream-less requests each get
-            # a one-shot ephemeral stream.
-            keyed: dict = {}
+            # streams must not share a predictor call, and a stream's
+            # requests must reach the predictor IN ARRIVAL ORDER (the
+            # stride counter and cut signatures are sequential) — so a
+            # stream coalesces only CONTIGUOUS same-box-mode runs, never
+            # reordered across a box-mode flip. Stream-less requests
+            # each get a one-shot ephemeral stream — except on a
+            # --max_batch_frames 1 server (strictly sequential rounds,
+            # the pre-stream single-client deployment), where they keep
+            # the old semantics: the predictor's default persistent
+            # stream, so cross-request amortization still happens for
+            # clients that don't send X-Spec-Stream.
+            default_persistent = self.max_frames == 1
+            by_stream: dict = {}
+            order = []
             for b in batch:
                 sid = b.get('stream')
-                if sid is None:
+                if sid is None and not default_persistent:
                     groups.append(([b], self._ephemeral_key(), True))
-                else:
-                    key = (b['boxes'] is not None, sid)
-                    keyed.setdefault(key, []).append(b)
-            groups.extend((g, sid, False)
-                          for (_, sid), g in keyed.items())
+                    continue
+                if sid not in by_stream:
+                    by_stream[sid] = []
+                    order.append(sid)
+                by_stream[sid].append(b)
+            for sid in order:
+                run = []
+                for b in by_stream[sid]:
+                    if run and ((b['boxes'] is not None)
+                                != (run[-1]['boxes'] is not None)):
+                        groups.append((run, sid, False))
+                        run = []
+                    run.append(b)
+                groups.append((run, sid, False))
         for group, stream, ephemeral in groups:
             has_boxes = group[0]['boxes'] is not None
             frames = [f for b in group for f in b['frames']]
@@ -443,7 +467,10 @@ def main(argv=None):
                              'requests, LRU-capped); requests without '
                              'the header amortize only within their own '
                              'frames — concurrent clients never share '
-                             'keyframe cameras')
+                             'keyframe cameras. With --max_batch_frames '
+                             '1 (sequential single-client serving), '
+                             'header-less requests share the default '
+                             'stream across requests as before')
     parser.add_argument('--cut_threshold', type=float, default=0.5,
                         help='shot-cut re-anchor sensitivity for '
                              '--camcalib_every streams (gray-histogram '
@@ -484,6 +511,11 @@ def main(argv=None):
 
         predictor = load_predictor(args.exported,
                                    batch_size=args.batch_size)
+        # The artifact is the model, but stream amortization is a
+        # SERVING knob: apply it to the restored predictor too, or
+        # --camcalib_every would be silently ignored on this path.
+        predictor.camcalib_every = max(1, args.camcalib_every)
+        predictor.cut_threshold = args.cut_threshold
     else:
         from spec_tpu.serving import SpecPredictor
 

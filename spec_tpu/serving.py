@@ -560,6 +560,13 @@ class SpecPredictor:
         every = max(1, int(getattr(self, 'camcalib_every', 1) or 1))
         key_idx = None
         cam_pending = None
+        # Stream-state writes are DEFERRED to the end of the call: if
+        # anything downstream raises (malformed boxes, a failed stage-2
+        # dispatch), the stream is left exactly as it was, so a caller
+        # retrying the same frames (serve.py's per-request retry after a
+        # failed coalesced round) does not double-advance the counter or
+        # re-feed signatures and shift the keyframe cadence.
+        stream_update = None
         if cameras is None:
             if every > 1:
                 # Stream amortization: the camera is a per-SHOT quantity,
@@ -583,7 +590,8 @@ class SpecPredictor:
                     i for i in range(n_frames)
                     if sel.is_keyframe(frame_signature(frames[i])
                                        if thr > 0.0 else None)]
-                st['sig'] = sel.prev_sig if thr > 0.0 else None
+                stream_update = {
+                    'sig': sel.prev_sig if thr > 0.0 else None}
                 if (n_frames and st['cam'] is None
                         and (not key_idx or key_idx[0] != 0)):
                     key_idx.insert(0, 0)
@@ -614,8 +622,7 @@ class SpecPredictor:
                     c['f_pix'] = float(
                         h / (2.0 * np.tan(c['vfov'] / 2.0)))
                 cameras.append(c)
-            st['cam'], st['h'] = cam, cam_h
-            st['i'] += n_frames
+            stream_update.update(cam=cam, h=cam_h, i=st['i'] + n_frames)
         elif cam_pending is not None:
             cameras = self._cameras_fetch(*cam_pending, len(frames))
 
@@ -702,6 +709,10 @@ class SpecPredictor:
                 person = {k: v[bi] for k, v in out_np.items()}
                 person['camera'] = cameras[fi]
                 results[fi].append(person)
+        if stream_update is not None:
+            # Commit the stream advance only now that the whole call
+            # succeeded (see the deferred-write note above).
+            st.update(stream_update)
         if return_cameras:
             return results, list(cameras)
         return results

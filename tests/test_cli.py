@@ -406,7 +406,7 @@ def test_spec_demo_video_mode(tmp_path):
     assert cams[0]['pitch'] == cams[1]['pitch']
 
 
-def test_serve_camcalib_every_help_documents_streams(capsys):
+def test_serve_camcalib_every_help_documents_streams(capsys, monkeypatch):
     """--camcalib_every > 1 is safe under concurrent micro-batching now:
     keyframe state is keyed per stream (X-Spec-Stream header; one-shot
     ephemeral streams for header-less requests), so the old
@@ -416,6 +416,9 @@ def test_serve_camcalib_every_help_documents_streams(capsys):
     test_serving.py)."""
     from spec_tpu.cli import serve
 
+    # argparse wraps help at the terminal width (and breaks on hyphens),
+    # so the asserted phrases must not be split at narrow COLUMNS.
+    monkeypatch.setenv('COLUMNS', '200')
     with pytest.raises(SystemExit) as e:
         serve.main(['--help'])
     assert e.value.code == 0

@@ -986,3 +986,90 @@ def test_http_serving_stream_header(pred_clone, rng):
         assert calls == [1, 1]
     finally:
         server.shutdown()
+
+
+def test_batcher_sequential_default_stream():
+    """On a --max_batch_frames 1 server (strictly sequential rounds,
+    the historical single-client deployment) header-less requests share
+    the predictor's DEFAULT persistent stream — cross-request
+    amortization keeps working for clients that don't send
+    X-Spec-Stream (no silent 2x regression on upgrade)."""
+    import threading
+
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor()
+    pred.camcalib_every = 2
+    b = _Batcher.__new__(_Batcher)
+    b.pred, b.max_frames = pred, 1
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+    item = {'frames': [np.full((4, 4, 3), 7, np.uint8)], 'boxes': [bx],
+            'stream': None, 'ev': threading.Event()}
+    b._drain([item])
+    assert pred.streams == [None]        # default stream, not ephemeral
+    assert pred.resets == []             # ...and state survives the call
+
+
+def test_batcher_stream_order_preserved():
+    """A stream that mixes with-boxes and detect requests in one round
+    reaches the predictor in ARRIVAL ORDER (contiguous same-box-mode
+    runs), never reordered — the stride counter and cut signatures are
+    sequential."""
+    import threading
+
+    from spec_tpu.cli.serve import _Batcher
+
+    pred = _FakePredictor()
+    pred.camcalib_every = 4
+    b = _Batcher.__new__(_Batcher)
+    b.pred, b.max_frames = pred, 16
+    bx = np.array([[2, 2, 2, 2]], np.float32)
+
+    def mk(has_boxes):
+        return {'frames': [np.full((4, 4, 3), 7, np.uint8)],
+                'boxes': [bx] if has_boxes else None, 'stream': 'a',
+                'ev': threading.Event()}
+
+    r1, r2, r3 = mk(True), mk(False), mk(True)
+    b._drain([r1, r2, r3])
+    assert all(i['ev'].is_set() for i in (r1, r2, r3))
+    # three runs, all stream 'a', box modes in arrival order
+    assert pred.streams == ['a', 'a', 'a']
+    assert pred.calls == [(1, True), (1, False), (1, True)]
+
+
+def test_predictor_stream_failure_leaves_state_intact(shared_pred, rng):
+    """A predict() that fails AFTER the stage-1 work (e.g. malformed
+    boxes) must not advance the stream counter/signature: the serve
+    retry path re-sends the same frames on the same stream, and a
+    half-advanced counter would permanently shift the keyframe
+    cadence."""
+    pred = shared_pred
+    f = [(rng.rand(96, 128, 3) * 255).astype(np.uint8) for _ in range(2)]
+    good = [np.array([[64, 48, 40, 60]], np.float32)] * 2
+    calls = []
+    orig = pred._cameras_dispatch
+
+    def counting(fr):
+        calls.append(len(fr))
+        return orig(fr)
+
+    pred.camcalib_every = 2
+    pred._cameras_dispatch = counting
+    try:
+        with pytest.raises(Exception):
+            # 3 elements cannot reshape to (-1, 4): stage 2 raises after
+            # stage 1 ran and the keyframe loop completed.
+            pred.predict(f, [np.zeros(3, np.float32)] * 2, stream='x')
+        st = pred._cam_streams['x']
+        assert st['i'] == 0 and st['cam'] is None and st['sig'] is None
+        # the retry replays identically: frame 0 is still the keyframe
+        calls.clear()
+        res = pred.predict(f, good, stream='x')
+        assert calls == [1]
+        assert res[0][0]['camera'] == res[1][0]['camera']
+        assert pred._cam_streams['x']['i'] == 2
+    finally:
+        pred.camcalib_every = 1
+        pred._cameras_dispatch = orig
+        pred.reset_camera_stream(all_streams=True)
