@@ -11,6 +11,11 @@ under load, zero added latency when idle.
 
 Protocol (numpy .npz over POST, self-describing):
   GET  /healthz            -> 200 'ok'
+  GET  /stats              -> 200 JSON serving counters (requests/
+                              frames/persons/rounds/calls totals,
+                              request_errors, queue_depth, uptime_s,
+                              avg/max frames coalesced per round — the
+                              micro-batching efficiency gauge)
   POST /predict            body: npz with either
                              frame  (H, W, 3) uint8   + boxes (N, 4) f32
                            or multi-frame pairs
@@ -54,6 +59,7 @@ import io
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -171,14 +177,37 @@ class _Batcher:
         self.max_frames = int(max_frames or predictor.batch_size)
         self._q: queue.Queue = queue.Queue()
         self._stopped = False
+        # Serving counters (GET /stats). Only the dispatcher thread
+        # writes them (handler threads just read; int writes are
+        # GIL-atomic), except requests_total, bumped at submit().
+        self.started_at = time.time()
+        self.counters = {
+            'requests_total': 0,     # submitted requests
+            'request_errors': 0,     # requests answered with an error
+            'frames_total': 0,       # frames through the predictor
+            'persons_total': 0,      # person results returned
+            'rounds_total': 0,       # dispatcher rounds (drain calls)
+            'calls_total': 0,        # predictor calls (groups)
+            'max_round_frames': 0,   # best coalescing seen
+        }
         self._thread = threading.Thread(
             target=self._loop, daemon=True, name='spec-serve-batcher')
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Snapshot for GET /stats (monotonic counters + derived)."""
+        c = dict(self.counters)
+        c['uptime_s'] = round(time.time() - self.started_at, 3)
+        c['queue_depth'] = self._q.qsize()
+        c['avg_round_frames'] = round(
+            c['frames_total'] / c['rounds_total'], 3) if c['rounds_total'] else 0.0
+        return c
 
     def submit(self, frames, boxes, stream=None):
         """Blocking: returns (cameras, results) for this request only."""
         if self._stopped:
             raise RuntimeError('server is shutting down')
+        self._bump(requests_total=1)
         item = {'frames': frames, 'boxes': boxes, 'stream': stream,
                 'ev': threading.Event()}
         self._q.put(item)
@@ -261,6 +290,15 @@ class _Batcher:
                 self.pred.reset_camera_stream(stream=stream)
         return cameras, results
 
+    def _bump(self, **kw):
+        """Advance serving counters; a no-op on harness-built instances
+        without __init__ (unit tests drive _drain directly)."""
+        c = getattr(self, 'counters', None)
+        if c is None:
+            return
+        for k, v in kw.items():
+            c[k] = max(c[k], v) if k == 'max_round_frames' else c[k] + v
+
     def _ephemeral_key(self) -> str:
         # '\x00' can never appear in an HTTP header value, so ephemeral
         # keys cannot collide with client-chosen stream names. Only the
@@ -274,6 +312,9 @@ class _Batcher:
         (box-mode, stream) group, splitting results back out. Without
         stream amortization that is at most two calls (with-boxes group,
         detect group)."""
+        n_round = sum(len(b['frames']) for b in batch)
+        self._bump(rounds_total=1, frames_total=n_round,
+                   max_round_frames=n_round)
         every = int(getattr(self.pred, 'camcalib_every', 1) or 1)
         groups = []   # (members, stream_key, ephemeral)
         if every <= 1:
@@ -324,10 +365,14 @@ class _Batcher:
             try:
                 cameras, results = self._call(frames, boxes, stream,
                                               ephemeral)
+                self._bump(calls_total=1,
+                           persons_total=sum(len(r) for r in results))
             except Exception as exc:
+                self._bump(calls_total=1)
                 if len(group) == 1:
                     # A solo round would retry into the identical failure;
                     # report it without re-paying the device dispatch.
+                    self._bump(request_errors=1)
                     group[0]['error'] = exc
                     group[0]['ev'].set()
                     continue
@@ -337,7 +382,10 @@ class _Batcher:
                     try:
                         b['cameras'], b['results'] = self._call(
                             b['frames'], b['boxes'], stream, ephemeral)
+                        self._bump(calls_total=1, persons_total=sum(
+                            len(r) for r in b['results']))
                     except Exception as e:
+                        self._bump(calls_total=1, request_errors=1)
                         b['error'] = e
                     b['ev'].set()
                 continue
@@ -374,6 +422,9 @@ def create_server(predictor, host: str = '0.0.0.0', port: int = 8080,
         def do_GET(self):
             if self.path == '/healthz':
                 self._send(200, b'ok', 'text/plain')
+            elif self.path == '/stats':
+                self._send(200, json.dumps(batcher.stats()).encode(),
+                           'application/json')
             else:
                 self._send(404, b'not found', 'text/plain')
 

@@ -1073,3 +1073,64 @@ def test_predictor_stream_failure_leaves_state_intact(shared_pred, rng):
         pred.camcalib_every = 1
         pred._cameras_dispatch = orig
         pred.reset_camera_stream(all_streams=True)
+
+
+def test_serve_stats_endpoint(shared_pred, rng):
+    """GET /stats reports serving counters (request/frame/person/round/
+    call totals, error count, coalescing gauges, uptime) as JSON, and a
+    failing request increments request_errors without wedging the
+    server."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from spec_tpu.cli.serve import create_server
+
+    server = create_server(shared_pred, host='127.0.0.1', port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    frame = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    bx = np.array([[64, 48, 40, 60]], np.float32)
+
+    def post(**arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=buf.getvalue())
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.read()
+
+    def stats():
+        with urllib.request.urlopen(
+                f'http://127.0.0.1:{port}/stats', timeout=30) as r:
+            return json.loads(r.read())
+
+    try:
+        post(frame=frame, boxes=bx)
+        s = stats()
+        assert s['requests_total'] == 1
+        assert s['frames_total'] == 1
+        assert s['persons_total'] == 1
+        assert s['rounds_total'] == 1
+        assert s['calls_total'] == 1
+        assert s['request_errors'] == 0
+        assert s['max_round_frames'] == 1
+        assert s['avg_round_frames'] == 1.0
+        assert s['uptime_s'] > 0 and s['queue_depth'] == 0
+
+        # malformed boxes reach the predictor and fail -> 500, counted
+        try:
+            post(frame=frame, boxes=np.zeros(3, np.float32))
+            raise AssertionError('expected HTTP 500')
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        s = stats()
+        assert s['request_errors'] == 1
+        assert s['requests_total'] == 2
+        # server is still healthy after the error
+        post(frame=frame, boxes=bx)
+        assert stats()['persons_total'] == 2
+    finally:
+        server.shutdown()
