@@ -641,3 +641,44 @@ def test_spec_demo_webcam_shot_cut_reanchors(tmp_path):
     #                                         cams[3]: both are real
     #                                         stage-1 passes on lossy-
     #                                         encoded near-twin frames)
+
+
+def test_serve_exported_applies_stream_flags(monkeypatch):
+    """--camcalib_every/--cut_threshold reach the predictor on the
+    --exported path too (regression: the flags were silently dropped —
+    load_predictor rebuilds the instance without running __init__, so
+    main must apply serving knobs itself)."""
+    import types
+
+    from spec_tpu.cli import serve as serve_mod
+
+    class _Dummy:
+        batch_size = 4
+
+    captured = {}
+
+    def fake_load(path, batch_size=None):
+        captured['path'] = path
+        return _Dummy()
+
+    class _FakeServer:
+        server_address = ('127.0.0.1', 12345)
+
+        def serve_forever(self):
+            raise KeyboardInterrupt      # immediately unwind main()
+
+        def shutdown(self):
+            captured['shutdown'] = True
+
+    def fake_create(predictor, host, port, max_request_bytes, max_batch_frames):
+        captured['pred'] = predictor
+        return _FakeServer()
+
+    monkeypatch.setattr('spec_tpu.export.load_predictor', fake_load)
+    monkeypatch.setattr(serve_mod, 'create_server', fake_create)
+    serve_mod.main(['--exported', 'art.specx', '--camcalib_every', '4',
+                    '--cut_threshold', '0.25'])
+    assert captured['path'] == 'art.specx'
+    assert captured['pred'].camcalib_every == 4
+    assert captured['pred'].cut_threshold == 0.25
+    assert captured.get('shutdown')
